@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession configuration for every entrypoint (Verify, Bench,
+  * tests). Centralised so the correctness gate, the benchmark and the test
+  * suite all see identical semantics.
+  *
+  * Notable choices:
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the driver testdata's
+  *    `events.ts` column is parquet `timestamp[ns]` (TESTDATA/FIXTURES §B).
+  *    Spark's TimestampType is microsecond-precision, so we read nanosecond
+  *    columns as raw int64 ns and keep all event-time arithmetic on LongType
+  *    (SURVEY §7.4.1). This mirrors the reference, which also treats
+  *    `TaskEvent.Time` as an int64 ns scalar (reference app.rb:154-155).
+  *  - UTC session timezone: deterministic date/timestamp formatting vs the
+  *    DuckDB oracle.
+  *  - AQE on (default in Spark 4, made explicit): runtime coalescing of
+  *    shuffle partitions + skew-join splitting are the scale story for the
+  *    100 TB target; nothing in this library fights the adaptive planner.
+  */
+object GraftSession {
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Dimension tables (region/nation/customer/supplier/part at test SF) are
+    // broadcast; at production scale the 64 MB threshold still keeps the
+    // small side of star joins on the map side.
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(threads: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = configure(
+      SparkSession.builder()
+        .master(s"local[$threads]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", threads.toString)
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
