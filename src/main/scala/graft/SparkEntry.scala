@@ -50,7 +50,8 @@ object SparkEntry {
   }
 
   private val providers: Seq[(Map[String, Tables => DataFrame], Map[String, String])] = Seq(
-    (graft.queries.EventQueries.queries, graft.queries.EventQueries.oracles)
+    (graft.queries.EventQueries.queries, graft.queries.EventQueries.oracles),
+    (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

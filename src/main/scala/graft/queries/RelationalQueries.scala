@@ -1,0 +1,287 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational coverage (SURVEY.md §2b X5-X13): joins (broadcast, semi, anti),
+  * hash aggregation, window functions, sorts/limits, set operations, rollup,
+  * sessionization, event-time tumbling windows, JSON extraction over the
+  * TPC-H-ish star schema + events table.
+  *
+  * Scale notes (the 100 TB story):
+  *  - Star joins broadcast the dimension side (`broadcast(nation)`); the
+  *    orders↔customer join is left to AQE, which picks broadcast at test SF
+  *    and sort-merge with coalesced partitions at cluster scale.
+  *  - Aggregations are partial (map-side combine) by construction; nothing
+  *    here collects to the driver.
+  *  - Window queries partition by a key (user_id / mktsegment) — no global
+  *    single-partition windows.
+  */
+object RelationalQueries {
+
+  /** 10h session gap in ns — events in the testdata arrive hours apart per
+    * user (median per-user gap ≈ 7h), so 30 min would degenerate to
+    * one-session-per-event. */
+  private val SessionGapNs = 36000000000000L
+
+  val queries: Map[String, Tables => DataFrame] = Map(
+    // X8 — star join: orders→customer (AQE choice) →nation (broadcast).
+    "q_join_orders_customer" -> { t =>
+      t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    },
+
+    // X9 — left-semi join: customers having at least one finished order.
+    "q_semi_join" -> { t =>
+      t.customer
+        .join(t.orders.where(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // X9b — left-anti join: customers with no finished order.
+    "q_anti_join" -> { t =>
+      t.customer
+        .join(t.orders.where(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // X10 — TPC-H Q1 shape: wide partial aggregation over lineitem with a
+    // pushed-down date predicate.
+    "q_pricing_summary" -> { t =>
+      t.lineitem
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // X11 — top-k by sort+limit (TakeOrderedAndProject — no global sort of
+    // the full table).
+    "q_topk_revenue" -> { t =>
+      t.orders
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // X12 — set operations: customer vs supplier nation keys.
+    "q_setops" -> { t =>
+      val c = t.customer.select(col("c_nationkey").cast("int").as("nationkey")).distinct()
+      val s = t.supplier.select(col("s_nationkey").cast("int").as("nationkey")).distinct()
+      c.union(s).distinct().withColumn("op", lit("union"))
+        .unionByName(c.intersect(s).withColumn("op", lit("intersect")))
+        .unionByName(c.except(s).withColumn("op", lit("except")))
+        .select("op", "nationkey")
+        .orderBy("op", "nationkey")
+    },
+
+    // X13 — rollup over documents; NULL grouping slots coalesced to 'ALL'
+    // so no cross-engine null-ordering ambiguity (SURVEY §7.4.4).
+    "q_rollup" -> { t =>
+      t.documents
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+                coalesce(col("source"), lit("ALL")).as("source"),
+                col("n_docs"), col("sum_chars"))
+        .orderBy("lang", "source")
+    },
+
+    // Window ranking: top-3 customers by balance per market segment.
+    "q_window_rank" -> { t =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t.customer
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select("c_mktsegment", "rn", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", "rn")
+    },
+
+    // Analytic running sum per key in event-time order.
+    "q_running_sum" -> { t =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.events
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 2).as("cum_value"))
+        .orderBy("event_id")
+    },
+
+    // Exact distinct aggregation.
+    "q_distinct_users" -> { t =>
+      t.events
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    },
+
+    // X5 — sessionization: gap-based session assignment via lag + cumulative
+    // sum, then per-session aggregates. All event-time math on µs-truncated
+    // ns longs (see EventQueries.tsUs rationale).
+    "q_sessionize" -> { t =>
+      val byTime = Window.partitionBy(col("user_id")).orderBy(col("tsn"))
+      val cum = Window.partitionBy(col("user_id")).orderBy(col("tsn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.events
+        .withColumn("tsn", col("ts") - (col("ts") % 1000))
+        .withColumn("prev", lag(col("tsn"), 1).over(byTime))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("tsn") - col("prev") > SessionGapNs, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min(col("tsn")).as("start_ts"), max(col("tsn")).as("end_ts"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // X6 — event-time tumbling window aggregation via Spark's window()
+    // (epoch-aligned hourly buckets), surfaced as epoch-ns starts.
+    "q_tumbling_window" -> { t =>
+      t.events
+        .withColumn("tmu", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(window(col("tmu"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select((unix_micros(col("window.start")) * 1000).as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // X7 — JSON props extraction with get_json_object + aggregation.
+    "q_json_props" -> { t =>
+      t.events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(round(avg(col("k")), 4).as("avg_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // Date arithmetic + aggregation by year.
+    "q_orders_by_year" -> { t =>
+      t.orders
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("yr")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_orders_customer" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer WHERE EXISTS (
+        |SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (
+        |SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |round(avg(l_quantity), 4) AS avg_qty,
+        |round(avg(l_discount), 4) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_topk_revenue" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_setops" ->
+      """SELECT op, nationkey FROM (
+        |SELECT 'union' AS op, nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'intersect', nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'except', nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier))
+        |ORDER BY op, nationkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_rollup" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang, source""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_window_rank" ->
+      """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+        |SELECT c_mktsegment, c_custkey, c_acctbal,
+        |row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |FROM customer) WHERE rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_running_sum" ->
+      """SELECT event_id, user_id,
+        |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+        |min(tsn) AS start_ts, max(tsn) AS end_ts FROM (
+        |SELECT user_id, tsn,
+        |CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tsn
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM (
+        |SELECT user_id, epoch_ns(ts) AS tsn,
+        |CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+        |WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 36000000000000 THEN 1
+        |ELSE 0 END AS new_s
+        |FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_tumbling_window" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000 AS window_start,
+        |event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_json_props" ->
+      """SELECT event_type,
+        |round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        |count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_orders_by_year" ->
+      """SELECT year(o_orderdate) AS yr, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\\s+", " ")
+  )
+}
