@@ -51,7 +51,9 @@ object SparkEntry {
 
   private val providers: Seq[(Map[String, Tables => DataFrame], Map[String, String])] = Seq(
     (graft.queries.EventQueries.queries, graft.queries.EventQueries.oracles),
-    (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracles)
+    (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracles),
+    (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
+    (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for the training-data pipeline, in
+  * increasing order of fuzziness:
+  *
+  *  1. [[exact]] — hash-groupBy on content digest.
+  *  2. [[ngramJaccard]] — n-gram shingle Jaccard via an inverted-index join
+  *     (never a quadratic cross join).
+  *  3. [[minhashCandidates]]/[[minhashLsh]] — MinHash signatures + banded LSH:
+  *     the 100 TB path, where candidate generation cost is proportional to
+  *     colliding-band pairs, not n².
+  *  4. [[simhash]] — 64-bit SimHash with banded Hamming candidate search.
+  *
+  * Scale design: every pairwise step goes through a shuffle keyed on a
+  * content-derived token (shingle / band hash), so skew follows content
+  * duplication — exactly the thing AQE skew-join splitting handles. Nothing
+  * collects to the driver.
+  */
+object DedupOps {
+
+  /** Exact dedup: one row per distinct content hash with the surviving
+    * (minimum) doc id and the duplicate count. Map-side partial aggregation;
+    * one shuffle on the digest. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(md5(col(textCol).cast("binary")).as("h"), col(idCol))
+      .groupBy("h")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dupes"))
+
+  /** Shingle table: (id, n_shingles, shingle) exploded inverted index. */
+  private def shingleIndex(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+      .where(col("n_sh") > 0)
+
+  /** Near-duplicate pairs by n-gram Jaccard ≥ threshold.
+    *
+    * Inverted-index plan: explode shingles, self-join on the shingle value
+    * (pairs that share no shingle — Jaccard 0 — are never materialised),
+    * count shared shingles per pair, then Jaccard = |∩| / (|A|+|B|-|∩|).
+    */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val idx = shingleIndex(docs, textCol, idCol, n)
+    val ex = idx.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = ex.select(col("id").as("ida"), col("n_sh").as("na"), col("s"))
+    val b = ex.select(col("id").as("idb"), col("n_sh").as("nb"), col("s"))
+    a.join(b, Seq("s")).where(col("ida") < col("idb"))
+      .groupBy("ida", "idb", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .where(col("jaccard") >= threshold)
+      .select("ida", "idb", "jaccard")
+  }
+
+  /** MinHash signature of the shingle set: `numHashes` independent min-hash
+    * values, seeded by index (xxhash64 over "shingle#seed"). */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val idx = shingleIndex(docs, textCol, idCol, n)
+    val seeds = array((0 until numHashes).map(i => lit(i.toString)): _*)
+    idx.withColumn("sig",
+      transform(seeds, seed =>
+        array_min(transform(col("sh"), s => xxhash64(concat_ws("#", s, seed))))))
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands, hash each
+    * band, and emit pairs colliding in at least one band. */
+  def minhashCandidates(signatures: DataFrame, bands: Int = 8): DataFrame = {
+    val rowsPerBand = 4
+    val banded = signatures.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => hash(slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)), bnd))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates from banding, then exact
+    * Jaccard verification of candidates only. */
+  def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.7,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sigs = minhashSignatures(docs, n, numHashes, textCol, idCol)
+    val cands = minhashCandidates(sigs, bands)
+    val sets = sigs.select(col("id"), col("sh"), col("n_sh"))
+    cands
+      .join(sets.select(col("id").as("ida"), col("sh").as("sha"), col("n_sh").as("na")), Seq("ida"))
+      .join(sets.select(col("id").as("idb"), col("sh").as("shb"), col("n_sh").as("nb")), Seq("idb"))
+      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .where(col("jaccard") >= threshold)
+      .select("ida", "idb", "jaccard")
+  }
+
+  /** 64-bit SimHash over the token multiset: per bit, sum ±1 weighted by
+    * token occurrences; bit = sign. Bit loop is a fixed-size `transform`, the
+    * token fold is `aggregate` — all codegen-friendly and overflow-free. */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bitCounts = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc,
+        array((0 until 64).map(b =>
+          when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1).otherwise(-1)): _*),
+        _ + _))
+    val sig = aggregate(
+      transform(bitCounts, c => when(c >= 0, 1L).otherwise(0L)),
+      lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
+    docs.select(col(idCol).as("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
+    * prefiltered by exact match on one of four 16-bit chunks (pigeonhole: any
+    * pair within Hamming 3 of 64 bits shares at least one chunk; maxHamming
+    * above 3 trades recall for speed). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sigs = simhash(docs, textCol, idCol)
+    val chunked = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .where(col("hamming") <= maxHamming)
+      .select("ida", "idb", "hamming")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbour search over an embedding column.
+  *
+  *  - [[bruteForceTopK]]: exact baseline — broadcast the (small) query set
+  *    against the full corpus; one pass, no shuffle of the corpus side.
+  *  - [[lshTopK]]: the scale path — random-hyperplane LSH buckets both sides;
+  *    the corpus is scanned once, scored only against queries sharing a
+  *    bucket. At 100 TB the bucket join replaces an infeasible cross join.
+  *  - [[nearDupPairs]]: all-pairs cosine ≥ threshold via a block-cross join
+  *    at test scale; the LSH bucket variant is the production path.
+  *
+  * All scoring is double-precision in array index order (see
+  * [[graft.functions.VectorFunctions]]), so results are reproducible across
+  * partitionings.
+  */
+object SimilarityOps {
+
+  /** Corpus with normalised vector + precomputed norm. */
+  private def prepared(emb: DataFrame, vecCol: String, idCol: String): DataFrame =
+    emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Exact top-k neighbours for each query vector (excluding self).
+    * The query side is broadcast — corpus never shuffles. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = prepared(corpus, vecCol, idCol)
+    val q = prepared(queries, vecCol, idCol)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("sim", cosinePrenormed(col("qv"), col("v"), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** LSH-bucketed approximate top-k: both sides hashed to
+    * `nPlanes`-bit hyperplane buckets; scoring happens only within a bucket.
+    * Lower nPlanes → higher recall, bigger buckets. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = prepared(corpus, vecCol, idCol)
+      .withColumn("bucket", packBits(hyperplaneBits(col("v"), nPlanes)))
+    val q = prepared(queries, vecCol, idCol)
+      .withColumn("bucket", packBits(hyperplaneBits(col("v"), nPlanes)))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("sim", cosinePrenormed(col("qv"), col("v"), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** All-pairs near-duplicates by cosine ≥ threshold (ida < idb). */
+  def nearDupPairs(emb: DataFrame, threshold: Double,
+                   vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val p = prepared(emb, vecCol, idCol)
+    val a = p.select(col("id").as("ida"), col("v").as("va"), col("nrm").as("na"))
+    val b = p.select(col("id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("ida") < col("idb"))
+      .withColumn("sim", cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")))
+      .where(col("sim") >= threshold)
+      .select(col("ida"), col("idb"), round(col("sim"), 4).as("sim"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search bindings over the `embeddings` table
+  * (SURVEY.md §2b X3 + driver north-star ANN operators).
+  *
+  * Scoring is double-precision in array-index order on both engines
+  * (zip_with/aggregate ↔ list_dot_product), so similarity values agree
+  * bitwise before the defensive round(…, 4).
+  */
+object SimilarityQueries {
+
+  private val dotCte =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)""".stripMargin
+
+  val queries: Map[String, Tables => DataFrame] = Map(
+    // X3 — exact brute-force cosine top-k for a broadcast query set.
+    "q_similarity_topk" -> { t =>
+      val queries = t.embeddings.where(col("vec_id") < 10)
+      SimilarityOps.bruteForceTopK(t.embeddings, queries, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // Embedding-cosine near-duplicate pairs.
+    "q_embedding_neardup" -> { t =>
+      SimilarityOps.nearDupPairs(t.embeddings, threshold = 0.4)
+        .orderBy("ida", "idb")
+    },
+
+    // ANN scale path: hyperplane-LSH bucketed top-k (no SQL oracle —
+    // xxhash64-derived hyperplanes; recall asserted in ScalaTest).
+    "q_ann_lsh" -> { t =>
+      val queries = t.embeddings.where(col("vec_id") < 10)
+      SimilarityOps.lshTopK(t.embeddings, queries, k = 5, nPlanes = 8)
+        .orderBy("query_id", "rank")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_similarity_topk" ->
+      (dotCte + """,
+        |p AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    list_dot_product(q.e, x.e) / (q.nrm * x.nrm) AS sim
+        |  FROM n q JOIN n x ON x.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, round(sim, 4) AS sim
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin).replaceAll("\\s+", " "),
+
+    "q_embedding_neardup" ->
+      (dotCte + """
+        |SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " ")
+  )
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{DedupOps, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dedup + text-analysis query bindings over the `documents` table
+  * (SURVEY.md §2b X1/X2/X4 + driver north-star operators). Hash-based
+  * operators (MinHash-LSH, SimHash, rolling hash) have no portable SQL
+  * oracle — xxhash64/murmur3 are Spark-specific — so they are declared
+  * without oracle entries (driver records a rows-only check) and their
+  * semantics are pinned by ScalaTest instead.
+  */
+object TextQueries {
+
+  private val stop = "['the','a','of','to','and','in','is','on']"
+
+  /** DuckDB shingle CTE shared by the jaccard oracles (1-based list
+    * comprehension; distinct set semantics match array_distinct). */
+  private val shingleCte =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(tok) >= 3 THEN
+      |    list_distinct([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok)-1)])
+      |  ELSE [] END AS shingles FROM tok),
+      |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)""".stripMargin
+
+  val queries: Map[String, Tables => DataFrame] = Map(
+    // X1 — exact dedup by content digest.
+    "q_text_dedup_exact" -> { t =>
+      DedupOps.exact(t.documents).orderBy("h")
+    },
+
+    // X2 — n-gram Jaccard near-dup pairs via inverted-index join.
+    "q_text_dedup_near" -> { t =>
+      DedupOps.ngramJaccard(t.documents, n = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("ida", "idb")
+    },
+
+    // X2 at scale — MinHash+LSH candidates verified by exact Jaccard.
+    // No SQL oracle (xxhash64-dependent); recall vs q_text_dedup_near is
+    // asserted in ScalaTest.
+    "q_minhash_lsh" -> { t =>
+      DedupOps.minhashLsh(t.documents, threshold = 0.7)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("ida", "idb")
+    },
+
+    // SimHash near-dup pairs (no SQL oracle — hash-dependent).
+    "q_simhash" -> { t =>
+      DedupOps.simhashPairs(t.documents, maxHamming = 3)
+        .orderBy("ida", "idb")
+    },
+
+    // X4 — per-language aggregate of token statistics.
+    "q_token_stats" -> { t =>
+      TextOps.tokenStats(t.documents)
+        .join(t.documents.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"),
+          round(avg(col("ttr")), 6).as("avg_ttr"))
+        .orderBy("lang")
+    },
+
+    // Language-ID heuristic (stopword density).
+    "q_lang_id" -> { t =>
+      TextOps.langId(t.documents).orderBy("doc_id")
+    },
+
+    // Quality scoring.
+    "q_quality_score" -> { t =>
+      TextOps.qualityScore(t.documents).orderBy("doc_id")
+    },
+
+    // Token counting (whitespace + BPE-ish regex).
+    "q_token_count" -> { t =>
+      TextOps.tokenCounts(t.documents).orderBy("doc_id")
+    },
+
+    // Fingerprinting: md5 fingerprint is oracle-checked; the rolling hash is
+    // engine-specific so it is excluded here and covered by ScalaTest.
+    "q_doc_fingerprint" -> { t =>
+      TextOps.fingerprints(t.documents).select("doc_id", "fp_md5").orderBy("doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_dupes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_text_dedup_near" ->
+      (shingleCte + """,
+        |cand AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ida, idb,
+        |  round(shared * 1.0 / (na.n + nb.n - shared), 6) AS jaccard
+        |FROM cand
+        |JOIN sz na ON na.doc_id = ida
+        |JOIN sz nb ON nb.doc_id = idb
+        |WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.5
+        |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " "),
+
+    "q_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+        |round(avg(len(list_distinct(string_split(text, ' '))) * 1.0 /
+        |          len(string_split(text, ' '))), 6) AS avg_ttr
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_lang_id" ->
+      s"""SELECT doc_id,
+         |round(len(list_filter(string_split(text, ' '), x -> list_contains($stop, x))) * 1.0 /
+         |      len(string_split(text, ' ')), 6) AS en_ratio,
+         |CASE WHEN len(list_filter(string_split(text, ' '), x -> list_contains($stop, x))) * 1.0 /
+         |          len(string_split(text, ' ')) >= 0.05
+         |THEN 'en' ELSE 'other' END AS predicted_lang
+         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_quality_score" ->
+      s"""SELECT doc_id, n_tokens, round(ttr, 6) AS ttr, round(stop_ratio, 6) AS stop_ratio,
+         |round(least(n_tokens / 100.0, 1.0) * 0.3 + ttr * 0.4 + stop_ratio * 0.3, 6) AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) AS ttr,
+         |  len(list_filter(string_split(text, ' '), x -> list_contains($stop, x))) * 1.0 /
+         |    len(string_split(text, ' ')) AS stop_ratio
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |len(string_split(text, ' ')) AS ws_tokens,
+        |len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        |md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+  )
+}
