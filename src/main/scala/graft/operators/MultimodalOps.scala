@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.security.MessageDigest
+
+/** Multimodal-column operators: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / frame-sample stages.
+  *
+  * The decode step is a clearly-marked deterministic STUB — the real codec
+  * libraries are not in this container — but the Spark-side plumbing is the
+  * production shape: binary columns travel in columnar batches, metadata
+  * extraction is a narrow per-partition pass (one codec context per
+  * partition, not per row), and nothing widens the binary payload through a
+  * shuffle. At 100 TB the binary column stays pruned away unless a stage
+  * actually touches it (nested-schema pruning on the parquet scan).
+  */
+object MultimodalOps {
+
+  /** An opaque media payload with routing metadata. */
+  final case class MediaRow(id: Long, mediaType: String, bytes: Array[Byte])
+
+  /** Extracted features; `width`/`height` come from the decode stub. */
+  final case class MediaFeature(
+      id: Long, mediaType: String, byteLen: Long, sha256: String,
+      width: Int, height: Int)
+
+  /** STUB decode: a real implementation would hand `bytes` to an image/audio
+    * decoder; this deterministic fake derives dimensions from content length
+    * so tests exercise the full dataflow. Replace the body, keep the
+    * signature. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int) =
+    (64 + (bytes.length % 512), 64 + ((bytes.length * 7) % 512))
+
+  private def sha256Hex(bytes: Array[Byte], md: MessageDigest): String =
+    md.digest(bytes).map("%02x".format(_)).mkString
+
+  /** Per-partition feature extraction: one digest/codec context per
+    * partition, batch-shaped iteration — the `mapPartitions` pattern a real
+    * decoder needs (expensive init amortised across the partition). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val (w, h) = decodeStub(r.bytes)
+        MediaFeature(r.id, r.mediaType, r.bytes.length.toLong,
+          sha256Hex(r.bytes, md), w, h)
+      }
+    }
+  }
+
+  /** Deterministic frame sampling: every `stride`-th slice of `frameLen`
+    * bytes — the video-keyframe access pattern over an opaque payload. */
+  def sampleFrames(media: Dataset[MediaRow], frameLen: Int, stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      Iterator.range(0, math.max(r.bytes.length - frameLen + 1, 0), stride * frameLen)
+        .map(off => (r.id, off, r.bytes.slice(off, off + frameLen)))
+    }.toDF("id", "frame_offset", "frame_bytes")
+  }
+
+  /** Column-level metadata over any DataFrame with a binary column —
+    * the oracle-checkable subset (length, digest, header bytes, stub dims).
+    */
+  def binaryMeta(df: DataFrame, binCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(binCol)).cast("long").as("byte_len"),
+      md5(col(binCol)).as("digest"),
+      upper(hex(substring(col(binCol), 1, 8))).as("header_hex"),
+      (lit(64L) + length(col(binCol)).cast("long") % 512).as("width"),
+      (lit(64L) + (length(col(binCol)).cast("long") * 7) % 512).as("height"))
+
+  /** Documents table → media dataset (text bytes standing in for an opaque
+    * payload; schema and partitioning are what's exercised). */
+  def documentsAsMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("id"), lit("text/plain").as("mediaType"),
+        col("text").cast("binary").as("bytes"))
+      .as[MediaRow]
+  }
+}

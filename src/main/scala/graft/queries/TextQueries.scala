@@ -85,6 +85,16 @@ object TextQueries {
     // engine-specific so it is excluded here and covered by ScalaTest.
     "q_doc_fingerprint" -> { t =>
       TextOps.fingerprints(t.documents).select("doc_id", "fp_md5").orderBy("doc_id")
+    },
+
+    // Multimodal metadata over an opaque binary column (documents.text bytes
+    // standing in for media payloads; decode stub dims are derived
+    // deterministically — see MultimodalOps).
+    "q_multimodal_meta" -> { t =>
+      graft.operators.MultimodalOps
+        .binaryMeta(t.documents.withColumn("blob", col("text").cast("binary")),
+          binCol = "blob", idCol = "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -144,6 +154,15 @@ object TextQueries {
     "q_doc_fingerprint" ->
       """SELECT doc_id,
         |md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |octet_length(CAST(text AS BLOB)) AS byte_len,
+        |md5(text) AS digest,
+        |upper(hex(substr(text, 1, 8))) AS header_hex,
+        |64 + octet_length(CAST(text AS BLOB)) % 512 AS width,
+        |64 + (octet_length(CAST(text AS BLOB)) * 7) % 512 AS height
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " ")
   )
 }

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+/** K1/K2 — webhook delivery sinks (reference app.rb:213-265). The reference
+  * POSTs synchronously per event and never checks the response
+  * (at-least-once within a run); here delivery happens inside
+  * `foreachBatch`, distributed over the batch's partitions, preserving the
+  * fire-and-forget contract per row. Both destinations can fire for one
+  * event (fan-out, app.rb:211-267).
+  *
+  * Use:
+  * {{{
+  *   notifications.writeStream.foreachBatch(
+  *     WebhookSink.deliver(discordUrl = Some(url1), slackUrl = Some(url2)) _)
+  * }}}
+  */
+object WebhookSink {
+
+  /** POST a JSON document; returns the status code, -1 on connection error
+    * (delivery latency no longer backpressures ingestion — unlike the
+    * reference's synchronous loop, app.rb:229). */
+  def post(url: String, json: String): Int =
+    try {
+      val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.setDoOutput(true)
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(10000)
+      val bytes = json.getBytes(StandardCharsets.UTF_8)
+      conn.getOutputStream.write(bytes)
+      conn.getOutputStream.close()
+      val code = conn.getResponseCode
+      conn.disconnect()
+      code
+    } catch { case _: Exception => -1 }
+
+  /** Slack attachment payload (app.rb:240-262). Built on the driver-free
+    * executor path from already-computed columns. */
+  private def slackJson(subject: String, description: String, color: Option[String]): String = {
+    val colorField = color.map(c => s""","color":"$c"""").getOrElse("")
+    s"""{"attachments":[{"mrkdwn_in":["text","pretext"],"pretext":"$subject","text":"$description"$colorField}]}"""
+  }
+
+  /** foreachBatch function delivering each notification row to the
+    * configured webhooks. Expects the [[NomadPipeline.notifications]]
+    * schema. */
+  def deliver(discordUrl: Option[String], slackUrl: Option[String])
+             (batch: DataFrame, batchId: Long): Unit = {
+    val cols = batch.columns.zipWithIndex.toMap
+    batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        discordUrl.foreach { u =>
+          post(u, r.getString(cols("discord_payload")))
+        }
+        slackUrl.foreach { u =>
+          post(u, slackJson(
+            r.getString(cols("slack_subject")),
+            r.getString(cols("description")),
+            Option(r.getString(cols("slack_color")))))
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Batch operator semantics not covered by the DuckDB oracle gate:
+  * hash-based dedup recall, LSH vs brute-force ANN, rolling hash,
+  * multimodal feature extraction.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = {
+    // 20 random docs + 3 planted near-duplicate pairs
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("data", "spark", "row", "table", "hash", "join", "scan", "sort",
+      "key", "value", "batch", "stream", "query", "filter", "agg", "window")
+    val base = (0 until 20).map(i =>
+      (i.toLong, (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val dups = (0 until 3).map { i =>
+      val (id, text) = base(i)
+      val toks = text.split(" ").toVector.updated(5, "MUTATED")
+      (100L + id, toks.mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content") {
+    val withCopy = docs.union(docs.limit(1))
+    val out = DedupOps.exact(withCopy).where(col("n_dupes") > 1).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("n_dupes") == 2L)
+  }
+
+  test("minhash-LSH finds every planted near-duplicate the exact query finds") {
+    val exact = DedupOps.ngramJaccard(docs, threshold = 0.7)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minhashLsh(docs, threshold = 0.7)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "planted duplicates must be found by the exact query")
+    assert(exact == lsh)
+  }
+
+  test("simhash: identical docs at hamming 0; planted near-dups within 3") {
+    val pairs = DedupOps.simhashPairs(docs, maxHamming = 3)
+      .select("ida", "idb", "hamming").as[(Long, Long, Int)].collect()
+    val planted = pairs.filter { case (a, b, _) => b == a + 100 || a == b - 100 }
+    assert(planted.length == 3, s"planted pairs found: ${planted.mkString(",")}")
+  }
+
+  test("rolling hash is order-sensitive; md5 fingerprint is whitespace-robust") {
+    val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a  b   c")).toDF("doc_id", "text")
+    val fp = TextOps.fingerprints(d).collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[String]("fp_md5"), r.getAs[Long]("fp_rolling"))).toMap
+    assert(fp(1L)._2 != fp(2L)._2, "token order must change the rolling hash")
+    assert(fp(1L)._1 == fp(3L)._1, "whitespace must not change the md5 fingerprint")
+    assert(fp(1L)._2 == fp(3L)._2, "whitespace must not change the rolling hash")
+  }
+
+  test("shingles handle short texts without erroring (ANSI-safe)") {
+    val d = Seq((1L, "only two")).toDF("doc_id", "text")
+    val out = d.select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(out.isEmpty)
+  }
+
+  test("LSH ANN returns a subset of brute-force candidates with bucket-limited recall") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0 until 100).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 3)
+    val bf = SimilarityOps.bruteForceTopK(emb, queries, k = 5).collect()
+    assert(bf.length == 15) // 3 queries × k
+    val lsh = SimilarityOps.lshTopK(emb, queries, k = 5, nPlanes = 4).collect()
+    assert(lsh.nonEmpty && lsh.length <= 15)
+    // every LSH result must carry the same sim the brute-force path computed
+    val bfSims = bf.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    lsh.foreach { r =>
+      bfSims.get((r.getLong(0), r.getLong(1))).foreach(s => assert(s == r.getDouble(3)))
+    }
+  }
+
+  test("multimodal feature extraction runs the stub decode per partition") {
+    val media = MultimodalOps.documentsAsMedia(spark, docs.withColumnRenamed("doc_id", "doc_id"))
+    val feats = MultimodalOps.extractFeatures(media).collect()
+    assert(feats.length == docs.count())
+    feats.foreach { f =>
+      assert(f.sha256.length == 64)
+      assert(f.width == 64 + (f.byteLen % 512) && f.height == 64 + (f.byteLen * 7) % 512)
+    }
+  }
+
+  test("frame sampling slices deterministic windows") {
+    import org.apache.spark.sql.Dataset
+    val media: Dataset[MultimodalOps.MediaRow] =
+      Seq(MultimodalOps.MediaRow(1L, "video/fake", Array.range(0, 100).map(_.toByte))).toDS()
+    val frames = MultimodalOps.sampleFrames(media, frameLen = 10, stride = 2).collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 20, 40, 60, 80))
+    assert(frames.forall(_.getAs[Array[Byte]](2).length == 10))
+  }
+}

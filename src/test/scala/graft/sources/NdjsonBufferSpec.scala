@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of the reference's NDJSON chunk-reassembly contract
+  * (reference spec/lib/ndjson_spec.rb:8-153, FIXTURES.md §A.2): table-driven
+  * chunk sequences → expected parsed lines, plus the chunk-split invariance
+  * property over randomised chunkings.
+  */
+class NdjsonBufferSpec extends AnyFunSuite {
+
+  private def parseAll(chunks: Seq[String]): Seq[String] = {
+    val b = new NdjsonBuffer
+    chunks.flatMap(b.feed)
+  }
+
+  val cases: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("whole line", Seq("{\"a\":\"0\"}\n"), Seq("{\"a\":\"0\"}")),
+    ("4-way split token",
+      Seq("{\"a\":", "\"0\", ", "\"b\":", "\"1\"}\n"), Seq("{\"a\":\"0\", \"b\":\"1\"}")),
+    ("truncated head dropped",
+      Seq(":\"0\"}\n", "{\"b\":\"1\"}\n"), Seq("{\"b\":\"1\"}")),
+    ("head and tail truncated",
+      Seq("\"a\":\"0\"}\n{\"b\":\"1\"", "}\n"), Seq("{\"b\":\"1\"}")),
+    ("multi incomplete",
+      Seq("{\"a\":", "\"0\"", "}\n{\"b\":\"1\"}\n"), Seq("{\"a\":\"0\"}", "{\"b\":\"1\"}")),
+    ("blank chunk between",
+      Seq("{\"a\":\"0\"}\n{\"b\":\"1\"}\n", "", "{\"c\":\"2\"}\n"),
+      Seq("{\"a\":\"0\"}", "{\"b\":\"1\"}", "{\"c\":\"2\"}")),
+    ("mixed complete and incomplete",
+      Seq("\"a\":\"0\"}\n{\"b\":\"1\"}\n{\"c\":", "\"2\"}\n{\"d\":\"3\"}\n"),
+      Seq("{\"b\":\"1\"}", "{\"c\":\"2\"}", "{\"d\":\"3\"}")),
+    ("split pair", Seq("{\"a\":", "\"0\"}\n"), Seq("{\"a\":\"0\"}")),
+    ("heartbeats", Seq("{}", "\n{}\n", "{}\n"), Seq("{}", "{}", "{}")),
+    ("lone newline", Seq("{}", "\n"), Seq("{}")))
+
+  cases.foreach { case (name, chunks, expected) =>
+    test(s"reassembly: $name") {
+      assert(parseAll(chunks) == expected)
+    }
+  }
+
+  test("trailing bytes after last newline are carried, never emitted") {
+    val b = new NdjsonBuffer
+    assert(b.feed("{\"a\":1}\n{\"b\":") == Seq("{\"a\":1}"))
+    assert(b.pending == "{\"b\":")
+    assert(b.feed("2}\n") == Seq("{\"b\":2}"))
+    assert(b.pending.isEmpty)
+  }
+
+  test("property: any chunking of a valid NDJSON string parses identically") {
+    (1 to 200).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val doc = (0 to rnd.nextInt(8))
+        .map(_ => s"""{"k":${rnd.nextInt(50)}}""")
+        .mkString("", "\n", "\n")
+      val cuts = (0 until rnd.nextInt(6)).map(_ => rnd.nextInt(doc.length + 1))
+      val bounds = (Seq(0, doc.length) ++ cuts).distinct.sorted
+      val chunks = bounds.zip(bounds.tail).map { case (s, e) => doc.substring(s, e) }
+      assert(parseAll(chunks) == parseAll(Seq(doc)), s"seed=$seed chunks=$chunks")
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft.sources
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.SparkSpec
+import graft.streaming.WebhookSink
+import org.apache.spark.sql.streaming.Trigger
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{CopyOnWriteArrayList, CountDownLatch, TimeUnit}
+
+/** DSv2 source + webhook sink mechanics against a local stub Nomad server
+  * (⊘ queries in SURVEY §2a — ScalaTest-verified, no SQL oracle):
+  * chunked NDJSON delivery with readpartial-style split frames, offset
+  * discovery from /v1/agent/self, auth/namespace option plumbing, and
+  * fire-and-forget webhook POSTs.
+  */
+class NomadEventSourceSpec extends SparkSpec {
+
+  private def withServer(frames: Seq[String], raftIndex: Option[Long] = Some(42L))
+                        (body: (String, CopyOnWriteArrayList[String]) => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val seenHeaders = new CopyOnWriteArrayList[String]()
+    server.createContext("/v1/agent/self", (ex: HttpExchange) => {
+      val json = raftIndex
+        .map(i => s"""{"stats":{"raft":{"last_log_index":"$i"}}}""")
+        .getOrElse("""{"stats":{}}""")
+      val b = json.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    server.createContext("/v1/event/stream", (ex: HttpExchange) => {
+      Option(ex.getRequestHeaders.getFirst("X-Nomad-Token")).foreach(t => seenHeaders.add(s"token=$t"))
+      Option(ex.getRequestURI.getQuery).foreach(q => seenHeaders.add(s"query=$q"))
+      ex.sendResponseHeaders(200, 0) // chunked
+      val out = ex.getResponseBody
+      frames.foreach { f =>
+        // split mid-frame to exercise readpartial reassembly
+        val bytes = (f + "\n").getBytes(StandardCharsets.UTF_8)
+        val mid = bytes.length / 2
+        out.write(bytes, 0, mid); out.flush()
+        Thread.sleep(20)
+        out.write(bytes, mid, bytes.length - mid); out.flush()
+      }
+      // keep the connection open like a real event stream
+      Thread.sleep(60000)
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}", seenHeaders)
+    finally server.stop(0)
+  }
+
+  test("initialIndex digs stats.raft.last_log_index; None when absent") {
+    withServer(Nil) { (url, _) =>
+      assert(NomadApi.initialIndex(NomadConfig(url)) == Some(42L))
+    }
+    withServer(Nil, raftIndex = None) { (url, _) =>
+      assert(NomadApi.initialIndex(NomadConfig(url)) == None)
+    }
+  }
+
+  test("streaming source reassembles chunked NDJSON frames into rows") {
+    val frames = Seq(
+      """{"Index":1,"Events":[]}""",
+      """{}""",
+      """{"Index":2,"Events":[]}""")
+    withServer(frames) { (url, headers) =>
+      val q = spark.readStream.format("nomad-events")
+        .option("baseUrl", url)
+        .option("namespace", "prod")
+        .option("token", "secret")
+        .load()
+        .writeStream.format("memory").queryName("nomad_src_out")
+        .trigger(Trigger.ProcessingTime(100))
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        while (spark.table("nomad_src_out").count() < 3 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200)
+        }
+        val rows = spark.table("nomad_src_out").collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        assert(rows.map(_._2).toSeq == frames)
+        assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+        assert(headers.contains("token=secret"))
+        assert(headers.contains("query=namespace=prod"))
+      } finally q.stop()
+    }
+  }
+
+  test("webhook sink POSTs payloads fire-and-forget") {
+    val received = new CopyOnWriteArrayList[String]()
+    val latch = new CountDownLatch(2)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      received.add(body); latch.countDown()
+      ex.sendResponseHeaders(200, 0); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/hook"
+      assert(WebhookSink.post(url, """{"content":"a"}""") == 200)
+      assert(WebhookSink.post(url, """{"content":"b"}""") == 200)
+      assert(latch.await(5, TimeUnit.SECONDS))
+      assert(received.size == 2)
+      // unreachable endpoint: fire-and-forget, no exception
+      assert(WebhookSink.post("http://127.0.0.1:1/hook", "{}") == -1)
+    } finally server.stop(0)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+case class Te(task_identifier: String, event_time: Long, payload: String)
+
+/** ST1 semantics under real micro-batches (SURVEY §7.4.2): the watermark is
+  * compared as a batch-start snapshot, so equal-timestamp duplicates inside
+  * one batch all pass; between batches the high-water mark is monotone.
+  */
+class HighWatermarkDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runBatches(init: Long, batches: Seq[Te]*): Seq[Seq[(String, Long)]] = {
+    val input = MemoryStream[Te](spark)
+    val deduped = HighWatermarkDedup(init).apply(spark, input.toDF())
+    val dir = java.nio.file.Files.createTempDirectory("dedup-test").toString
+    val query = deduped.writeStream
+      .format("memory").queryName(s"dedup_out_${System.nanoTime()}")
+      .option("checkpointLocation", dir)
+      .outputMode("append").start()
+    val name = query.name
+    val results = batches.map { b =>
+      input.addData(b)
+      query.processAllAvailable()
+      spark.table(name).select("task_identifier", "event_time")
+        .as[(String, Long)].collect().toSeq.sorted
+    }
+    query.stop()
+    results
+  }
+
+  test("intra-batch equal-timestamp duplicates all pass; stale events drop") {
+    val Seq(after1, after2, after3) = runBatches(100L,
+      // batch 1: two equal timestamps above the seed watermark — both pass
+      Seq(Te("a", 200L, "x"), Te("a", 200L, "y"), Te("a", 50L, "stale")),
+      // batch 2: 200 is now <= watermark → dropped; 300 passes
+      Seq(Te("a", 200L, "dup"), Te("a", 300L, "new")),
+      // batch 3: nothing newer → nothing emitted
+      Seq(Te("a", 250L, "late"), Te("a", 300L, "dup")))
+    assert(after1 == Seq(("a", 200L), ("a", 200L)))
+    assert(after2 == Seq(("a", 200L), ("a", 200L), ("a", 300L)))
+    assert(after3 == after2)
+  }
+
+  test("keys are independent; seed watermark applies per key") {
+    val Seq(out) = runBatches(1000L,
+      Seq(Te("a", 1500L, "x"), Te("b", 500L, "old-key-b"), Te("b", 2000L, "new-key-b")))
+    assert(out == Seq(("a", 1500L), ("b", 2000L)))
+  }
+
+  test("batch analog matches streaming semantics on first-batch data") {
+    // The batch analog (dedupHighWatermark: wm = per-key min) and one
+    // streaming batch with init < all timestamps agree on what survives
+    // when the minimum is the seed.
+    val rows = Seq(Te("k", 10L, "a"), Te("k", 20L, "b"), Te("k", 20L, "c"), Te("k", 5L, "d"))
+    val batch = graft.operators.NomadEventOps
+      .dedupHighWatermark(rows.toDF(), col("task_identifier"), col("event_time"))
+      .select("event_time").as[Long].collect().toSeq.sorted
+    val Seq(streaming) = runBatches(5L, rows)
+    assert(batch == Seq(10L, 20L, 20L))
+    assert(streaming.map(_._2).sorted == Seq(10L, 20L, 20L))
+  }
+}
