@@ -14,7 +14,16 @@ object VectorFunctions {
   /** array<float> → array<double>, the precision used for all scoring. */
   def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Native codegen'd dot product ([[graft.plans.VecDotProduct]], registered
+    * by GraftExtensions). Bit-identical to the interpreted fold
+    * `aggregate(zip_with(a, b, _*_), 0d, _+_)` — same index-order
+    * accumulation — but ~two orders of magnitude faster on pairwise
+    * workloads. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** The built-in-only formulation, kept as the portability fallback and the
+    * semantic reference the native expression is tested against. */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0d), _ + _)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** Physical-plan quality gates — the properties that matter at 100 TB,
+  * asserted so a refactor can't silently regress them:
+  * predicate pushdown and column pruning reaching the parquet scan,
+  * dimension joins broadcasting, top-k avoiding a global sort, and the
+  * operator chain staying inside whole-stage codegen.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def t = Tables(spark, dir)
+
+  private def executedPlan(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan
+  }
+
+  private def planString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filter queries push predicates into the parquet scan") {
+    val plan = planString("q_topic_filter")
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      s"predicate not pushed:\n$plan")
+  }
+
+  test("projections prune the scan schema to referenced columns") {
+    val plan = planString("q_topic_filter")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("ts"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("star join broadcasts the dimension side") {
+    val plan = planString("q_join_orders_customer")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = planString("q_topk_revenue")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k plan:\n$plan")
+  }
+
+  test("scalar operator chain stays in one whole-stage codegen span") {
+    // classification+formatting over events: no UDFs → fully codegen'd.
+    // AQE reveals the final physical plan only after execution.
+    val df = SparkEntry.queries("q_state_classify")(spark, dir)
+    df.collect()
+    // '*(n)' node prefixes mark whole-stage-codegen stages in toString
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"not codegen'd:\n$plan")
+  }
+
+  test("aggregations use partial (map-side) aggregation") {
+    val plan = executedPlan("q_pricing_summary").toString
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("native vec_dot expression participates in codegen (no fallback)") {
+    val df = t.embeddings
+      .select(graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+      .select(graft.functions.VectorFunctions.dot(col("v"), col("v")).as("d"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the Project carrying vec_dot must carry the '*(n)' codegen marker
+    val dotLine = plan.linesIterator.find(_.contains("vec_dot")).getOrElse("")
+    assert(dotLine.contains("*("), s"vec_dot fell out of codegen:\n$plan")
+  }
+}

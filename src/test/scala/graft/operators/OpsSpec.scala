@@ -80,6 +80,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("native vec_dot is bit-identical to the built-in fold") {
+    import graft.functions.VectorFunctions
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 50).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("v"))
+    val both = df.select(
+      VectorFunctions.dot(col("v"), col("v")).as("native"),
+      VectorFunctions.dotBuiltin(col("v"), col("v")).as("builtin"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("multimodal feature extraction runs the stub decode per partition") {
     val media = MultimodalOps.documentsAsMedia(spark, docs.withColumnRenamed("doc_id", "doc_id"))
     val feats = MultimodalOps.extractFeatures(media).collect()
