@@ -181,6 +181,52 @@ object RelationalQueries {
         .groupBy(year(col("o_orderdate")).as("yr"))
         .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("yr")
+    },
+
+    // X13b — full cube over documents (all four grouping sets).
+    "q_cube" -> { t =>
+      t.documents
+        .cube("lang", "source")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+                coalesce(col("source"), lit("ALL")).as("source"),
+                col("n_docs"))
+        .orderBy("lang", "source")
+    },
+
+    // Correlated scalar subquery (Catalyst decorrelates to a join under the
+    // hood): customers above their segment's average balance.
+    "q_corr_subquery" -> { t =>
+      t.customer.createOrReplaceTempView("graft_customer_v")
+      t.customer.sparkSession.sql(
+        """SELECT c_custkey, c_mktsegment, c_acctbal FROM graft_customer_v c
+          |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM graft_customer_v c2
+          |                   WHERE c2.c_mktsegment = c.c_mktsegment)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // TPC-H Q3 shape: three-way join with selective predicates on both fact
+    // sides, aggregation, top-10 by revenue.
+    "q_shipping_priority" -> { t =>
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      t.customer.where(col("c_mktsegment") === "BUILDING")
+        .join(t.orders.where(col("o_orderdate") < cutoff),
+          col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem.where(col("l_shipdate") > cutoff),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // Approximate distinct (HyperLogLog++ sketch) — no oracle: approximation
+    // is engine-specific; exactness-at-small-cardinality asserted in tests.
+    "q_approx_distinct" -> { t =>
+      t.events
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
     }
   )
 
@@ -282,6 +328,29 @@ object RelationalQueries {
     "q_orders_by_year" ->
       """SELECT year(o_orderdate) AS yr, count(*) AS n_orders,
         |round(sum(o_totalprice), 2) AS revenue
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\\s+", " ")
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_cube" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |count(*) AS n_docs
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang, source""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_corr_subquery" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_mktsegment = c.c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_shipping_priority" ->
+      """SELECT o_orderkey,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin.replaceAll("\\s+", " ")
   )
 }

@@ -9,12 +9,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * 270-273):
   *
   *  - state per `task_identifier` = the highest event `Time` (int64 ns) seen
-  *    in *previous* batches, seeded with the pipeline start time (app.rb:72);
-  *  - every event in the current batch is compared against that SNAPSHOT,
-  *    not a running max — equal-timestamp duplicates within one batch all
-  *    pass (SURVEY §7.4.2; a naive dropDuplicates would drop them);
-  *  - after the batch, the watermark advances to max(snapshot, batch max) —
-  *    monotone, never retreats (app.rb:270-273).
+  *    so far, seeded with the pipeline start time (app.rb:72);
+  *  - the snapshot unit is one *allocation update* (frame): every event in a
+  *    frame is compared against the watermark as of the frame's start, not a
+  *    running max — equal-timestamp duplicates within one frame all pass
+  *    (SURVEY §7.4.2; a naive dropDuplicates would drop them);
+  *  - the watermark advances to max(previous, unit max) after each frame —
+  *    monotone, never retreats (app.rb:270-273) — so a duplicate re-sent in
+  *    a later frame is dropped even when both frames share a micro-batch.
+  *    With no `frameCol`, the whole micro-batch is one snapshot unit.
   *
   * Implemented with `flatMapGroupsWithState` — an API extension point, not
   * planner surgery (SURVEY §4). State is one Long per key: at 100 TB-scale
@@ -23,12 +26,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class HighWatermarkDedup(
     initialWatermarkNs: Long,
     keyCol: String = "task_identifier",
-    timeCol: String = "event_time") {
+    timeCol: String = "event_time",
+    frameCol: Option[String] = None) {
 
   def apply(spark: SparkSession, events: DataFrame): DataFrame = {
     val schema = events.schema
     val keyIdx = schema.fieldIndex(keyCol)
     val timeIdx = schema.fieldIndex(timeCol)
+    val frameIdx = frameCol.map(schema.fieldIndex)
     val init = initialWatermarkNs
     implicit val rowEnc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(schema))
@@ -40,15 +45,25 @@ final case class HighWatermarkDedup(
       .flatMapGroupsWithState[Long, Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
-          val snapshot = state.getOption.getOrElse(init)
           val batch = rows.toVector
-          val out = batch.filter { r =>
-            !r.isNullAt(timeIdx) && r.getLong(timeIdx) > snapshot  // app.rb:163
+          // snapshot units: one per frame (ordered), or the whole micro-batch
+          val units: Seq[Vector[Row]] = frameIdx match {
+            case Some(f) =>
+              batch.groupBy(r => if (r.isNullAt(f)) Long.MinValue else r.getLong(f))
+                .toSeq.sortBy(_._1).map(_._2)
+            case None => Seq(batch)
           }
-          val batchMax = batch.iterator
-            .filterNot(_.isNullAt(timeIdx)).map(_.getLong(timeIdx))
-            .foldLeft(snapshot)(math.max)                          // app.rb:270-273
-          state.update(batchMax)
+          var wm = state.getOption.getOrElse(init)
+          val out = units.flatMap { unit =>
+            val pass = unit.filter { r =>
+              !r.isNullAt(timeIdx) && r.getLong(timeIdx) > wm      // app.rb:163
+            }
+            wm = unit.iterator
+              .filterNot(_.isNullAt(timeIdx)).map(_.getLong(timeIdx))
+              .foldLeft(wm)(math.max)                              // app.rb:270-273
+            pass
+          }
+          state.update(wm)
           out.iterator
       }(stateEnc, rowEnc)
       .toDF(schema.fieldNames.toIndexedSeq: _*)

@@ -108,7 +108,8 @@ object NomadPipeline {
   def stream(spark: SparkSession, lines: DataFrame, cfg: PipelineConfig,
              initialWatermarkNs: Long): DataFrame = {
     val events = taskEvents(decode(lines), cfg)
-    val deduped = HighWatermarkDedup(initialWatermarkNs).apply(spark, events)
+    val deduped = HighWatermarkDedup(initialWatermarkNs, frameCol = Some("frame_index"))
+      .apply(spark, events)
     notifications(deduped, cfg)
   }
 }
