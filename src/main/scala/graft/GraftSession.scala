@@ -41,6 +41,8 @@ object GraftSession {
         .master(s"local[$threads]")
         .appName("graft")
         .config("spark.sql.shuffle.partitions", threads.toString)
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
         .config("spark.ui.enabled", "false")
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -47,7 +47,11 @@ object DedupOps {
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val idx = shingleIndex(docs, textCol, idCol, n)
+    // Join on a 64-bit hash of the shingle, not the string: same pairs
+    // (collisions among distinct shingles are ~n²/2^64), a fraction of the
+    // shuffle bytes.
     val ex = idx.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+      .select(col("id"), col("n_sh"), xxhash64(col("s")).as("s"))
     val a = ex.select(col("id").as("ida"), col("n_sh").as("na"), col("s"))
     val b = ex.select(col("id").as("idb"), col("n_sh").as("nb"), col("s"))
     a.join(b, Seq("s")).where(col("ida") < col("idb"))

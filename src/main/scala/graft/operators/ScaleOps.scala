@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-technique helpers: bucketed layouts for shuffle-free co-located
+  * joins, and key salting for skewed joins. These are the knobs the engine
+  * reaches for at 100 TB when AQE alone isn't enough.
+  */
+object ScaleOps {
+
+  /** Persist a DataFrame as a bucketed, sorted table. Later joins and
+    * aggregations on the bucket key read co-located partitions and skip the
+    * exchange entirely — the classic pre-shuffle trade: one write-time
+    * shuffle amortised over every subsequent query. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Salted equi-join for skewed keys: the skewed (big) side gets a random
+    * salt in [0, saltFactor); the small side is replicated saltFactor times,
+    * so one hot key fans out over saltFactor reducers instead of one.
+    *
+    * The salt is derived deterministically from a hash of the whole row
+    * (monotonically_increasing_id would break retry idempotence), so the
+    * join stays reproducible. AQE's skew-join handles moderate skew on its
+    * own; explicit salting is for the pathological keys AQE can't split
+    * (single-key hot spots inside one task). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, saltFactor: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(saltFactor)).cast("int"))
+    val saltedSmall = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedBig
+      .join(saltedSmall, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** Range-partitioned layout for time-ordered scans: repartition by range
+    * on the event-time column so downstream per-key, time-ordered windows
+    * sort locally. */
+  def timePartitioned(df: DataFrame, tsCol: Column, partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, tsCol)
+}
