@@ -53,7 +53,8 @@ object SparkEntry {
     (graft.queries.EventQueries.queries, graft.queries.EventQueries.oracles),
     (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracles),
     (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
-    (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracles)
+    (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracles),
+    (graft.queries.FunctionQueries.queries, graft.queries.FunctionQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -54,7 +54,13 @@ object DedupOps {
       .select(col("id"), col("n_sh"), xxhash64(col("s")).as("s"))
     val a = ex.select(col("id").as("ida"), col("n_sh").as("na"), col("s"))
     val b = ex.select(col("id").as("idb"), col("n_sh").as("nb"), col("s"))
-    a.join(b, Seq("s")).where(col("ida") < col("idb"))
+    // Exact size prefilter: jaccard ≥ t requires |∩| ≥ t/(1+t)·(|A|+|B|) and
+    // |∩| ≤ min(|A|,|B|), so pairs whose set sizes are too dissimilar can
+    // never reach the threshold — pruned before the per-pair aggregation
+    // shuffle.
+    val sizeOk = least(col("na"), col("nb")).cast("double") >=
+      lit(threshold / (1 + threshold)) * (col("na") + col("nb"))
+    a.join(b, Seq("s")).where(col("ida") < col("idb") && sizeOk)
       .groupBy("ida", "idb", "na", "nb")
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",

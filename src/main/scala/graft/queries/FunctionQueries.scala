@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface coverage: string, date, and math built-ins, pivot,
+  * HAVING, exact percentile — each oracle-checked against DuckDB. The
+  * reference hardcodes its few scalar ops inline (SURVEY §2c); a complete
+  * engine exposes the standard function surface, and these queries pin the
+  * cross-engine semantics of the commonly-used subset.
+  */
+object FunctionQueries {
+
+  val queries: Map[String, Tables => DataFrame] = Map(
+    // String functions over customer names.
+    "q_string_funcs" -> { t =>
+      t.customer.select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        length(col("c_name")).cast("long").as("len"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("joined"),
+        translate(col("c_name"), "#", "_").as("tr"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        reverse(col("c_name")).as("rev"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("lev"))
+        .orderBy("c_custkey")
+    },
+
+    // Date/time functions over orders.
+    "q_date_funcs" -> { t =>
+      t.orders.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2002"))
+        .orderBy("o_orderkey")
+    },
+
+    // Math functions over lineitem.
+    "q_math_funcs" -> { t =>
+      t.lineitem.select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_discount") - 0.05), 6).as("absd"),
+        ceil(col("l_quantity")).as("ceilq"),
+        floor(col("l_quantity")).as("floorq"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrtp"),
+        round(ln(col("l_extendedprice") + 1), 6).as("lnp"),
+        round(pow(col("l_tax") + 1, 2), 6).as("powt"),
+        signum(col("l_discount") - 0.04).cast("double").as("sgn"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Pivot: per-user event-type counts as columns.
+    "q_pivot" -> { t =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = t.events.groupBy("user_id").pivot("event_type", types).count()
+      types.foldLeft(pivoted)((df, c) => df.withColumn(c, coalesce(col(c), lit(0L))))
+        .orderBy("user_id")
+    },
+
+    // HAVING: customers whose order volume exceeds a threshold.
+    "q_having" -> { t =>
+      t.orders
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("spend"))
+        .where(col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    },
+
+    // Exact percentile (median) per event type.
+    "q_median" -> { t =>
+      t.events
+        .groupBy("event_type")
+        .agg(round(percentile(col("value"), lit(0.5)), 6).as("median_value"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        |substr(c_name, 1, 8) AS sub, length(c_name) AS len,
+        |c_mktsegment || '-' || c_name AS joined,
+        |translate(c_name, '#', '_') AS tr,
+        |lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |reverse(c_name) AS rev,
+        |levenshtein(c_mktsegment, 'BUILDING') AS lev
+        |FROM customer ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |dayofmonth(o_orderdate) AS dom, quarter(o_orderdate) AS qtr,
+        |strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+        |datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |round(abs(l_discount - 0.05), 6) AS absd,
+        |CAST(ceil(l_quantity) AS BIGINT) AS ceilq,
+        |CAST(floor(l_quantity) AS BIGINT) AS floorq,
+        |round(sqrt(l_extendedprice), 6) AS sqrtp,
+        |round(ln(l_extendedprice + 1), 6) AS lnp,
+        |round(pow(l_tax + 1, 2), 6) AS powt,
+        |CAST(sign(l_discount - 0.04) AS DOUBLE) AS sgn
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |count(*) FILTER (event_type = 'click') AS click,
+        |count(*) FILTER (event_type = 'error') AS error,
+        |count(*) FILTER (event_type = 'purchase') AS purchase,
+        |count(*) FILTER (event_type = 'signup') AS signup,
+        |count(*) FILTER (event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+        |ORDER BY o_custkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_median" ->
+      """SELECT event_type, round(median(value), 6) AS median_value, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\\s+", " ")
+  )
+}

@@ -16,13 +16,19 @@ object TextQueries {
 
   private val stop = "['the','a','of','to','and','in','is','on']"
 
-  /** DuckDB shingle CTE shared by the jaccard oracles (1-based list
-    * comprehension; distinct set semantics match array_distinct). */
+  /** DuckDB 4-gram shingle CTE shared by the jaccard oracles (1-based list
+    * comprehension; distinct set semantics match array_distinct). n=4 rather
+    * than 3 because the synthetic corpus draws from a ~30-word vocabulary —
+    * 3-gram shingles collide between unrelated documents (avg document
+    * frequency ≈ 46), degenerating the inverted index towards all-pairs,
+    * while 4-grams are near-unique (df ≈ 1.5) and planted near-duplicates
+    * still score ≈ 0.87. */
   private val shingleCte =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
       |sh AS (SELECT doc_id,
-      |  CASE WHEN len(tok) >= 3 THEN
-      |    list_distinct([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok)-1)])
+      |  CASE WHEN len(tok) >= 4 THEN
+      |    list_distinct([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]
+      |                   for i in range(1, len(tok)-2)])
       |  ELSE [] END AS shingles FROM tok),
       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)""".stripMargin
@@ -33,9 +39,10 @@ object TextQueries {
       DedupOps.exact(t.documents).orderBy("h")
     },
 
-    // X2 — n-gram Jaccard near-dup pairs via inverted-index join.
+    // X2 — n-gram Jaccard near-dup pairs via inverted-index join (n=4: see
+    // shingleCte note on vocabulary-driven shingle degeneracy).
     "q_text_dedup_near" -> { t =>
-      DedupOps.ngramJaccard(t.documents, n = 3, threshold = 0.5)
+      DedupOps.ngramJaccard(t.documents, n = 4, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("ida", "idb")
     },
@@ -44,7 +51,7 @@ object TextQueries {
     // No SQL oracle (xxhash64-dependent); recall vs q_text_dedup_near is
     // asserted in ScalaTest.
     "q_minhash_lsh" -> { t =>
-      DedupOps.minhashLsh(t.documents, threshold = 0.7)
+      DedupOps.minhashLsh(t.documents, n = 4, threshold = 0.7)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("ida", "idb")
     },
