@@ -53,16 +53,9 @@ final case class HighWatermarkDedup(
                 .toSeq.sortBy(_._1).map(_._2)
             case None => Seq(batch)
           }
-          var wm = state.getOption.getOrElse(init)
-          val out = units.flatMap { unit =>
-            val pass = unit.filter { r =>
-              !r.isNullAt(timeIdx) && r.getLong(timeIdx) > wm      // app.rb:163
-            }
-            wm = unit.iterator
-              .filterNot(_.isNullAt(timeIdx)).map(_.getLong(timeIdx))
-              .foldLeft(wm)(math.max)                              // app.rb:270-273
-            pass
-          }
+          val (out, wm) = WatermarkLogic.dedupUnits[Row](units,
+            r => if (r.isNullAt(timeIdx)) None else Some(r.getLong(timeIdx)),
+            state.getOption.getOrElse(init))
           state.update(wm)
           out.iterator
       }(stateEnc, rowEnc)
