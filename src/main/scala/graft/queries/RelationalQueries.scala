@@ -227,6 +227,35 @@ object RelationalQueries {
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")
+    },
+
+    // X5b — native session windows (session_window merges events closer than
+    // the gap): same sessions as the lag+cumsum formulation in q_sessionize,
+    // with engine-managed window bounds (end = last event + gap).
+    "q_session_window" -> { t =>
+      t.events
+        .withColumn("tmu", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(session_window(col("tmu"), "10 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          (unix_micros(col("session_window.start")) * 1000).as("start_ts"),
+          (unix_micros(col("session_window.end")) * 1000).as("end_ts"),
+          col("n_events"))
+        .orderBy("user_id", "start_ts")
+    },
+
+    // As-of lookup by composition (preference order (a) — no custom
+    // operator needed): for every event, the latest purchase timestamp of
+    // the same user at or before the event.
+    "q_asof" -> { t =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.events
+        .withColumn("tsn", col("ts") - (col("ts") % 1000))
+        .withColumn("last_purchase_ts",
+          max(when(col("event_type") === "purchase", col("tsn"))).over(w))
+        .select("event_id", "user_id", "tsn", "last_purchase_ts")
+        .orderBy("event_id")
     }
   )
 
@@ -341,6 +370,28 @@ object RelationalQueries {
         |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
         |                   WHERE c2.c_mktsegment = c.c_mktsegment)
         |ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_session_window" ->
+      """SELECT user_id, min(tsn) AS start_ts, max(tsn) + 36000000000000 AS end_ts,
+        |count(*) AS n_events FROM (
+        |SELECT user_id, tsn,
+        |CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tsn
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM (
+        |SELECT user_id, epoch_ns(ts) AS tsn,
+        |CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+        |WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 36000000000000 THEN 1
+        |ELSE 0 END AS new_s
+        |FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, start_ts""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_asof" ->
+      """SELECT event_id, user_id, epoch_ns(ts) AS tsn,
+        |max(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)
+        |  OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_shipping_priority" ->
       """SELECT o_orderkey,

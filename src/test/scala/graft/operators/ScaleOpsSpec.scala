@@ -51,6 +51,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("partitioned layout prunes directories for partition-column predicates") {
+    val events = Tables(spark, dir).events
+    val path = java.nio.file.Files.createTempDirectory("part-events").toString
+    ScaleOps.writePartitioned(events, path, "event_type")
+    val q = spark.read.parquet(path).where(col("event_type") === "purchase")
+      .select("event_id")
+    q.collect()
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("event_type"), s"partition filter not pushed: $scan")
+    // the data filter must NOT appear as a post-scan filter on rows
+    assert(!q.queryExecution.executedPlan.toString.contains("PushedFilters: [IsNotNull(event_type), EqualTo"),
+      "predicate handled per-row instead of via partition pruning")
+  }
+
   test("range partitioning by time yields non-overlapping partition ranges") {
     val events = Tables(spark, dir).events
     val parts = ScaleOps.timePartitioned(events, col("ts"), 4)
