@@ -52,6 +52,31 @@ class HighWatermarkDedupSpec extends SparkSpec {
     assert(out == Seq(("a", 1500L), ("b", 2000L)))
   }
 
+  test("watermark state survives a query restart from the checkpoint") {
+    val input = MemoryStream[Te](spark)
+    val deduped = HighWatermarkDedup(0L).apply(spark, input.toDF())
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup-restart").toString
+    val outDir = java.nio.file.Files.createTempDirectory("dedup-restart-out").toString
+    def start() = deduped.writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    input.addData(Seq(Te("a", 500L, "x")))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // second run, same checkpoint: state (watermark=500) must be restored,
+    // so a replayed/older event is dropped and only the newer one passes
+    val q2 = start()
+    input.addData(Seq(Te("a", 500L, "replay"), Te("a", 400L, "older"), Te("a", 600L, "new")))
+    q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.parquet(outDir).select("event_time").as[Long].collect().toSeq.sorted
+    assert(out == Seq(500L, 600L), s"restored state should drop <=500 in run 2, got $out")
+  }
+
   test("batch analog matches streaming semantics on first-batch data") {
     // The batch analog (dedupHighWatermark: wm = per-key min) and one
     // streaming batch with init < all timestamps agree on what survives
