@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,6 +54,56 @@ object SimilarityOps {
       .withColumn("bucket", packBits(hyperplaneBits(col("v"), nPlanes)))
       .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"), col("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("sim", cosinePrenormed(col("qv"), col("v"), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer of
+    * `nCentroids` centroids partitions the corpus into cells; queries score
+    * only the `nProbe` nearest cells.
+    *
+    * Centroids are chosen deterministically (the lowest-id vectors — at
+    * production scale substitute a k-means fit, the assignment plan is
+    * unchanged). Plan shape: one corpus scan to assign cells (broadcast
+    * centroids, argmin over a literal array), then a cell-keyed join against
+    * the probed query cells — the corpus never cross-joins the query set.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = prepared(corpus, vecCol, idCol)
+    // Deterministic coarse quantizer: the lowest-id vectors. This collect is
+    // model metadata (nCentroids small vectors), not data — the k-means
+    // analog of fitting a model, broadcast as literals into the plan.
+    val centroids: Array[(Int, Seq[Double], Double)] = c.orderBy(col("id")).limit(nCentroids)
+      .select(col("v")).collect().zipWithIndex
+      .map { case (r, i) =>
+        val v = r.getSeq[Double](0)
+        (i, v, math.sqrt(v.map(x => x * x).sum))
+      }
+    val centArr = array(centroids.map { case (i, v, n) =>
+      struct(lit(i).as("cid"), array(v.map(lit): _*).as("cv"), lit(n).as("cnorm"))
+    }: _*)
+    // nearest cell(s) by cosine: the row's own norm is constant across
+    // centroids, so ranking by -dot/cnorm suffices
+    def cellsFor(vCol: Column, n: Int): Column =
+      slice(transform(
+        array_sort(transform(centArr, cent =>
+          struct((lit(-1.0) * call_function("vec_dot", cent.getField("cv"), vCol) /
+            cent.getField("cnorm")).as("negSim"),
+            cent.getField("cid").as("cid")))),
+        s => s.getField("cid")), lit(1), lit(n))
+    val assigned = c.withColumn("cell", element_at(cellsFor(col("v"), 1), 1))
+    val q = prepared(queries, vecCol, idCol)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(cellsFor(col("v"), nProbe)).as("cell"))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
       .where(col("id") =!= col("query_id"))
       .withColumn("sim", cosinePrenormed(col("qv"), col("v"), col("qnrm"), col("nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))

@@ -40,6 +40,14 @@ object SimilarityQueries {
       val queries = t.embeddings.where(col("vec_id") < 10)
       SimilarityOps.lshTopK(t.embeddings, queries, k = 5, nPlanes = 8)
         .orderBy("query_id", "rank")
+    },
+
+    // ANN scale path #2: IVF coarse-quantizer cells + probed search (no SQL
+    // oracle — recall vs brute force asserted in ScalaTest).
+    "q_ivf_ann" -> { t =>
+      val queries = t.embeddings.where(col("vec_id") < 10)
+      SimilarityOps.ivfTopK(t.embeddings, queries, k = 5, nCentroids = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
     }
   )
 

@@ -102,6 +102,13 @@ object NomadPipeline {
       .withColumn("slack_color", slackColor(col("state")))
   }
 
+  /** Batch replay of captured NDJSON stream files (the reference ships such
+    * a capture as a fixture, reference spec/fixtures/nomad/stream_a_1.txt):
+    * read as text lines, then the same decode path — truncated or malformed
+    * lines drop exactly as they do on the live stream. */
+  def readNdjsonFiles(spark: SparkSession, path: String): DataFrame =
+    decode(spark.read.text(path).withColumnRenamed("value", "value"))
+
   /** Full streaming query: raw-line stream → deduped, classified
     * notifications. Stateful dedup keyed by task identifier with the
     * reference's batch-snapshot semantics ([[HighWatermarkDedup]]). */

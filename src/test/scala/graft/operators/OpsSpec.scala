@@ -109,6 +109,36 @@ class OpsSpec extends SparkSpec {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("IVF top-k recall against brute force on clustered vectors") {
+    val rnd = new scala.util.Random(5)
+    // 4 well-separated clusters so the coarse quantizer is meaningful
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextFloat() * 10 - 5))
+    val emb = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 4)
+    val bf = SimilarityOps.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.ivfTopK(emb, queries, k = 5, nCentroids = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVF recall too low: $recall (bf=$bf ivf=$ivf)")
+  }
+
+  test("batch NDJSON file replay drops truncated lines like the live stream") {
+    import graft.streaming.NomadPipeline
+    val dir = java.nio.file.Files.createTempDirectory("ndjson-replay")
+    val f = dir.resolve("stream_capture.txt")
+    java.nio.file.Files.writeString(f,
+      "\"FailedSibling\":\"\",\"Time\":123}\n" +           // truncated head, dropped
+      "{}\n" +                                             // heartbeat
+      "{\"Index\":7,\"Events\":[]}\n")                     // data frame
+    val frames = NomadPipeline.readNdjsonFiles(spark, f.toString)
+    assert(frames.count() == 2)
+    assert(NomadPipeline.heartbeats(frames).count() == 1)
+  }
+
   test("multimodal feature extraction runs the stub decode per partition") {
     val media = MultimodalOps.documentsAsMedia(spark, docs.withColumnRenamed("doc_id", "doc_id"))
     val feats = MultimodalOps.extractFeatures(media).collect()
