@@ -81,6 +81,18 @@ object FunctionQueries {
         .agg(round(percentile(col("value"), lit(0.5)), 6).as("median_value"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+
+    // Unpivot (melt): wide → long over part attributes.
+    "q_unpivot" -> { t =>
+      t.part
+        .unpivot(
+          ids = Array(col("p_partkey")),
+          values = Array(col("p_size").cast("double").as("p_size"),
+                         col("p_retailprice")),
+          variableColumnName = "attr",
+          valueColumnName = "val")
+        .orderBy("p_partkey", "attr")
     }
   )
 
@@ -131,6 +143,13 @@ object FunctionQueries {
 
     "q_median" ->
       """SELECT event_type, round(median(value), 6) AS median_value, count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\\s+", " ")
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        |SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part)
+        |ORDER BY p_partkey, attr""".stripMargin.replaceAll("\\s+", " ")
   )
 }
