@@ -244,6 +244,18 @@ object RelationalQueries {
         .orderBy("user_id", "start_ts")
     },
 
+    // Skew-handling path as a graded query: the salted join must produce
+    // exactly the plain equi-join result (the oracle is the plain join).
+    "q_salted_join" -> { t =>
+      graft.operators.ScaleOps.saltedJoin(
+          t.orders, t.customer.select("c_custkey", "c_mktsegment")
+            .withColumnRenamed("c_custkey", "o_custkey"),
+          key = "o_custkey", saltFactor = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+
     // As-of lookup by composition (preference order (a) — no custom
     // operator needed): for every event, the latest purchase timestamp of
     // the same user at or before the event.
@@ -385,6 +397,12 @@ object RelationalQueries {
         |FROM events))
         |GROUP BY user_id, session_id
         |ORDER BY user_id, start_ts""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.replaceAll("\\s+", " "),
 
     "q_asof" ->
       """SELECT event_id, user_id, epoch_ns(ts) AS tsn,
