@@ -83,6 +83,46 @@ object FunctionQueries {
         .orderBy("event_type")
     },
 
+    // Array function surface over tokenised documents.
+    "q_array_funcs" -> { t =>
+      t.documents
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n"),
+          array_contains(col("toks"), "spark").as("has_spark"),
+          element_at(col("toks"), 1).as("first_tok"),
+          element_at(sort_array(col("toks")), 1).as("min_tok"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          concat_ws("|", slice(sort_array(col("toks"), asc = false), 1, 3)).as("top3_desc"))
+        .orderBy("doc_id")
+    },
+
+    // Regex function surface over event props.
+    "q_regex_funcs" -> { t =>
+      t.events.select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).as("k_str"),
+        col("props").rlike("[0-9]{2}").as("two_digits"),
+        regexp_replace(col("event_type"), "[aeiou]", "_").as("devoweled"),
+        size(regexp_extract_all(col("props"), lit("[0-9]"), lit(0))).cast("long").as("n_digits"))
+        .orderBy("event_id")
+    },
+
+    // Conditional/null-handling surface.
+    "q_conditional_funcs" -> { t =>
+      t.events
+        .withColumn("maybe", when(col("value") > 50, col("value")))
+        .select(
+          col("event_id"),
+          coalesce(col("maybe"), lit(-1.0)).as("coalesced"),
+          nullif(col("event_type"), lit("view")).as("nullified"),
+          greatest(col("value"), col("user_id").cast("double")).as("hi"),
+          least(col("value"), col("user_id").cast("double")).as("lo"),
+          isnull(col("maybe")).as("was_null"))
+        .orderBy("event_id")
+    },
+
     // Unpivot (melt): wide → long over part attributes.
     "q_unpivot" -> { t =>
       t.part
@@ -144,6 +184,33 @@ object FunctionQueries {
     "q_median" ->
       """SELECT event_type, round(median(value), 6) AS median_value, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        |len(string_split(text, ' ')) AS n,
+        |list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |string_split(text, ' ')[1] AS first_tok,
+        |list_sort(string_split(text, ' '))[1] AS min_tok,
+        |len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |array_to_string(list_reverse_sort(string_split(text, ' '))[1:3], '|') AS top3_desc
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_regex_funcs" ->
+      """SELECT event_id,
+        |regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str,
+        |regexp_matches(props, '[0-9]{2}') AS two_digits,
+        |regexp_replace(event_type, '[aeiou]', '_', 'g') AS devoweled,
+        |len(regexp_extract_all(props, '[0-9]')) AS n_digits
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_conditional_funcs" ->
+      """SELECT event_id,
+        |coalesce(CASE WHEN value > 50 THEN value END, -1.0) AS coalesced,
+        |nullif(event_type, 'view') AS nullified,
+        |greatest(value, CAST(user_id AS DOUBLE)) AS hi,
+        |least(value, CAST(user_id AS DOUBLE)) AS lo,
+        |(CASE WHEN value > 50 THEN value END) IS NULL AS was_null
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_unpivot" ->
       """SELECT p_partkey, attr, val FROM (
