@@ -70,7 +70,9 @@ private class NomadEventTable(options: CaseInsensitiveStringMap)
             NomadConfig(
               baseUrl = options.get("baseUrl"),
               namespace = Option(options.get("namespace")),
-              token = Option(options.get("token"))))
+              token = Option(options.get("token"))),
+            maxLinesPerBatch =
+              Option(options.get("maxLinesPerBatch")).map(_.toLong).getOrElse(Long.MaxValue))
       }
     }
 }
@@ -79,12 +81,15 @@ private[sources] case class NomadOffset(lineCount: Long) extends Offset {
   override def json(): String = lineCount.toString
 }
 
-private[sources] class NomadMicroBatchStream(cfg: NomadConfig) extends MicroBatchStream {
+private[sources] class NomadMicroBatchStream(cfg: NomadConfig,
+    maxLinesPerBatch: Long = Long.MaxValue) extends MicroBatchStream {
 
   // (absolute line index, raw json line); trimmed on commit().
   private val buffer = ArrayBuffer.empty[(Long, String)]
   private var nextLine = 0L
+  private var lastPlannedEnd = 0L
   private val stopped = new AtomicBoolean(false)
+  @volatile private var pollerFailure: Option[Throwable] = None
 
   private val poller = new Thread(() => {
     val ndjson = new NdjsonBuffer
@@ -105,7 +110,9 @@ private[sources] class NomadMicroBatchStream(cfg: NomadConfig) extends MicroBatc
       }
     } catch {
       case _: InterruptedException => ()
-      case e: Exception => if (!stopped.get()) throw e
+      // surface connection failures to the engine instead of dying silently
+      // in a daemon thread (the query would otherwise idle forever)
+      case e: Exception => if (!stopped.get()) pollerFailure = Some(e)
     }
   }, "nomad-event-poller")
   poller.setDaemon(true)
@@ -113,11 +120,28 @@ private[sources] class NomadMicroBatchStream(cfg: NomadConfig) extends MicroBatc
 
   override def initialOffset(): Offset = NomadOffset(0L)
   override def deserializeOffset(json: String): Offset = NomadOffset(json.toLong)
-  override def latestOffset(): Offset = buffer.synchronized { NomadOffset(nextLine) }
+
+  /** Admission control: each micro-batch admits at most `maxLinesPerBatch`
+    * lines past the previous planned end, bounding batch size (and state/
+    * sink pressure) during catch-up after a stall. */
+  override def latestOffset(): Offset = {
+    pollerFailure.foreach(e =>
+      throw new IllegalStateException("nomad event stream poller failed", e))
+    buffer.synchronized {
+      // guard the uncapped default against Long overflow
+      val limit =
+        if (maxLinesPerBatch > Long.MaxValue - lastPlannedEnd) Long.MaxValue
+        else lastPlannedEnd + maxLinesPerBatch
+      val capped = math.min(nextLine, limit)
+      lastPlannedEnd = math.max(lastPlannedEnd, capped)
+      NomadOffset(capped)
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[NomadOffset].lineCount
     val e = end.asInstanceOf[NomadOffset].lineCount
+    buffer.synchronized { lastPlannedEnd = math.max(lastPlannedEnd, e) }
     val rows = buffer.synchronized {
       buffer.filter { case (i, _) => i >= s && i < e }.toArray
     }
