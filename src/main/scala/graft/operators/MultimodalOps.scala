@@ -51,6 +51,15 @@ object MultimodalOps {
     }
   }
 
+  /** STUB resize: a real implementation would decode, scale, and re-encode;
+    * this deterministic fake subsamples every `factor`-th byte, preserving
+    * the shape of the operation (binary → smaller binary, per partition). */
+  def resizeStub(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map(r =>
+      r.copy(bytes = r.bytes.zipWithIndex.collect { case (b, i) if i % factor == 0 => b })))
+  }
+
   /** Deterministic frame sampling: every `stride`-th slice of `frameLen`
     * bytes — the video-keyframe access pattern over an opaque payload. */
   def sampleFrames(media: Dataset[MediaRow], frameLen: Int, stride: Int): DataFrame = {

@@ -22,18 +22,31 @@ object TextOps {
       (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
   }
 
-  /** Stopword-density language scoring: English function-word ratio plus a
-    * binary en/other call. On the synthetic corpus every document shares one
-    * vocabulary, so the score mechanism (not the labels) is what's exercised;
-    * with real per-language stopword tables the same plan applies. */
+  /** Character trigrams typical of English text — a tiny profile of the
+    * n-gram-frequency method real language identifiers use. */
+  val EnglishTrigrams: Seq[String] = Seq("the", "ing", "ion", "ent", "er ", " th")
+
+  /** N-gram + stopword language scoring: English function-word ratio and a
+    * character-trigram profile hit count, combined into a binary en/other
+    * call. On the synthetic corpus every document shares one vocabulary, so
+    * the score mechanism (not the labels) is what's exercised; with real
+    * per-language profiles the same plan applies. */
   def langId(docs: DataFrame, threshold: Double = 0.05,
              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = tokens(col(textCol))
-    val ratio = vocabCount(toks, EnglishStopwords).cast("double") / size(toks)
+    val nTok = size(toks)
+    val ratio = vocabCount(toks, EnglishStopwords).cast("double") / nTok
+    val trigramHits = EnglishTrigrams
+      .map(t => size(regexp_extract_all(col(textCol), lit(t), lit(0))))
+      .reduce(_ + _).cast("long")
+    // trigram hits normalised per token so long docs don't dominate
+    val trigramRate = trigramHits.cast("double") / nTok
     docs.select(
       col(idCol),
       round(ratio, 6).as("en_ratio"),
-      when(ratio >= threshold, "en").otherwise("other").as("predicted_lang"))
+      trigramHits.as("en_trigram_hits"),
+      when(ratio >= threshold || trigramRate >= 0.5, "en").otherwise("other")
+        .as("predicted_lang"))
   }
 
   /** Composite quality score from length, lexical diversity, and stopword

@@ -131,14 +131,21 @@ object TextQueries {
         |          len(string_split(text, ' '))), 6) AS avg_ttr
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\\s+", " "),
 
-    "q_lang_id" ->
-      s"""SELECT doc_id,
+    "q_lang_id" -> {
+      val trigrams = Seq("the", "ing", "ion", "ent", "er ", " th")
+      val hits = trigrams.map(t => s"len(regexp_extract_all(text, '$t'))").mkString(" + ")
+      s"""SELECT doc_id, en_ratio, en_trigram_hits,
+         |CASE WHEN en_ratio >= 0.05 OR en_trigram_hits * 1.0 / n_tok >= 0.5
+         |THEN 'en' ELSE 'other' END AS predicted_lang
+         |FROM (
+         |SELECT doc_id,
          |round(len(list_filter(string_split(text, ' '), x -> list_contains($stop, x))) * 1.0 /
          |      len(string_split(text, ' ')), 6) AS en_ratio,
-         |CASE WHEN len(list_filter(string_split(text, ' '), x -> list_contains($stop, x))) * 1.0 /
-         |          len(string_split(text, ' ')) >= 0.05
-         |THEN 'en' ELSE 'other' END AS predicted_lang
-         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+         |CAST($hits AS BIGINT) AS en_trigram_hits,
+         |len(string_split(text, ' ')) AS n_tok
+         |FROM documents)
+         |ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+    },
 
     "q_quality_score" ->
       s"""SELECT doc_id, n_tokens, round(ttr, 6) AS ttr, round(stop_ratio, 6) AS stop_ratio,
