@@ -38,12 +38,27 @@ object DedupOps {
       .withColumn("n_sh", size(col("sh")).cast("long"))
       .where(col("n_sh") > 0)
 
-  // Measured note: an alternative representing shingles as multi-argument
-  // xxhash64 of the n token columns (no intermediate strings) benched ~2×
-  // SLOWER — higher-order-function lambdas are interpreted, and n element
-  // lookups + an n-ary hash per position cost more than one concat + one
-  // post-explode codegen'd hash. The string index + hash-after-explode below
-  // keeps the hashing in whole-stage codegen.
+  // Measured notes (local[32], sf0.1, 255k shingle instances):
+  //  - Generate (explode) over a higher-order-function-built array is
+  //    pathological: ~6 s where position-explode + codegen'd scalar shingle
+  //    construction takes ~1.2 s. So the hot path explodes POSITIONS
+  //    (sequence 0..len-n) and builds each shingle with slice/concat_ws as
+  //    scalars per row — everything whole-stage-codegen'd.
+  //  - Hashing inside a transform lambda (multi-arg xxhash64 per position)
+  //    benched ~2× slower again — lambdas are interpreted, and a
+  //    non-attribute child referenced in a lambda re-evaluates per
+  //    reference.
+
+  /** Exploded hashed-shingle rows (id, s): one row per shingle *position*
+    * (duplicates retained — distinct where set semantics matter). */
+  private def shingleHashed(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
+      .select(col("id"),
+        xxhash64(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n)))).as("s"))
 
   /** Near-duplicate pairs by n-gram Jaccard ≥ threshold.
     *
@@ -53,22 +68,20 @@ object DedupOps {
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val idx = shingleIndex(docs, textCol, idCol, n)
-    // join key is the 64-bit hash of the shingle (post-explode, codegen'd):
-    // same pairs up to ~n²/2⁶⁴ collisions, a fraction of the shuffle bytes
-    val ex = idx.select(col("id"), col("n_sh"), explode(col("sh")).as("s0"))
-      .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s"))
-    val a = ex.select(col("id").as("ida"), col("n_sh").as("na"), col("s"))
-    val b = ex.select(col("id").as("idb"), col("n_sh").as("nb"), col("s"))
-    // Exact size prefilter: jaccard ≥ t requires |∩| ≥ t/(1+t)·(|A|+|B|) and
-    // |∩| ≤ min(|A|,|B|), so pairs whose set sizes are too dissimilar can
-    // never reach the threshold — pruned before the per-pair aggregation
-    // shuffle.
-    val sizeOk = least(col("na"), col("nb")).cast("double") >=
-      lit(threshold / (1 + threshold)) * (col("na") + col("nb"))
-    a.join(b, Seq("s")).where(col("ida") < col("idb") && sizeOk)
-      .groupBy("ida", "idb", "na", "nb")
+    // distinct (id, shingle-hash) rows: set semantics for the Jaccard
+    val ex = shingleHashed(docs, textCol, idCol, n).distinct()
+    val sz = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val cand = ex.select(col("id").as("ida"), col("s"))
+      .join(ex.select(col("id").as("idb"), col("s")), Seq("s"))
+      .where(col("ida") < col("idb"))
+      .groupBy("ida", "idb")
       .agg(count(lit(1)).as("shared"))
+    // set sizes join AFTER pair aggregation — cand is orders of magnitude
+    // smaller than the exploded index, and sz is one small row per doc (AQE
+    // broadcasts it at test scale)
+    cand
+      .join(sz.select(col("id").as("ida"), col("n_sh").as("na")), Seq("ida"))
+      .join(sz.select(col("id").as("idb"), col("n_sh").as("nb")), Seq("idb"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .where(col("jaccard") >= threshold)
@@ -91,10 +104,9 @@ object DedupOps {
     val P = 2147483647L // 2^31 - 1 (Mersenne prime)
     val rnd = new scala.util.Random(42)
     val coeffs = Seq.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1), rnd.nextInt(Int.MaxValue).toLong))
-    val idx = shingleIndex(docs, textCol, idCol, n)
-    val ex = idx
-      .select(col("id"), explode(col("sh")).as("s"))
-      .withColumn("base", xxhash64(col("s")).bitwiseAND(lit(P)))
+    // duplicates don't affect a min-aggregate, so no distinct here
+    val ex = shingleHashed(docs, textCol, idCol, n)
+      .withColumn("base", col("s").bitwiseAND(lit(P)))
     val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min((col("base") * a + b) % P).as(s"m$i")
     }
@@ -126,7 +138,10 @@ object DedupOps {
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sigs = minhashSignatures(docs, n, numHashes, textCol, idCol)
     val cands = minhashCandidates(sigs, bands)
-    val sets = shingleIndex(docs, textCol, idCol, n)
+    val sets = shingleHashed(docs, textCol, idCol, n)
+      .groupBy("id")
+      .agg(collect_set(col("s")).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
     cands
       .join(sets.select(col("id").as("ida"), col("sh").as("sha"), col("n_sh").as("na")), Seq("ida"))
       .join(sets.select(col("id").as("idb"), col("sh").as("shb"), col("n_sh").as("nb")), Seq("idb"))
