@@ -31,13 +31,6 @@ object DedupOps {
       .groupBy("h")
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dupes"))
 
-  /** Shingle table: (id, n_shingles, shingle) exploded inverted index. */
-  private def shingleIndex(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    docs
-      .select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
-      .withColumn("n_sh", size(col("sh")).cast("long"))
-      .where(col("n_sh") > 0)
-
   // Measured notes (local[32], sf0.1, 255k shingle instances):
   //  - Generate (explode) over a higher-order-function-built array is
   //    pathological: ~6 s where position-explode + codegen'd scalar shingle
