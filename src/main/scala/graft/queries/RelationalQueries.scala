@@ -116,6 +116,36 @@ object RelationalQueries {
         .orderBy("c_mktsegment", "rn")
     },
 
+    // Analytic window-function surface: lead/lag, first/last, ntile,
+    // percent_rank over per-segment balance order.
+    "q_window_analytics" -> { t =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t.customer.select(
+        col("c_custkey"), col("c_mktsegment"),
+        lead(col("c_custkey"), 1).over(w).as("next_cust"),
+        lag(col("c_custkey"), 1).over(w).as("prev_cust"),
+        first(col("c_custkey")).over(wf).as("richest"),
+        last(col("c_custkey")).over(wf).as("poorest"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy("c_custkey")
+    },
+
+    // Map-function surface (constructed map, scalar-equivalent oracle).
+    "q_map_funcs" -> { t =>
+      val m = map(lit("uid"), col("user_id"), lit("eid"), col("event_id"))
+      t.events.select(
+        col("event_id"),
+        element_at(m, "uid").as("uid"),
+        size(m).cast("long").as("m_size"),
+        concat_ws("|", array_sort(map_keys(m))).as("keys_sorted"),
+        aggregate(map_values(m), lit(0L), _ + _).as("vals_sum"),
+        map_contains_key(m, "uid").as("has_uid"))
+        .orderBy("event_id")
+    },
+
     // Analytic running sum per key in event-time order.
     "q_running_sum" -> { t =>
       val w = Window.partitionBy(col("user_id"))
@@ -329,6 +359,29 @@ object RelationalQueries {
         |row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
         |FROM customer) WHERE rn <= 3
         |ORDER BY c_mktsegment, rn""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_window_analytics" ->
+      """SELECT c_custkey, c_mktsegment,
+        |lead(c_custkey, 1) OVER w AS next_cust,
+        |lag(c_custkey, 1) OVER w AS prev_cust,
+        |first_value(c_custkey) OVER (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal DESC, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest,
+        |last_value(c_custkey) OVER (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal DESC, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_map_funcs" ->
+      """SELECT event_id, user_id AS uid, CAST(2 AS BIGINT) AS m_size,
+        |'eid|uid' AS keys_sorted,
+        |user_id + event_id AS vals_sum,
+        |true AS has_uid
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_running_sum" ->
       """SELECT event_id, user_id,
