@@ -93,6 +93,36 @@ object RelationalQueries {
         .orderBy("op", "nationkey")
     },
 
+    // X12b — multiset set operations (ALL variants preserve duplicates).
+    "q_setops_all" -> { t =>
+      val c = t.customer.select(col("c_nationkey").cast("int").as("nationkey"))
+      val s = t.supplier.select(col("s_nationkey").cast("int").as("nationkey"))
+      c.intersectAll(s).withColumn("op", lit("intersect_all"))
+        .unionByName(c.exceptAll(s).withColumn("op", lit("except_all")))
+        .groupBy("op", "nationkey")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("op", "nationkey")
+    },
+
+    // Argmin/argmax aggregation: the order with the highest/lowest price per
+    // status (min_by/max_by ↔ DuckDB arg_min/arg_max).
+    "q_arg_minmax" -> { t =>
+      t.orders
+        .groupBy("o_orderstatus")
+        .agg(max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("priciest_order"),
+             min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("cheapest_order"),
+             round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Ordered string aggregation per region.
+    "q_string_agg" -> { t =>
+      t.nation
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+        .orderBy("n_regionkey")
+    },
+
     // X13 — rollup over documents; NULL grouping slots coalesced to 'ALL'
     // so no cross-engine null-ordering ambiguity (SURVEY §7.4.4).
     "q_rollup" -> { t =>
@@ -346,6 +376,35 @@ object RelationalQueries {
         |SELECT 'except', nationkey FROM (
         |  SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier))
         |ORDER BY op, nationkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_setops_all" ->
+      """SELECT op, nationkey, count(*) AS n FROM (
+        |SELECT 'intersect_all' AS op, nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'except_all', nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier))
+        |GROUP BY op, nationkey ORDER BY op, nationkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_arg_minmax" ->
+      """SELECT o_orderstatus,
+        |max(CASE WHEN rmax = 1 THEN o_orderkey END) AS priciest_order,
+        |max(CASE WHEN rmin = 1 THEN o_orderkey END) AS cheapest_order,
+        |round(max(o_totalprice), 2) AS max_price
+        |FROM (
+        |SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |row_number() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin.replaceAll("\\s+", " "),
 
     "q_rollup" ->
       """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
