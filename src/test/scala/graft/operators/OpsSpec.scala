@@ -80,6 +80,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccard matches a plain-Scala reference on random corpora") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("a", "b", "c", "d", "e", "f")
+      val corpus = (0 until 15).map(i =>
+        (i.toLong, (0 until 8 + rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      // plain-Scala reference: distinct 3-gram sets, all-pairs jaccard
+      def sh(s: String) = s.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val expected = (for {
+        (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+        sa = sh(ta); sb = sh(tb) if sa.nonEmpty && sb.nonEmpty
+        j = (sa intersect sb).size.toDouble / (sa union sb).size if j >= 0.3
+      } yield (ia, ib, math.rint(j * 1e6) / 1e6)).toSet
+      val got = DedupOps.ngramJaccard(corpus.toDF("doc_id", "text"), n = 3, threshold = 0.3)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("typed MinHashAggregator equals the relational signature formulation") {
     import graft.functions.{MinHashAggregator, TextFunctions}
     val relational = DedupOps.minhashSignatures(docs, n = 3, numHashes = 16)
