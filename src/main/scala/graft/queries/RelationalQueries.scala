@@ -316,6 +316,33 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     },
 
+    // Range join via bucket banding (preference order (a)): purchases within
+    // ±1h of each error, per user. Each side is keyed by an hour bucket and
+    // the probe side explodes into its three candidate buckets, so the join
+    // is equi on (user, bucket) — never a per-user cross product — and the
+    // exact |Δt| predicate filters the band edges. This is the scale shape
+    // for time-proximity joins; a naive theta-join would be quadratic per
+    // key.
+    "q_range_join" -> { t =>
+      val bucketNs = 3600000000000L // 1h in ns
+      val e = t.events.withColumn("tsn", col("ts") - (col("ts") % 1000))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("tsn").as("err_ts"))
+        .withColumn("bucket", expr(s"err_ts div $bucketNs"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsn").as("p_ts"))
+        .withColumn("b0", expr(s"p_ts div $bucketNs"))
+        .select(col("user_id"), col("p_ts"),
+          explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("bucket"))
+      errors
+        .join(purchases, Seq("user_id", "bucket"), "left")
+        .withColumn("hit",
+          when(abs(col("err_ts") - col("p_ts")) <= bucketNs, col("p_ts")))
+        .groupBy("err_id")
+        .agg(count(col("hit")).as("n_purchases"))
+        .orderBy("err_id")
+    },
+
     // As-of lookup by composition (preference order (a) — no custom
     // operator needed): for every event, the latest purchase timestamp of
     // the same user at or before the event.
@@ -515,6 +542,15 @@ object RelationalQueries {
         |round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_range_join" ->
+      """SELECT err_id, count(p_ts) AS n_purchases FROM (
+        |SELECT e.event_id AS err_id, p.p_ts FROM
+        |(SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events WHERE event_type = 'error') e
+        |LEFT JOIN
+        |(SELECT user_id, epoch_ns(ts) AS p_ts FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND abs(e.tsn - p.p_ts) <= 3600000000000)
+        |GROUP BY err_id ORDER BY err_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_asof" ->
       """SELECT event_id, user_id, epoch_ns(ts) AS tsn,
