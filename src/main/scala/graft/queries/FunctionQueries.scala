@@ -123,6 +123,14 @@ object FunctionQueries {
         .orderBy("event_id")
     },
 
+    // Date truncation + aggregation by calendar month.
+    "q_date_trunc" -> { t =>
+      t.orders
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("month")
+    },
+
     // Unpivot (melt): wide → long over part attributes.
     "q_unpivot" -> { t =>
       t.part
@@ -211,6 +219,11 @@ object FunctionQueries {
         |least(value, CAST(user_id AS DOUBLE)) AS lo,
         |(CASE WHEN value > 50 THEN value END) IS NULL AS was_null
         |FROM events ORDER BY event_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_date_trunc" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\\s+", " "),
 
     "q_unpivot" ->
       """SELECT p_partkey, attr, val FROM (
