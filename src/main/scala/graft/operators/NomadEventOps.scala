@@ -69,12 +69,13 @@ object NomadEventOps {
   def detailsJson(details: Column): Column =
     to_json(transform_values(details, (_, v) => regexp_replace(v, "\"", "'")))
 
-  /** D3 — fenced-details description suffix: append ```` ```json``` ````
-    * fences only when the details map is non-empty (app.rb:188-193). */
+  /** D3 — fenced-details description suffix: append ``` `\n```{json}``` ```
+    * only when the details map is non-empty — a single leading newline, no
+    * newlines inside the fences (app.rb:192 `description << "\n```#{json}```"`). */
   def fencedDescription(base: Column, detailsJson: Column): Column =
     concat(base,
       when(detailsJson =!= lit("{}") && detailsJson.isNotNull,
-        concat(lit("\n```\n"), detailsJson, lit("\n```"))).otherwise(lit("")))
+        concat(lit("\n```"), detailsJson, lit("```"))).otherwise(lit("")))
 
   /** D4 — state classification (app.rb:195-209). Three-valued: most event
     * types classify to NULL (no colour), not success (SURVEY §7.4.8).
@@ -116,6 +117,20 @@ object NomadEventOps {
     to_json(struct(
       content.as("content"),
       array(struct(description.as("description"), color.as("color"))).as("embeds")))
+
+  /** D8 — Slack payload assembly (app.rb:240-261): one attachment with
+    * `mrkdwn_in: ["text"]`, the fenced description as `text`, the
+    * Slack-bold subject as `pretext`, and a conditional `color` key —
+    * `to_json` both escapes embedded quotes/newlines correctly and drops the
+    * NULL colour field, matching the reference's conditional
+    * `attachment[:color]`. */
+  def slackPayload(slackSubject: Column, description: Column, color: Column): Column =
+    to_json(struct(
+      array(struct(
+        array(lit("text")).as("mrkdwn_in"),
+        description.as("text"),
+        slackSubject.as("pretext"),
+        color.as("color"))).as("attachments")))
 
   /** D9 — ns-epoch timestamp codec: seconds + zero-padded 9-digit subsecond
     * part (app.rb:9-23). Integer arithmetic only — int64 ns does not fit a

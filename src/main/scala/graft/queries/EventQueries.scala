@@ -266,6 +266,25 @@ object EventQueries {
       t.events
         .select(col("event_id"), nomadTimestamp(tsUs).as("nomad_ts"))
         .orderBy("event_id")
+    },
+
+    // D8 — Slack payload assembly (app.rb:240-261): the description embeds
+    // newlines and the fenced details JSON (double quotes), so this also
+    // proves to_json's escaping against DuckDB's.
+    "q_slack_payload" -> { t =>
+      val e = enriched(t)
+      val details = map(
+        lit("exit_code"), col("exit_code"),
+        lit("oom_killed"), col("oom_killed"),
+        lit("restart_reason"), col("restart_reason"))
+      e.withColumn("state", stateCol)
+        .select(col("event_id"),
+          slackPayload(
+            slackMarkdown(subject(taskIdCol, col("event_type"), nodeCol)),
+            fencedDescription(concat(lit("event "), col("event_id").cast("string")),
+              detailsJson(details)),
+            slackColor(col("state"))).as("payload"))
+        .orderBy("event_id")
     }
   )
 
@@ -332,7 +351,7 @@ object EventQueries {
     "q_details_json" -> {
       val json = s"""'{"exit_code":"' || $EC || '","oom_killed":"' || $OOM || '","restart_reason":"' || $RR || '"}'"""
       s"""SELECT event_id, $json AS details_json,
-         |'event ' || CAST(event_id AS VARCHAR) || chr(10) || '```' || chr(10) || $json || chr(10) || '```' AS description
+         |'event ' || CAST(event_id AS VARCHAR) || chr(10) || '```' || $json || '```' AS description
          |FROM events ORDER BY event_id""".stripMargin.replaceAll("\\s+", " ")
     },
 
@@ -365,6 +384,21 @@ object EventQueries {
       """SELECT event_id,
         |CAST(epoch_ns(ts) // 1000000000 AS VARCHAR) || '.' ||
         |lpad(CAST(epoch_ns(ts) % 1000000000 AS VARCHAR), 9, '0') AS nomad_ts
-        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\\s+", " ")
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_slack_payload" -> {
+      val json = s"""'{"exit_code":"' || $EC || '","oom_killed":"' || $OOM || '","restart_reason":"' || $RR || '"}'"""
+      val desc = s"'event ' || CAST(event_id AS VARCHAR) || chr(10) || '```' || $json || '```'"
+      val color =
+        s"CASE WHEN $STATE = 'failure' THEN '#e74c3c' WHEN $STATE = 'success' THEN '#2ecc71' END"
+      // to_json(VARCHAR) emits the JSON-escaped quoted string, matching
+      // Spark's to_json escaping of the embedded quotes/newlines.
+      s"""SELECT event_id,
+         |'{"attachments":[{"mrkdwn_in":["text"],"text":' || CAST(to_json($desc) AS VARCHAR) ||
+         |',"pretext":' || CAST(to_json(replace(${SUBJ()}, '**', '*')) AS VARCHAR) ||
+         |CASE WHEN $color IS NOT NULL THEN ',"color":"' || $color || '"' ELSE '' END ||
+         |'}]}' AS payload
+         |FROM events ORDER BY event_id""".stripMargin.replaceAll("\\s+", " ")
+    }
   )
 }

@@ -2,6 +2,8 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
+import java.nio.charset.StandardCharsets
+
 /** Incremental NDJSON chunk reassembler — the semantics of the reference's
   * `NDJSON#parse_partial` (reference lib/ndjson.rb:10-35):
   *
@@ -14,11 +16,18 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *    central error-tolerance contract;
   *  - blank lines are dropped; the bare `{}` heartbeat is a valid frame.
   *
+  * The carry is held as BYTES, not text: `readpartial` boundaries can also
+  * split a multi-byte UTF-8 character, and decoding each chunk independently
+  * would turn the split character into replacement chars (corrupting the line
+  * or making it drop as invalid JSON). `\n` (0x0A) never occurs inside a
+  * UTF-8 multi-byte sequence (continuation bytes are ≥ 0x80), so splitting on
+  * the byte is safe; decode happens only on complete lines.
+  *
   * Mutable per-connection state, driver-side only (it backs the source's
   * chunk loop, not an executor path).
   */
 final class NdjsonBuffer {
-  private var carry: String = ""
+  private var carry: Array[Byte] = Array.emptyByteArray
   private val mapper = new ObjectMapper()
 
   private def isValidJson(s: String): Boolean =
@@ -30,19 +39,36 @@ final class NdjsonBuffer {
       p.nextToken() == null
     } catch { case _: Exception => false }
 
-  /** Feed one chunk; returns the complete, valid JSON lines it completed. */
-  def feed(chunk: String): Seq[String] = {
-    val buf = carry + chunk
-    // -1 keeps trailing empty strings, so a chunk ending in '\n' yields an
-    // empty carry — same as Ruby's split("\n", -1).
-    val parts = buf.split("\n", -1)
-    carry = parts.last
-    parts.dropRight(1).toSeq
-      .map(_.trim)
-      .filter(_.nonEmpty)
-      .filter(isValidJson)
+  /** Feed one raw byte chunk (the first `len` bytes); returns the complete,
+    * valid JSON lines it completed. */
+  def feedBytes(chunk: Array[Byte], len: Int): Seq[String] = {
+    val buf = new Array[Byte](carry.length + len)
+    System.arraycopy(carry, 0, buf, 0, carry.length)
+    System.arraycopy(chunk, 0, buf, carry.length, len)
+    val out = Seq.newBuilder[String]
+    var start = 0
+    var i = 0
+    while (i < buf.length) {
+      if (buf(i) == '\n') {
+        val line = new String(buf, start, i - start, StandardCharsets.UTF_8).trim
+        if (line.nonEmpty && isValidJson(line)) out += line
+        start = i + 1
+      }
+      i += 1
+    }
+    // text after the last '\n' is carried over, never emitted
+    // (lib/ndjson.rb:20-23) — a chunk ending in '\n' leaves an empty carry.
+    carry = java.util.Arrays.copyOfRange(buf, start, buf.length)
+    out.result()
   }
 
-  /** Bytes currently carried (incomplete trailing record). */
-  def pending: String = carry
+  /** Feed one text chunk (tests / pre-decoded input). */
+  def feed(chunk: String): Seq[String] = {
+    val b = chunk.getBytes(StandardCharsets.UTF_8)
+    feedBytes(b, b.length)
+  }
+
+  /** Text currently carried (incomplete trailing record; lossy if the carry
+    * ends mid-character — inspection only, never re-fed). */
+  def pending: String = new String(carry, StandardCharsets.UTF_8)
 }

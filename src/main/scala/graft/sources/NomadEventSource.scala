@@ -33,8 +33,16 @@ import scala.collection.mutable.ArrayBuffer
   * the buffer by offset range, and `commit()` trims delivered rows. This is a
   * control-plane stream (cluster events, not data volume) — downstream
   * processing is distributed, ingestion is a single ordered connection by
-  * nature of the protocol. Checkpointed offsets upgrade the reference's
-  * at-most-once restart semantics to exactly-once state recovery (SURVEY §4).
+  * nature of the protocol.
+  *
+  * Restart semantics: like Spark's socket source, the stream cannot rewind —
+  * lines in flight when the query died are lost (the reference restarts from
+  * the live index the same way, app.rb:63-70). What checkpointing DOES
+  * guarantee is forward progress without corruption: `deserializeOffset`
+  * re-seeds this instance's numbering from the recovered offset, so offsets
+  * never regress and fresh lines are never trimmed by a stale `commit` —
+  * and downstream stateful operators (the dedup watermark) recover their
+  * state exactly-once from their own checkpoint.
   *
   * JSON decode happens downstream via `from_json` in PERMISSIVE mode
   * ([[graft.streaming.NomadPipeline]]), mirroring the reference's
@@ -102,7 +110,9 @@ private[sources] class NomadMicroBatchStream(cfg: NomadConfig,
         val n = in.read(chunk) // blocking readpartial analog (app.rb:107)
         if (n < 0) { stopped.set(true) }
         else if (n > 0) {
-          val lines = ndjson.feed(new String(chunk, 0, n, "UTF-8"))
+          // bytes, not text: a multi-byte UTF-8 char split across reads must
+          // survive the chunk boundary (NdjsonBuffer carries raw bytes)
+          val lines = ndjson.feedBytes(chunk, n)
           buffer.synchronized {
             lines.foreach { l => buffer += ((nextLine, l)); nextLine += 1 }
           }
@@ -119,7 +129,26 @@ private[sources] class NomadMicroBatchStream(cfg: NomadConfig,
   poller.start()
 
   override def initialOffset(): Offset = NomadOffset(0L)
-  override def deserializeOffset(json: String): Offset = NomadOffset(json.toLong)
+
+  /** Restart recovery: checkpointed offsets outlive this instance, but line
+    * numbering starts at 0 per connection (the HTTP stream cannot rewind —
+    * like Spark's socket source, in-flight lines of the failed batch are
+    * lost). Seeing a checkpointed offset ahead of our numbering means we are
+    * recovering: renumber fresh lines to CONTINUE the checkpointed count, so
+    * `latestOffset` never regresses and `commit(checkpointedEnd)` can never
+    * trim fresh, undelivered lines. */
+  override def deserializeOffset(json: String): Offset = {
+    val off = json.toLong
+    buffer.synchronized {
+      if (off > nextLine) {
+        val delta = off - nextLine
+        for (i <- buffer.indices) buffer(i) = (buffer(i)._1 + delta, buffer(i)._2)
+        nextLine = off
+        lastPlannedEnd = math.max(lastPlannedEnd, off)
+      }
+    }
+    NomadOffset(off)
+  }
 
   /** Admission control: each micro-batch admits at most `maxLinesPerBatch`
     * lines past the previous planned end, bounding batch size (and state/

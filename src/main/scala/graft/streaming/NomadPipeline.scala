@@ -100,6 +100,8 @@ object NomadPipeline {
         discordPayload(col("subject"), col("description"), discordColor(col("state"))))
       .withColumn("slack_subject", slackMarkdown(col("subject")))
       .withColumn("slack_color", slackColor(col("state")))
+      .withColumn("slack_payload",
+        slackPayload(col("slack_subject"), col("description"), col("slack_color")))
   }
 
   /** Batch replay of captured NDJSON stream files (the reference ships such

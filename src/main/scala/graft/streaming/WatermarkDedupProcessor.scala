@@ -43,15 +43,19 @@ class WatermarkDedupProcessor(initialWatermarkNs: Long, ttl: TTLConfig)
 object WatermarkDedupProcessor {
 
   /** Apply the processor to a typed event stream. `ttl` None = keep state
-    * forever (the reference's behaviour); Some(d) = evict idle keys. */
+    * forever (the reference's behaviour); Some(d) = evict idle keys. TTL
+    * state requires `TimeMode.ProcessingTime` (Spark rejects TTL variables
+    * under `TimeMode.None` with StatefulProcessorCannotAssignTTLInTimeMode),
+    * so the time mode follows the ttl choice. */
   def dedup(events: Dataset[DedupEvent], initialWatermarkNs: Long,
             ttl: Option[java.time.Duration] = None): Dataset[DedupEvent] = {
     val cfg = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     implicit val enc = Encoders.product[DedupEvent]
     events
       .groupByKey(_.task_identifier)(Encoders.STRING)
       .transformWithState(
         new WatermarkDedupProcessor(initialWatermarkNs, cfg),
-        TimeMode.None(), OutputMode.Append())
+        timeMode, OutputMode.Append())
   }
 }

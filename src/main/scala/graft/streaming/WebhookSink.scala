@@ -39,16 +39,11 @@ object WebhookSink {
       code
     } catch { case _: Exception => -1 }
 
-  /** Slack attachment payload (app.rb:240-262). Built on the driver-free
-    * executor path from already-computed columns. */
-  private def slackJson(subject: String, description: String, color: Option[String]): String = {
-    val colorField = color.map(c => s""","color":"$c"""").getOrElse("")
-    s"""{"attachments":[{"mrkdwn_in":["text","pretext"],"pretext":"$subject","text":"$description"$colorField}]}"""
-  }
-
   /** foreachBatch function delivering each notification row to the
     * configured webhooks. Expects the [[NomadPipeline.notifications]]
-    * schema. */
+    * schema — both payloads are prebuilt in-plan with `to_json` (so quotes
+    * and the fenced-description newlines are JSON-escaped, app.rb:240-262),
+    * never string-interpolated here. */
   def deliver(discordUrl: Option[String], slackUrl: Option[String])
              (batch: DataFrame, batchId: Long): Unit = {
     val cols = batch.columns.zipWithIndex.toMap
@@ -58,10 +53,7 @@ object WebhookSink {
           post(u, r.getString(cols("discord_payload")))
         }
         slackUrl.foreach { u =>
-          post(u, slackJson(
-            r.getString(cols("slack_subject")),
-            r.getString(cols("description")),
-            Option(r.getString(cols("slack_color")))))
+          post(u, r.getString(cols("slack_payload")))
         }
       }
     }

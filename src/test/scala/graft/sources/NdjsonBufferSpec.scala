@@ -48,6 +48,37 @@ class NdjsonBufferSpec extends AnyFunSuite {
     assert(b.pending.isEmpty)
   }
 
+  test("multi-byte UTF-8 char split across a chunk boundary survives") {
+    val line = """{"msg":"café 中文 ok"}"""
+    val bytes = (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // cut at every byte position: some cuts land inside the 2- and 3-byte
+    // UTF-8 sequences; decoding per-chunk would yield replacement chars
+    (1 until bytes.length).foreach { cut =>
+      val b = new NdjsonBuffer
+      val head = b.feedBytes(bytes, cut)
+      val tail = b.feedBytes(java.util.Arrays.copyOfRange(bytes, cut, bytes.length),
+        bytes.length - cut)
+      assert(head ++ tail == Seq(line), s"cut=$cut")
+    }
+  }
+
+  test("property: any byte-level chunking of UTF-8 NDJSON parses identically") {
+    (1 to 200).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val doc = (0 to rnd.nextInt(8))
+        .map(_ => s"""{"k":"é${rnd.nextInt(50)}中"}""")
+        .mkString("", "\n", "\n")
+      val bytes = doc.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val cuts = (0 until rnd.nextInt(6)).map(_ => rnd.nextInt(bytes.length + 1))
+      val bounds = (Seq(0, bytes.length) ++ cuts).distinct.sorted
+      val b = new NdjsonBuffer
+      val got = bounds.zip(bounds.tail).flatMap { case (s, e) =>
+        b.feedBytes(java.util.Arrays.copyOfRange(bytes, s, e), e - s)
+      }
+      assert(got == parseAll(Seq(doc)), s"seed=$seed bounds=$bounds")
+    }
+  }
+
   test("property: any chunking of a valid NDJSON string parses identically") {
     (1 to 200).foreach { seed =>
       val rnd = new scala.util.Random(seed)

@@ -111,6 +111,34 @@ class NomadEventSourceSpec extends SparkSpec {
     }
   }
 
+  test("restart recovery: numbering continues from the checkpointed offset") {
+    val frames = Seq("""{"Index":1,"Events":[]}""", """{"Index":2,"Events":[]}""")
+    withServer(frames) { (url, _) =>
+      val stream = new NomadMicroBatchStream(NomadConfig(url))
+      try {
+        // restart path: Spark deserializes the checkpointed offsets before
+        // planning — numbering must jump forward to continue the old count
+        stream.deserializeOffset("100")
+        val deadline = System.currentTimeMillis() + 15000
+        var latest = 0L
+        while (latest < 102L && System.currentTimeMillis() < deadline) {
+          Thread.sleep(100)
+          latest = stream.latestOffset().asInstanceOf[NomadOffset].lineCount
+        }
+        assert(latest == 102L, s"latestOffset must continue past the restart offset, got $latest")
+        // the replayed in-flight batch matches nothing (stream cannot rewind)
+        assert(stream.planInputPartitions(NomadOffset(98), NomadOffset(100))
+          .head.asInstanceOf[NomadInputPartition].rows.isEmpty)
+        // committing the checkpointed end must NOT trim the fresh lines
+        stream.commit(NomadOffset(100))
+        val rows = stream.planInputPartitions(NomadOffset(100), NomadOffset(102))
+          .head.asInstanceOf[NomadInputPartition].rows
+        assert(rows.map(_._1).toSeq == Seq(100L, 101L))
+        assert(rows.map(_._2).toSeq == frames)
+      } finally stream.stop()
+    }
+  }
+
   test("webhook sink POSTs payloads fire-and-forget") {
     val received = new CopyOnWriteArrayList[String]()
     val latch = new CountDownLatch(2)

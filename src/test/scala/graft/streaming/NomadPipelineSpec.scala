@@ -102,8 +102,28 @@ class NomadPipelineSpec extends SparkSpec {
     val out = run(Seq(frame(200, "default", "j", "n1",
       "t" -> Seq(("Terminated", 1L, Map("exit_message" -> """said "bye"""", "exit_code" -> "0"))))))
       .select("description").as[String].collect().head
+    // one leading newline, no newlines inside the fences (app.rb:192)
     assert(out ==
-      "Terminated msg\n```\n{\"exit_code\":\"0\",\"exit_message\":\"said 'bye'\"}\n```")
+      "Terminated msg\n```{\"exit_code\":\"0\",\"exit_message\":\"said 'bye'\"}```")
+  }
+
+  test("slack payload is valid JSON with escaped quotes/newlines, colour conditional") {
+    val out = run(Seq(frame(200, "default", "j", "n1",
+      "t" -> Seq(("Terminated", 1L, Map("exit_message" -> """said "bye"""", "exit_code" -> "0")),
+                 ("Received", 2L, Map.empty)))))
+      .select("event_type", "slack_payload").as[(String, String)].collect().toMap
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // the description embeds a newline and a quote-bearing details JSON —
+    // the payload must still parse (the raw-interpolation bug would not)
+    val terminated = mapper.readTree(out("Terminated"))
+    val att = terminated.get("attachments").get(0)
+    assert(att.get("mrkdwn_in").get(0).asText() == "text")
+    assert(att.get("text").asText() ==
+      "Terminated msg\n```{\"exit_code\":\"0\",\"exit_message\":\"said 'bye'\"}```")
+    assert(att.get("pretext").asText() == "*j.t* task is *Terminated* on *n1* node")
+    assert(att.get("color").asText() == "#2ecc71")
+    val received = mapper.readTree(out("Received"))
+    assert(!received.get("attachments").get(0).has("color"))
   }
 
   test("discord payload embeds colour only when state is classified") {

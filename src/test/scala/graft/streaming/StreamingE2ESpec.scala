@@ -41,8 +41,14 @@ class StreamingE2ESpec extends SparkSpec {
       hooks.add(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
       ex.sendResponseHeaders(200, 0); ex.close()
     })
+    val slackHooks = new CopyOnWriteArrayList[String]()
+    hookServer.createContext("/slack", (ex: HttpExchange) => {
+      slackHooks.add(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      ex.sendResponseHeaders(200, 0); ex.close()
+    })
     hookServer.start()
     val hookUrl = s"http://127.0.0.1:${hookServer.getAddress.getPort}/discord"
+    val slackUrl = s"http://127.0.0.1:${hookServer.getAddress.getPort}/slack"
 
     val nomad = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     nomad.createContext("/v1/event/stream", (ex: HttpExchange) => {
@@ -67,12 +73,13 @@ class StreamingE2ESpec extends SparkSpec {
         .option("checkpointLocation", ckpt)
         .outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-          WebhookSink.deliver(Some(hookUrl), None)(batch, id)
+          WebhookSink.deliver(Some(hookUrl), Some(slackUrl))(batch, id)
         }
         .start()
       try {
         val deadline = System.currentTimeMillis() + 60000
-        while (hooks.size() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(250)
+        while ((hooks.size() < 2 || slackHooks.size() < 2) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(250)
       } finally query.stop()
 
       // duplicate Terminated@2000 must have been deduped: exactly 2 deliveries
@@ -83,6 +90,18 @@ class StreamingE2ESpec extends SparkSpec {
       assert(oom.contains("\"color\":15158332"), s"oom delivery must be failure-coloured: $oom")
       assert(ok.contains("\"color\":3066993"), s"exit-zero delivery must be success-coloured: $ok")
       assert(oom.contains("**oom-killed.main** task is **Terminated** on **worker-1** node"))
+
+      // Slack fan-out (app.rb:239-265): every delivered body must be valid
+      // JSON — the fenced description embeds newlines and quotes, so this
+      // fails if the payload is string-interpolated without escaping
+      assert(slackHooks.size() == 2, s"expected 2 slack deliveries, got ${slackHooks.size()}")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      slackHooks.toArray.map(_.toString).foreach { body =>
+        val att = mapper.readTree(body).get("attachments").get(0)
+        assert(att.get("mrkdwn_in").get(0).asText() == "text")
+        assert(att.get("text").asText().contains("\n```{"))
+        assert(att.has("color"))
+      }
     } finally { nomad.stop(0); hookServer.stop(0) }
   }
 }

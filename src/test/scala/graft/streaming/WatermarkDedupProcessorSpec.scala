@@ -44,4 +44,46 @@ class WatermarkDedupProcessorSpec extends SparkSpec {
       }
     }
   }
+
+  test("state TTL path starts and dedups (ProcessingTime mode when ttl is set)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[DedupEvent](spark)
+      // TTL long enough that nothing evicts within the test: proves the
+      // ttl=Some path runs at all (TimeMode.None would throw
+      // StatefulProcessorCannotAssignTTLInTimeMode at query start)
+      val deduped = WatermarkDedupProcessor.dedup(input.toDS(),
+        initialWatermarkNs = 100L, ttl = Some(java.time.Duration.ofHours(1)))
+      val ckpt = java.nio.file.Files.createTempDirectory("tws-ttl-ckpt").toString
+      val q = deduped.writeStream.format("memory").queryName("tws_ttl_out")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      // ProcessingTime mode keeps the query's clock armed, so
+      // processAllAvailable can hang — poll the sink with a deadline instead.
+      def awaitRows(expected: Seq[String]): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        var got = Seq.empty[String]
+        while (got != expected && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200)
+          got = spark.table("tws_ttl_out").as[DedupEvent].collect().map(_.payload).sorted.toSeq
+        }
+        assert(got == expected)
+      }
+      try {
+        input.addData(
+          DedupEvent("a", 1L, 200L, "x"),
+          DedupEvent("a", 2L, 200L, "dup"),
+          DedupEvent("a", 1L, 50L, "stale"))
+        awaitRows(Seq("x"))
+        input.addData(DedupEvent("a", 3L, 300L, "ok"), DedupEvent("a", 3L, 150L, "old"))
+        awaitRows(Seq("ok", "x"))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
