@@ -54,7 +54,8 @@ object SparkEntry {
     (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracles),
     (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
     (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracles),
-    (graft.queries.FunctionQueries.queries, graft.queries.FunctionQueries.oracles)
+    (graft.queries.FunctionQueries.queries, graft.queries.FunctionQueries.oracles),
+    (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: deterministic splits, chunking, redaction,
+  * repetition analysis, class balancing, anonymization, profiling.
+  *
+  * Scale notes (100 TB): every per-document operator here is a narrow,
+  * codegen'd map over the scan — no shuffle, no state. The only shuffles are
+  * the explicit aggregations (repetition stats' per-token counts, n-gram
+  * counts, balancing's per-class ranks), all of which partial-aggregate
+  * map-side before exchanging. Hash-based splitting/sampling is preferred to
+  * `rand()` because it is reproducible across retries/re-runs (a failed task
+  * re-derives the same sample — `rand()` would silently change the dataset)
+  * and needs no coordination between executors.
+  */
+object PipelineOps {
+
+  /** Deterministic train/valid/test assignment from a content hash: the
+    * first hex nibble of md5(text) buckets the corpus 12/2/2 (75% / 12.5% /
+    * 12.5%). Content-keyed (not id-keyed) so re-ingested duplicates land in
+    * the same split — the standard guard against train/test leakage. */
+  def hashSplit(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nibble = substring(md5(col(textCol)), 1, 1)
+    docs.select(
+      col(idCol),
+      when(nibble.isin("c", "d"), "valid")
+        .when(nibble.isin("e", "f"), "test")
+        .otherwise("train").as("split"))
+  }
+
+  /** Sliding-window token chunking (size/stride in tokens) — the standard
+    * pre-tokenization step that turns documents into fixed-length training
+    * sequences with overlap. One output row per (doc, window start). */
+  def chunk(docs: DataFrame, size: Int, stride: Int,
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(stride > 0 && size > 0, "size and stride must be positive")
+    val toks = split(col(textCol), " ")
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      // one start offset per stride step; size-1 guard keeps ANSI sequence()
+      // happy for docs shorter than one stride
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0),
+          greatest(org.apache.spark.sql.functions.size(col("__toks")) - 1, lit(0)),
+          lit(stride))).as("start"))
+      .select(col(idCol),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("start") + 1, lit(size)), " ").as("chunk"),
+        org.apache.spark.sql.functions.size(slice(col("__toks"), col("start") + 1, lit(size)))
+          .cast("long").as("n_tokens"))
+  }
+
+  /** Chained regex redaction: each (pattern → replacement) pair applied in
+    * order. Codegen'd `regexp_replace`, global per pattern. */
+  def redact(df: DataFrame, col0: String, outCol: String,
+             patterns: Seq[(String, String)]): DataFrame = {
+    val redacted = patterns.foldLeft(col(col0)) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    df.withColumn(outCol, redacted)
+  }
+
+  /** Gopher-style repetition metrics per document: token count, distinct
+    * ratio, most-frequent-token fraction, duplicate-token fraction. High
+    * values of top_frac/dup_frac flag boilerplate and degenerate text.
+    * Two-stage aggregation — (doc, token) counts then per-doc roll-up — both
+    * with map-side partial aggregation. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_cnt"))
+      .select(col(idCol),
+        col("n_tokens"), col("n_distinct"),
+        round(col("top_cnt") / col("n_tokens"), 6).as("top_frac"),
+        round((col("n_tokens") - col("n_distinct")) / col("n_tokens"), 6).as("dup_frac"))
+
+  /** Corpus-level top-k word n-grams with counts — vocabulary statistics for
+    * tokenizer training / contamination checks. Deterministic tie-break on
+    * the n-gram itself. The n-gram build is a per-row transform; the count
+    * partial-aggregates before the single shuffle; top-k is a global sort of
+    * the (small) aggregated result. */
+  def topNgrams(docs: DataFrame, n: Int, k: Int,
+                textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = (0 until n).map(i => col("__toks")(col("pos") + i))
+    docs
+      .select(toks.as("__toks"))
+      .select(col("__toks"), explode(
+        when(org.apache.spark.sql.functions.size(col("__toks")) >= n,
+          sequence(lit(0), org.apache.spark.sql.functions.size(col("__toks")) - n))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(concat_ws(" ", grams: _*).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+  }
+
+  /** Class-balanced subsampling: per class, keep the `minCount` docs ranked
+    * by content hash (deterministic), where minCount is the smallest class
+    * size — equalizes class frequencies without `rand()`. The per-class rank
+    * is a window over the class key; the min-count is a broadcast scalar. */
+  def balanceClasses(docs: DataFrame, classCol: String,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(classCol)).orderBy(md5(col(textCol)), col(idCol))
+    val counts = docs.groupBy(col(classCol)).agg(count(lit(1)).as("__cnt"))
+    val minCnt = counts.agg(min("__cnt").as("__min"))
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(minCnt))
+      .where(col("__rn") <= col("__min"))
+      .drop("__rn", "__min")
+  }
+
+  /** Keyed pseudonymization: replace a stable identifier with its SHA-256
+    * digest — referential integrity preserved (same key → same pseudonym),
+    * original not recoverable. Pure map, no shuffle. */
+  def pseudonymize(df: DataFrame, keyCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, sha2(col(keyCol).cast("string"), 256))
+
+  /** Key-skew diagnostics for a prospective join/groupBy key: cardinality,
+    * max/avg per-key multiplicity, and the key distribution's Shannon
+    * entropy in bits. Low entropy + high max_cnt says "salt this key"
+    * (ScaleOps.saltedJoin). One shuffle on the key, partial-aggregated. */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    // broadcast the scalar total rather than a global window (which would
+    // single-partition the per-key counts)
+    val total = counts.agg(sum("c").as("__n"))
+    val p = col("c") / col("__n")
+    counts.crossJoin(broadcast(total)).agg(
+      count(lit(1)).as("n_keys"),
+      max(col("__n")).as("n_rows"),
+      max("c").as("max_cnt"),
+      round(avg("c"), 6).as("avg_cnt"),
+      round(-sum(p * log(2.0, p)), 6).as("entropy_bits"))
+  }
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.PipelineOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation query bindings ([[graft.operators.PipelineOps]]): the
+  * split/chunk/redact/balance/profile surface a training-data pipeline runs
+  * before tokenization, each with a DuckDB oracle.
+  */
+object PipelineQueries {
+
+  val queries: Map[String, Tables => DataFrame] = Map(
+    // Deterministic content-hash train/valid/test split (no rand(): stable
+    // across retries and re-runs, duplicate-safe across splits).
+    "q_hash_split" -> { t =>
+      PipelineOps.hashSplit(t.documents).orderBy("doc_id")
+    },
+
+    // Sliding-window token chunking into training sequences (32-token
+    // windows, stride 24 → 8-token overlap).
+    "q_doc_chunks" -> { t =>
+      PipelineOps.chunk(t.documents, size = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Chained regex redaction (PII-scrub shape) over customer names.
+    "q_pii_redact" -> { t =>
+      PipelineOps.redact(t.customer, "c_name", "redacted",
+          Seq("Customer#" -> "id:", "[0-9]{3,}" -> "<NUM>"))
+        .select(col("c_custkey"), col("c_name"), col("redacted"))
+        .orderBy("c_custkey")
+    },
+
+    // Gopher-style repetition metrics: boilerplate/degenerate-text flags.
+    "q_repetition_stats" -> { t =>
+      PipelineOps.repetitionStats(t.documents).orderBy("doc_id")
+    },
+
+    // Corpus top-20 bigrams, deterministically tie-broken.
+    "q_top_ngrams" -> { t =>
+      PipelineOps.topNgrams(t.documents, n = 2, k = 20)
+    },
+
+    // SHA-256 pseudonymization of the user key, referentially stable.
+    "q_anonymize" -> { t =>
+      PipelineOps.pseudonymize(t.events, "user_id", "pseudonym")
+        .select(col("event_id"), col("pseudonym"), col("event_type"))
+        .orderBy("event_id")
+    },
+
+    // Explicit GROUPING SETS (finer than cube/rollup: a chosen lattice).
+    "q_grouping_sets" -> { t =>
+      t.lineitem
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    },
+
+    // Exact multi-quantile (linear interpolation) per group.
+    "q_percentiles" -> { t =>
+      t.lineitem
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("q"))
+        .select(col("l_returnflag"),
+          round(element_at(col("q"), 1), 4).as("q25"),
+          round(element_at(col("q"), 2), 4).as("q50"),
+          round(element_at(col("q"), 3), 4).as("q75"))
+        .orderBy("l_returnflag")
+    },
+
+    // Data profiling: one summary row per inspected column.
+    "q_column_profile" -> { t =>
+      def cat(c: String): DataFrame = t.orders.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as("n_null"),
+        count_distinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n"), col("n_null"), col("n_distinct"),
+          lit(null).cast("double").as("min_v"), lit(null).cast("double").as("max_v"))
+      def num(c: String): DataFrame = t.orders.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as("n_null"),
+        count_distinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("double").as("min_v"),
+        max(col(c)).cast("double").as("max_v"))
+        .select(lit(c).as("col_name"), col("n"), col("n_null"), col("n_distinct"),
+          col("min_v"), col("max_v"))
+      cat("o_orderstatus").union(cat("o_orderpriority")).union(num("o_totalprice"))
+        .orderBy("col_name")
+    },
+
+    // Class-balanced subsample: equalize language frequencies
+    // deterministically (hash-ranked, no rand()).
+    "q_balance_classes" -> { t =>
+      PipelineOps.balanceClasses(t.documents, "lang")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // Join/groupBy key-skew diagnostics (entropy + max multiplicity).
+    "q_key_skew" -> { t =>
+      PipelineOps.keySkew(t.events, "user_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_hash_split" ->
+      """SELECT doc_id,
+        |CASE WHEN substring(md5(text), 1, 1) IN ('c','d') THEN 'valid'
+        |     WHEN substring(md5(text), 1, 1) IN ('e','f') THEN 'test'
+        |     ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_doc_chunks" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (SELECT doc_id, t, unnest(range(0, greatest(len(t)-1, 0)+1, 24)) AS start FROM tok)
+        |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+        |array_to_string(t[start+1:start+32], ' ') AS chunk,
+        |CAST(len(t[start+1:start+32]) AS BIGINT) AS n_tokens
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_pii_redact" ->
+      """SELECT c_custkey, c_name,
+        |regexp_replace(regexp_replace(c_name, 'Customer#', 'id:', 'g'), '[0-9]{3,}', '<NUM>', 'g') AS redacted
+        |FROM customer ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_repetition_stats" ->
+      """WITH tc AS (SELECT doc_id, tok, count(*) AS c FROM
+        |(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_distinct,
+        |round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_frac,
+        |round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_top_ngrams" ->
+      """SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS ngram
+        |FROM (SELECT string_split(text, ' ') AS t FROM documents))
+        |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_anonymize" ->
+      """SELECT event_id, sha256(CAST(user_id AS VARCHAR)) AS pseudonym, event_type
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY rf, ls""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+        |round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+        |round(quantile_cont(l_extendedprice, 0.75), 4) AS q75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_column_profile" ->
+      """SELECT * FROM (
+        |SELECT 'o_orderstatus' AS col_name, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+        |CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+        |CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE) FROM orders)
+        |ORDER BY col_name""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_balance_classes" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn FROM documents),
+        |m AS (SELECT min(cnt) AS mn FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang))
+        |SELECT doc_id, lang FROM r, m WHERE rn <= mn ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(max(n) AS BIGINT) AS n_rows,
+        |CAST(max(c) AS BIGINT) AS max_cnt, round(avg(c), 6) AS avg_cnt,
+        |round(-sum((c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))), 6) AS entropy_bits
+        |FROM c, t""".stripMargin.replaceAll("\\s+", " ")
+  )
+}

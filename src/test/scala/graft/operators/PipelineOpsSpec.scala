@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit semantics of the dataset-curation operators (PipelineOps); the
+  * cross-engine values are pinned by the q_* oracles in PipelineQueries. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("hashSplit is deterministic and content-keyed") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = PipelineOps.hashSplit(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // identical text → identical split, regardless of id
+    assert(out(1L) == out(2L))
+    val again = PipelineOps.hashSplit(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == again)
+    assert(out.values.forall(Set("train", "valid", "test")))
+  }
+
+  test("chunk produces overlapping windows and a short tail") {
+    // 7 tokens, size 3, stride 2 → starts 0,2,4,6: tails shorten
+    val out = PipelineOps.chunk(docs(1L -> "t0 t1 t2 t3 t4 t5 t6"), size = 3, stride = 2)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, "t0 t1 t2", 3L), (1L, "t2 t3 t4", 3L), (2L, "t4 t5 t6", 3L), (3L, "t6", 1L)))
+  }
+
+  test("chunk handles a doc shorter than one window") {
+    val out = PipelineOps.chunk(docs(1L -> "only two"), size = 32, stride = 24)
+      .select("chunk_id", "chunk", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, "only two", 2L)))
+  }
+
+  test("redact chains patterns in order") {
+    val out = PipelineOps.redact(Seq(("a", "Customer#000123")).toDF("id", "v"), "v", "r",
+        Seq("Customer#" -> "id:", "[0-9]{3,}" -> "<NUM>"))
+      .select("r").as[String].collect()
+    assert(out.toSeq == Seq("id:<NUM>"))
+  }
+
+  test("repetitionStats flags repeated tokens") {
+    val out = PipelineOps.repetitionStats(docs(1L -> "a a a b", 2L -> "w x y z"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out(0) == (1L, 4L, 2L, 0.75, 0.5))
+    assert(out(1) == (2L, 4L, 4L, 0.25, 0.0))
+  }
+
+  test("topNgrams counts bigrams with deterministic tie-break") {
+    val out = PipelineOps.topNgrams(docs(1L -> "a b a b c", 2L -> "a b"), n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "a b" ×3, then ties ("b a","b c") broken alphabetically
+    assert(out.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("balanceClasses equalizes class sizes deterministically") {
+    val d = Seq(
+      (1L, "t1", "en"), (2L, "t2", "en"), (3L, "t3", "en"), (4L, "t4", "en"),
+      (5L, "t5", "de"), (6L, "t6", "de")).toDF("doc_id", "text", "lang")
+    val out = PipelineOps.balanceClasses(d, "lang")
+    val counts = out.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 2L, "de" -> 2L))
+    assert(out.collect().toSeq == PipelineOps.balanceClasses(d, "lang").collect().toSeq)
+  }
+
+  test("pseudonymize is stable and collision-free across distinct keys") {
+    val d = Seq((1L, "a"), (2L, "b"), (1L, "c")).toDF("user_id", "x")
+    val out = PipelineOps.pseudonymize(d, "user_id", "p")
+      .select("user_id", "p").distinct().collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.toMap.size == 2)           // same key → same pseudonym
+    assert(out.map(_._2).distinct.size == 2)
+    assert(out.forall(_._2.length == 64)) // sha-256 hex
+  }
+
+  test("keySkew: uniform keys give entropy log2(k)") {
+    val d = (0 until 64).map(i => (i % 8, "x")).toDF("k", "v")
+    val r = PipelineOps.keySkew(d, "k").collect().head
+    assert(r.getAs[Long]("n_keys") == 8L)
+    assert(r.getAs[Long]("n_rows") == 64L)
+    assert(r.getAs[Long]("max_cnt") == 8L)
+    assert(r.getAs[Double]("entropy_bits") == 3.0)
+  }
+}
