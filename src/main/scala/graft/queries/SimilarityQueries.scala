@@ -48,6 +48,11 @@ object SimilarityQueries {
       val queries = t.embeddings.where(col("vec_id") < 10)
       SimilarityOps.ivfTopK(t.embeddings, queries, k = 5, nCentroids = 16, nProbe = 4)
         .orderBy("query_id", "rank")
+    },
+
+    // Symmetric int8 quantization (storage path for ANN at scale).
+    "q_embedding_quantize" -> { t =>
+      SimilarityOps.quantizeInt8(t.embeddings).orderBy("vec_id")
     }
   )
 
@@ -72,6 +77,16 @@ object SimilarityQueries {
         |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
-        |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " ")
+        |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " "),
+
+    "q_embedding_quantize" ->
+      (dotCte + """,
+        |m AS (SELECT vec_id, e, list_max([abs(x) for x in e]) AS mx FROM v)
+        |SELECT vec_id,
+        |  round(sqrt(list_dot_product(e, e)), 6) AS l2_norm,
+        |  CASE WHEN mx = 0 THEN array_to_string([0 for x in e], ',')
+        |       ELSE array_to_string([CAST(round(x * 127.0 / mx) AS INTEGER) for x in e], ',')
+        |  END AS quant
+        |FROM m ORDER BY vec_id""".stripMargin).replaceAll("\\s+", " ")
   )
 }

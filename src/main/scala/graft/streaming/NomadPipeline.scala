@@ -25,6 +25,18 @@ final case class PipelineConfig(
 
 object NomadPipeline {
 
+  /** Boot sequence (app.rb:63-70): discover the starting index from the
+    * agent's raft stats; the reference exits with an operator hint when the
+    * agent doesn't expose them — surfaced here as an exception instead of a
+    * silent 0 (which would replay the whole event window). */
+  def configFromAgent(api: graft.sources.NomadConfig,
+                      base: PipelineConfig = PipelineConfig(startingIndex = 0)): PipelineConfig = {
+    val idx = graft.sources.NomadApi.initialIndex(api).getOrElse(
+      throw new IllegalStateException(
+        "agent /v1/agent/self exposes no stats.raft.last_log_index (app.rb:66-69)"))
+    base.copy(startingIndex = idx)
+  }
+
   /** Raw lines (`value` string column) → parsed frames. Malformed lines are
     * dropped (lib/ndjson.rb:31-33) — PERMISSIVE `from_json` parses them to
     * all-null structs, indistinguishable from the `{}` heartbeat, so a

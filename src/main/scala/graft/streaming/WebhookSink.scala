@@ -39,21 +39,41 @@ object WebhookSink {
       code
     } catch { case _: Exception => -1 }
 
+  /** POST with bounded exponential backoff: retries connection errors and
+    * 5xx up to `maxRetries` times (the scale-grade variant of the
+    * reference's unchecked fire-and-forget — transient webhook hiccups stop
+    * dropping notifications, while 4xx still fails fast as non-retryable).
+    * Returns the final status code. */
+  def postWithRetry(url: String, json: String,
+                    maxRetries: Int = 3, backoffMs: Long = 100): Int = {
+    var attempt = 0
+    var code = post(url, json)
+    while ((code == -1 || code >= 500) && attempt < maxRetries) {
+      Thread.sleep(backoffMs << attempt) // 100, 200, 400, ...
+      attempt += 1
+      code = post(url, json)
+    }
+    code
+  }
+
   /** foreachBatch function delivering each notification row to the
     * configured webhooks. Expects the [[NomadPipeline.notifications]]
     * schema — both payloads are prebuilt in-plan with `to_json` (so quotes
     * and the fenced-description newlines are JSON-escaped, app.rb:240-262),
-    * never string-interpolated here. */
-  def deliver(discordUrl: Option[String], slackUrl: Option[String])
+    * never string-interpolated here. `maxRetries = 0` preserves the
+    * reference's fire-and-forget contract (app.rb:229, response unchecked);
+    * raise it for at-least-once delivery with backoff. */
+  def deliver(discordUrl: Option[String], slackUrl: Option[String],
+              maxRetries: Int = 0, backoffMs: Long = 100)
              (batch: DataFrame, batchId: Long): Unit = {
     val cols = batch.columns.zipWithIndex.toMap
     batch.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       rows.foreach { r =>
         discordUrl.foreach { u =>
-          post(u, r.getString(cols("discord_payload")))
+          postWithRetry(u, r.getString(cols("discord_payload")), maxRetries, backoffMs)
         }
         slackUrl.foreach { u =>
-          post(u, r.getString(cols("slack_payload")))
+          postWithRetry(u, r.getString(cols("slack_payload")), maxRetries, backoffMs)
         }
       }
     }

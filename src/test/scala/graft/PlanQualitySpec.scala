@@ -64,6 +64,41 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
   }
 
+  test("per-document curation ops are narrow: no shuffle in the plan") {
+    // hashSplit and chunk are pure maps over the scan — an Exchange here
+    // would mean an accidental repartition that costs a full shuffle at
+    // 100 TB. (The q_* bindings add an oracle-mandated ORDER BY, so assert
+    // on the operators themselves.)
+    import graft.operators.PipelineOps
+    Seq(
+      "hashSplit" -> PipelineOps.hashSplit(t.documents),
+      "chunk" -> PipelineOps.chunk(t.documents, size = 32, stride = 24)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name shuffles:\n$plan")
+    }
+  }
+
+  test("curation scans prune to the referenced columns") {
+    val plan = planString("q_hash_split")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"hashSplit reads unreferenced columns: $readSchema")
+  }
+
+  test("repetition stats partial-aggregate before both shuffles") {
+    val plan = executedPlan("q_repetition_stats").toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"missing partial aggregation stage:\n$plan")
+  }
+
+  test("class balancing broadcasts the scalar min-count, not a shuffle join") {
+    val plan = executedPlan("q_balance_classes").toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"min-count not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"scalar joined via sort-merge:\n$plan")
+  }
+
   test("native vec_dot expression participates in codegen (no fallback)") {
     val df = t.embeddings
       .select(graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))

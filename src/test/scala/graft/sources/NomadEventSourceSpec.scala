@@ -59,6 +59,18 @@ class NomadEventSourceSpec extends SparkSpec {
     }
   }
 
+  test("configFromAgent seeds the stale-index filter; aborts without raft stats") {
+    withServer(Nil) { (url, _) =>
+      val cfg = graft.streaming.NomadPipeline.configFromAgent(NomadConfig(url))
+      assert(cfg.startingIndex == 42L)
+    }
+    withServer(Nil, raftIndex = None) { (url, _) =>
+      intercept[IllegalStateException] {
+        graft.streaming.NomadPipeline.configFromAgent(NomadConfig(url))
+      }
+    }
+  }
+
   test("streaming source reassembles chunked NDJSON frames into rows") {
     val frames = Seq(
       """{"Index":1,"Events":[]}""",
@@ -157,6 +169,32 @@ class NomadEventSourceSpec extends SparkSpec {
       assert(received.size == 2)
       // unreachable endpoint: fire-and-forget, no exception
       assert(WebhookSink.post("http://127.0.0.1:1/hook", "{}") == -1)
+    } finally server.stop(0)
+  }
+
+  test("postWithRetry retries 5xx with backoff, fails fast on 4xx") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      val n = hits.incrementAndGet()
+      ex.sendResponseHeaders(if (n < 3) 503 else 200, 0); ex.close()
+    })
+    val badReq = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/bad", (ex: HttpExchange) => {
+      badReq.incrementAndGet()
+      ex.sendResponseHeaders(400, 0); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      assert(WebhookSink.postWithRetry(s"$base/flaky", "{}", maxRetries = 3, backoffMs = 10) == 200)
+      assert(hits.get() == 3)
+      // 4xx is non-retryable: exactly one attempt
+      assert(WebhookSink.postWithRetry(s"$base/bad", "{}", maxRetries = 3, backoffMs = 10) == 400)
+      assert(badReq.get() == 1)
+      // exhausted retries surface the last failure code
+      assert(WebhookSink.postWithRetry("http://127.0.0.1:1/hook", "{}",
+        maxRetries = 1, backoffMs = 10) == -1)
     } finally server.stop(0)
   }
 }
