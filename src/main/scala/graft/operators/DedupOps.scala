@@ -53,6 +53,32 @@ object DedupOps {
       .select(col("id"),
         xxhash64(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n)))).as("s"))
 
+  /** Benchmark decontamination: find corpus documents sharing any word
+    * n-gram with a (small) benchmark/eval set — the standard pre-training
+    * hygiene step that keeps test data out of training data. Returns
+    * (doc_id, n_hits) for contaminated documents.
+    *
+    * Plan: positions exploded and shingles built as codegen'd scalars (same
+    * hot path as [[ngramJaccard]], see measured notes above); the benchmark
+    * shingle set is distinct'd and BROADCAST, so the corpus is scanned once
+    * with a map-side hash join — no shuffle of the 100 TB side, cost linear
+    * in corpus tokens. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def shingles(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
+      .select(col("id"), concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))).as("s"))
+    val bench = shingles(benchmark).select("s").distinct()
+    shingles(corpus)
+      .join(broadcast(bench), Seq("s"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("id").as(idCol), col("n_hits"))
+  }
+
   /** Near-duplicate pairs by n-gram Jaccard ≥ threshold.
     *
     * Inverted-index plan: explode shingles, self-join on the shingle value

@@ -47,6 +47,14 @@ object TextQueries {
         .orderBy("ida", "idb")
     },
 
+    // Benchmark decontamination: corpus docs sharing any 8-gram with the
+    // (held-out) benchmark slice, benchmark shingles broadcast.
+    "q_decontaminate" -> { t =>
+      val bench = t.documents.where(col("doc_id") % 50 === 0)
+      val corpus = t.documents.where(col("doc_id") % 50 =!= 0)
+      DedupOps.contamination(corpus, bench, n = 8).orderBy("doc_id")
+    },
+
     // X2 at scale — MinHash+LSH candidates verified by exact Jaccard.
     // No SQL oracle (xxhash64-dependent); recall vs q_text_dedup_near is
     // asserted in ScalaTest.
@@ -123,6 +131,17 @@ object TextQueries {
         |JOIN sz nb ON nb.doc_id = idb
         |WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.5
         |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " "),
+
+    "q_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, [array_to_string(t[i:i+7], ' ') for i in range(1, len(t)-6)] AS ss
+        |       FROM tok WHERE len(t) >= 8),
+        |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        |bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 50 = 0)
+        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM ex e JOIN bench b USING (s)
+        |WHERE e.doc_id % 50 <> 0
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_token_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -79,6 +79,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(_._2.length == 64)) // sha-256 hex
   }
 
+  test("contamination flags only docs sharing a full n-gram with the benchmark") {
+    val bench = docs(100L -> "b1 b2 b3 b4 unique tail here x")
+    val corpus = docs(
+      1L -> "prefix b1 b2 b3 b4 unique tail here x suffix", // contains the 8-gram
+      2L -> "b1 b2 b3 b4 other words entirely different here",
+      3L -> "no overlap at all in this document text x")
+    val out = DedupOps.contamination(corpus, bench, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L))
+    // the 8-token benchmark doc has exactly one 8-gram; doc 1 contains it at
+    // exactly one position
+    assert(out(1L) == 1L)
+  }
+
   test("keySkew: uniform keys give entropy log2(k)") {
     val d = (0 until 64).map(i => (i % 8, "x")).toDF("k", "v")
     val r = PipelineOps.keySkew(d, "k").collect().head
