@@ -53,4 +53,37 @@ class StreamingWindowSpec extends SparkSpec {
         w == t("2024-01-01 10:00:00") && et == "click" && n == 3L })
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark dedups keys with bounded state") {
+    // the watermark-bounded dedup variant: unlike the reference's grow-only
+    // task_metadata map (app.rb:78), state for keys older than the watermark
+    // is evicted — the third member of the streaming-dedup family alongside
+    // flatMapGroupsWithState and transformWithState
+    val input = MemoryStream[TimedEvent](spark)
+    val deduped = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_type")
+    val ckpt = java.nio.file.Files.createTempDirectory("ddww-ckpt").toString
+    val q = deduped.writeStream.format("memory").queryName("ddww_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      input.addData(TimedEvent(t("2024-01-01 10:00:00"), "click"),
+                    TimedEvent(t("2024-01-01 10:01:00"), "click"),
+                    TimedEvent(t("2024-01-01 10:02:00"), "view"))
+      q.processAllAvailable()
+      // duplicate within the watermark window → dropped
+      input.addData(TimedEvent(t("2024-01-01 10:05:00"), "click"))
+      q.processAllAvailable()
+      assert(spark.table("ddww_out").count() == 2)
+      // advance the watermark far past the old keys, then re-send: state was
+      // evicted, so the key passes again
+      input.addData(TimedEvent(t("2024-01-01 12:00:00"), "purchase"))
+      q.processAllAvailable()
+      input.addData(TimedEvent(t("2024-01-01 12:01:00"), "click"))
+      q.processAllAvailable()
+      val types = spark.table("ddww_out").as[(Timestamp, String)].collect().map(_._2)
+      assert(types.count(_ == "click") == 2, s"evicted key should re-emit: ${types.toSeq}")
+    } finally q.stop()
+  }
 }
