@@ -120,6 +120,32 @@ object PipelineOps {
       .drop("__rn", "__min")
   }
 
+  /** Weighted source mixing: keep a per-source fraction of documents
+    * (deterministic, hash-ranked) — the dataset-mixture step that reweights
+    * corpora (web/books/code/...) toward a target composition. Quotas are
+    * `floor(weight × source count)`; choose exact binary fractions (0.75,
+    * 0.25, ...) for bit-stable quotas across engines. The per-source ranks
+    * shuffle once on the source key; the (sources × weights) quota table is
+    * broadcast. */
+  def mixSources(docs: DataFrame, weights: Map[String, Double],
+                 classCol: String = "source", textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(classCol, "__w")
+    val counts = docs.groupBy(col(classCol)).agg(count(lit(1)).as("__cnt"))
+    val quotas = counts.join(w, classCol)
+      .withColumn("__quota", floor(col("__w") * col("__cnt")))
+      .select(col(classCol), col("__quota"))
+    val rn = row_number().over(
+      Window.partitionBy(col(classCol)).orderBy(md5(col(textCol)), col(idCol)))
+    docs
+      .withColumn("__rn", rn)
+      .join(broadcast(quotas), classCol)
+      .where(col("__rn") <= col("__quota"))
+      .select(col(idCol), col(classCol))
+  }
+
   /** Keyed pseudonymization: replace a stable identifier with its SHA-256
     * digest — referential integrity preserved (same key → same pseudonym),
     * original not recoverable. Pure map, no shuffle. */

@@ -108,6 +108,27 @@ object PipelineQueries {
     // Join/groupBy key-skew diagnostics (entropy + max multiplicity).
     "q_key_skew" -> { t =>
       PipelineOps.keySkew(t.events, "user_id")
+    },
+
+    // Weighted source mixing toward a target composition (even-numbered
+    // sources kept at 3/4, odd at 1/4 — exact binary fractions).
+    "q_mix_sources" -> { t =>
+      val weights = (0 until 20)
+        .map(i => s"src$i" -> (if (i % 2 == 0) 0.75 else 0.25)).toMap
+      PipelineOps.mixSources(t.documents, weights).orderBy("doc_id")
+    },
+
+    // Bitwise function surface over event ids.
+    "q_bitwise_funcs" -> { t =>
+      t.events.select(
+        col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("b_and"),
+        col("event_id").bitwiseOR(lit(4096L)).as("b_or"),
+        col("event_id").bitwiseXOR(col("user_id")).as("b_xor"),
+        shiftleft(col("event_id"), 2).cast("long").as("b_shl"),
+        shiftright(col("event_id"), 1).cast("long").as("b_shr"),
+        bit_count(col("event_id")).cast("long").as("b_pop"))
+        .orderBy("event_id")
     }
   )
 
@@ -195,6 +216,26 @@ object PipelineQueries {
         |SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(max(n) AS BIGINT) AS n_rows,
         |CAST(max(c) AS BIGINT) AS max_cnt, round(avg(c), 6) AS avg_cnt,
         |round(-sum((c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))), 6) AS entropy_bits
-        |FROM c, t""".stripMargin.replaceAll("\\s+", " ")
+        |FROM c, t""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_mix_sources" ->
+      """WITH r AS (SELECT doc_id, source,
+        |row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn FROM documents),
+        |c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        |q AS (SELECT source, CAST(floor(
+        |(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 0.75 ELSE 0.25 END) * cnt) AS BIGINT) AS quota
+        |FROM c)
+        |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+        |WHERE rn <= quota ORDER BY r.doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_bitwise_funcs" ->
+      """SELECT event_id,
+        |event_id & 255 AS b_and,
+        |event_id | 4096 AS b_or,
+        |xor(event_id, user_id) AS b_xor,
+        |event_id << 2 AS b_shl,
+        |event_id >> 1 AS b_shr,
+        |CAST(bit_count(event_id) AS BIGINT) AS b_pop
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\\s+", " ")
   )
 }

@@ -79,6 +79,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(_._2.length == 64)) // sha-256 hex
   }
 
+  test("mixSources keeps floor(weight × count) docs per source, deterministically") {
+    val d = (1L to 8L).map(i => (i, s"t$i", if (i <= 4) "web" else "books"))
+      .toDF("doc_id", "text", "source")
+    val out = PipelineOps.mixSources(d, Map("web" -> 0.75, "books" -> 0.5), classCol = "source")
+    val counts = out.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("web" -> 3L, "books" -> 2L)) // floor(.75×4)=3, floor(.5×4)=2
+    assert(out.collect().toSet ==
+      PipelineOps.mixSources(d, Map("web" -> 0.75, "books" -> 0.5), classCol = "source").collect().toSet)
+    // a source without a weight contributes nothing
+    val partial = PipelineOps.mixSources(d, Map("web" -> 0.75), classCol = "source")
+    assert(partial.select("source").distinct().collect().map(_.getString(0)).toSeq == Seq("web"))
+  }
+
   test("contamination flags only docs sharing a full n-gram with the benchmark") {
     val bench = docs(100L -> "b1 b2 b3 b4 unique tail here x")
     val corpus = docs(
