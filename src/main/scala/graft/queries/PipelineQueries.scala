@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.PipelineOps
+import graft.operators.{PipelineOps, TimeSeriesOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -118,6 +118,15 @@ object PipelineQueries {
       PipelineOps.mixSources(t.documents, weights).orderBy("doc_id")
     },
 
+    // Hourly resample + forward fill per user (ts pre-truncated to µs so
+    // bucket edges agree with the µs-precision oracle).
+    "q_resample_fill" -> { t =>
+      val e = t.events.withColumn("ts_us", col("ts") - col("ts") % 1000)
+      TimeSeriesOps.resampleFill(e, "user_id", "ts_us", "value",
+          bucketNs = 3600L * 1000 * 1000 * 1000)
+        .orderBy("user_id", "bucket")
+    },
+
     // Bitwise function surface over event ids.
     "q_bitwise_funcs" -> { t =>
       t.events.select(
@@ -227,6 +236,17 @@ object PipelineQueries {
         |FROM c)
         |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
         |WHERE rn <= quota ORDER BY r.doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_resample_fill" ->
+      """WITH h AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS bucket,
+        |count(*) AS n, avg(value) AS v FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, unnest(generate_series(min(bucket), max(bucket))) AS bucket
+        |FROM h GROUP BY user_id)
+        |SELECT user_id, bucket, CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+        |round(last_value(h.v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_fill
+        |FROM s LEFT JOIN h USING (user_id, bucket)
+        |ORDER BY user_id, bucket""".stripMargin.replaceAll("\\s+", " "),
 
     "q_bitwise_funcs" ->
       """SELECT event_id,

@@ -106,6 +106,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1L) == 1L)
   }
 
+  test("resampleFill fills gaps with n=0 and forward-fills the aggregate") {
+    val B = 3600L * 1000 * 1000 * 1000
+    val df = Seq(
+      (1L, 0L, 10.0), (1L, 10L, 30.0),    // bucket 0 (avg 20)
+      (1L, 3 * B + 1, 40.0),              // bucket 3; buckets 1-2 are gaps
+      (2L, 5 * B, 7.0)).toDF("k", "ts", "v")
+    val out = TimeSeriesOps.resampleFill(df, "k", "ts", "v", B)
+      .orderBy("k", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 2L, 20.0), (1L, 1L, 0L, 20.0), (1L, 2L, 0L, 20.0), (1L, 3L, 1L, 40.0),
+      (2L, 5L, 1L, 7.0)))
+  }
+
   test("keySkew: uniform keys give entropy log2(k)") {
     val d = (0 until 64).map(i => (i % 8, "x")).toDF("k", "v")
     val r = PipelineOps.keySkew(d, "k").collect().head
