@@ -141,6 +141,26 @@ object FunctionQueries {
           variableColumnName = "attr",
           valueColumnName = "val")
         .orderBy("p_partkey", "attr")
+    },
+
+    // Lambda higher-order-function surface (transform/filter/exists/
+    // aggregate/zip_with) over token arrays. Fine for a one-pass scalar
+    // query; pairwise hot paths avoid interpreted lambdas (ARCHITECTURE §
+    // measured findings 1-3).
+    "q_hof_funcs" -> { t =>
+      val toks = split(col("text"), " ")
+      t.documents
+        .withColumn("toks", toks)
+        .withColumn("lens", transform(col("toks"), x => length(x)))
+        .select(
+          col("doc_id"),
+          size(filter(col("toks"), x => length(x) >= 5)).cast("long").as("n_long"),
+          aggregate(col("lens"), lit(0L), (acc, x) => acc + x).as("sum_lens"),
+          exists(col("toks"), x => length(x) >= 8).as("has_long"),
+          concat_ws("|",
+            slice(zip_with(col("toks"), col("lens"),
+              (tok, l) => concat(tok, lit(":"), l.cast("string"))), 1, 3)).as("z3"))
+        .orderBy("doc_id")
     }
   )
 
@@ -230,6 +250,16 @@ object FunctionQueries {
         |SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
         |UNION ALL
         |SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part)
-        |ORDER BY p_partkey, attr""".stripMargin.replaceAll("\\s+", " ")
+        |ORDER BY p_partkey, attr""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_hof_funcs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id,
+        |CAST(len(list_filter(t, x -> length(x) >= 5)) AS BIGINT) AS n_long,
+        |CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS BIGINT) AS sum_lens,
+        |len(list_filter(t, x -> length(x) >= 8)) > 0 AS has_long,
+        |array_to_string([t[i] || ':' || CAST(length(t[i]) AS VARCHAR)
+        |                 for i in range(1, least(len(t), 3) + 1)], '|') AS z3
+        |FROM tok ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " ")
   )
 }

@@ -92,6 +92,12 @@ class PlanQualitySpec extends SparkSpec {
       s"missing partial aggregation stage:\n$plan")
   }
 
+  test("decontamination broadcasts the benchmark shingles (corpus never shuffles for the join)") {
+    val plan = executedPlan("q_decontaminate").toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for the join:\n$plan")
+  }
+
   test("class balancing broadcasts the scalar min-count, not a shuffle join") {
     val plan = executedPlan("q_balance_classes").toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
