@@ -16,27 +16,34 @@ object TimeSeriesOps {
     * gaps — the resample + ffill step that precedes windowed feature
     * extraction.
     *
-    * Scale shape: two aggregations and one left join, all keyed on
-    * (key, bucket) / key — partial-aggregated and AQE-planned; the window
-    * fill partitions by key (no global ordering). Grid size is bounded by
-    * span/bucket per key, independent of event count. */
+    * Scale shape: rather than the naive grid-generate + left-join +
+    * fill-window plan (5 exchanges: agg, span agg, two join sides, window),
+    * each observed bucket looks back at its predecessor with `lag` and emits
+    * the gap rows itself — one aggregation shuffle on (key, bucket), one
+    * key-partitioned window, and a narrow gap-explode: 2 exchanges total
+    * (asserted in PlanQualitySpec). Forward fill falls out of the explode —
+    * gap rows carry the predecessor's aggregate directly, no second window.
+    * Grid size is bounded by span/bucket per key, independent of event
+    * count. */
   def resampleFill(df: DataFrame, keyCol: String, tsNsCol: String,
                    valCol: String, bucketNs: Long): DataFrame = {
     val bucket = expr(s"$tsNsCol div ${bucketNs}L").as("bucket")
-    val perBucket = df
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    df
       .select(col(keyCol), bucket, col(valCol))
       .groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("n"), avg(col(valCol)).as("v"))
-    val grid = perBucket
-      .groupBy(col(keyCol))
-      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
-      .select(col(keyCol), explode(sequence(col("b0"), col("b1"))).as("bucket"))
-    val fill = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid
-      .join(perBucket, Seq(keyCol, "bucket"), "left")
-      .select(col(keyCol), col("bucket"),
-        coalesce(col("n"), lit(0L)).as("n"),
-        round(last(col("v"), ignoreNulls = true).over(fill), 6).as("v_fill"))
+      .withColumn("prev_bucket", lag("bucket", 1).over(w))
+      .withColumn("prev_v", lag("v", 1).over(w))
+      // emit every bucket in (prev_bucket, bucket]: the gaps, then the
+      // observed bucket itself (first bucket of a key has no predecessor)
+      .select(col(keyCol), col("bucket"), col("n"), col("v"), col("prev_v"),
+        explode(sequence(
+          coalesce(col("prev_bucket") + lit(1L), col("bucket")),
+          col("bucket"))).as("b"))
+      .select(col(keyCol), col("b").as("bucket"),
+        when(col("b") === col("bucket"), col("n")).otherwise(lit(0L)).as("n"),
+        round(when(col("b") === col("bucket"), col("v")).otherwise(col("prev_v")), 6)
+          .as("v_fill"))
   }
 }

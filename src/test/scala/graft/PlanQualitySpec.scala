@@ -105,6 +105,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"scalar joined via sort-merge:\n$plan")
   }
 
+  test("resample+fill runs in 2 exchanges (agg + lag window), not grid-join-window") {
+    import graft.operators.TimeSeriesOps
+    val e = t.events.withColumn("ts_us", col("ts") - col("ts") % 1000)
+    val df = TimeSeriesOps.resampleFill(e, "user_id", "ts_us", "value",
+      bucketNs = 3600L * 1000L * 1000L * 1000L)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"resampleFill grew to $exchanges exchanges:\n$plan")
+  }
+
   test("native vec_dot expression participates in codegen (no fallback)") {
     val df = t.embeddings
       .select(graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
