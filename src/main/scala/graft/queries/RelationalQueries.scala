@@ -163,6 +163,31 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
 
+    // RANGE window frame over event time: per-user trailing-hour rolling sum
+    // (value-based frame; peers at equal ts are included in both engines).
+    "q_range_frame" -> { t =>
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-hourNs, 0)
+      t.events
+        .withColumn("ts_us", col("ts") - col("ts") % 1000)
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 6).as("trailing_hr_sum"))
+        .orderBy("event_id")
+    },
+
+    // Explicit null-ordering semantics (Spark defaults NULLS FIRST asc,
+    // DuckDB NULLS LAST — portable sorts must say what they mean).
+    "q_null_ordering" -> { t =>
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val kSchema = StructType(Seq(StructField("k", LongType)))
+      t.events
+        .select(col("event_id"),
+          from_json(col("props"), kSchema).getField("k").as("k"))
+        .orderBy(col("k").asc_nulls_last, col("event_id"))
+    },
+
     // Map-function surface (constructed map, scalar-equivalent oracle).
     "q_map_funcs" -> { t =>
       val m = map(lit("uid"), col("user_id"), lit("eid"), col("event_id"))
@@ -461,6 +486,17 @@ object RelationalQueries {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_range_frame" ->
+      """SELECT event_id, user_id,
+        |round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW), 6) AS trailing_hr_sum
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_null_ordering" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |ORDER BY k ASC NULLS LAST, event_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_map_funcs" ->
       """SELECT event_id, user_id AS uid, CAST(2 AS BIGINT) AS m_size,
