@@ -65,15 +65,13 @@ object PipelineQueries {
         .orderBy("rf", "ls")
     },
 
-    // Exact multi-quantile (linear interpolation) per group.
+    // Exact multi-quantile (linear interpolation) per group — computed by
+    // distributed sort + rank selection (QuantileOps), not the built-in
+    // percentile() whose per-group value buffer concentrates on one reducer.
     "q_percentiles" -> { t =>
-      t.lineitem
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("q"))
-        .select(col("l_returnflag"),
-          round(element_at(col("q"), 1), 4).as("q25"),
-          round(element_at(col("q"), 2), 4).as("q50"),
-          round(element_at(col("q"), 3), 4).as("q75"))
+      graft.operators.QuantileOps.exactQuantiles(
+          t.lineitem, "l_returnflag", "l_extendedprice",
+          ps = Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75))
         .orderBy("l_returnflag")
     },
 

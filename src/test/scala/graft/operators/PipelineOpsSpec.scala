@@ -3,6 +3,13 @@ package graft.operators
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+private object PipelineOpsSpecHelper {
+  def quantiles(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] =
+    QuantileOps.exactQuantiles(df, "g", "v",
+      ps = Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75))
+      .orderBy("g").collect().toSeq
+}
+
 /** Unit semantics of the dataset-curation operators (PipelineOps); the
   * cross-engine values are pinned by the q_* oracles in PipelineQueries. */
 class PipelineOpsSpec extends SparkSpec {
@@ -118,6 +125,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (1L, 0L, 2L, 20.0), (1L, 1L, 0L, 20.0), (1L, 2L, 0L, 20.0), (1L, 3L, 1L, 40.0),
       (2L, 5L, 1L, 7.0)))
+  }
+
+  test("exactQuantiles matches Spark's built-in percentile on random data") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 997).map(i => (s"g${i % 3}", rnd.nextDouble() * 1000))
+      .toDF("g", "v")
+    val ours = PipelineOpsSpecHelper.quantiles(df)
+    val builtin = df.groupBy("g")
+      .agg(expr("percentile(v, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .select(col("g"), round(element_at(col("q"), 1), 4).as("q25"),
+        round(element_at(col("q"), 2), 4).as("q50"),
+        round(element_at(col("q"), 3), 4).as("q75"))
+      .orderBy("g").collect().toSeq
+    assert(ours == builtin)
+    // group sizes 333/332/332: exercises both integral and fractional
+    // interpolation positions
   }
 
   test("keySkew: uniform keys give entropy log2(k)") {
