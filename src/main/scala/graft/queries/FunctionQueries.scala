@@ -143,6 +143,26 @@ object FunctionQueries {
         .orderBy("p_partkey", "attr")
     },
 
+    // Generator surface: posexplode (explode with ordinal position).
+    "q_posexplode" -> { t =>
+      t.documents
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // ANSI-safe try_* arithmetic: NULL instead of error on overflow / ÷0.
+    "q_try_funcs" -> { t =>
+      t.events.select(
+        col("event_id"),
+        try_divide(col("value"), (col("user_id") % 3).cast("double")).as("t_div"),
+        try_add(col("event_id"), col("user_id")).as("t_add"),
+        try_multiply(col("event_id"), lit(2L)).as("t_mul"),
+        try_element_at(split(col("props"), " "),
+          (col("user_id") % 4 + 1).cast("int")).as("t_elem"))
+        .orderBy("event_id")
+    },
+
     // Lambda higher-order-function surface (transform/filter/exists/
     // aggregate/zip_with) over token arrays. Fine for a one-pass scalar
     // query; pairwise hot paths avoid interpreted lambdas (ARCHITECTURE §
@@ -251,6 +271,21 @@ object FunctionQueries {
         |UNION ALL
         |SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part)
         |ORDER BY p_partkey, attr""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_posexplode" ->
+      """SELECT doc_id,
+        |unnest(range(0, len(string_split(text, ' ')))) AS pos,
+        |unnest(string_split(text, ' ')) AS tok
+        |FROM documents ORDER BY doc_id, pos""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_try_funcs" ->
+      """SELECT event_id,
+        |CASE WHEN CAST(user_id % 3 AS DOUBLE) = 0 THEN NULL
+        |     ELSE value / CAST(user_id % 3 AS DOUBLE) END AS t_div,
+        |event_id + user_id AS t_add,
+        |event_id * 2 AS t_mul,
+        |string_split(props, ' ')[CAST(user_id % 4 + 1 AS INT)] AS t_elem
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_hof_funcs" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
