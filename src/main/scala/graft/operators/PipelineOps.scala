@@ -146,6 +146,22 @@ object PipelineOps {
       .select(col(idCol), col(classCol))
   }
 
+  /** SCD-1 upsert: apply a keyed changeset to a snapshot — changed keys are
+    * replaced whole-row, new keys insert, untouched keys carry over. Full
+    * outer join on the key; at 100 TB both sides hash-partition on the key
+    * (and a base bucketed by the key via ScaleOps makes the apply
+    * shuffle-free on the big side). Row-level replacement (a NULL column in
+    * a change row wins), not column-level patching. */
+  def upsert(base: DataFrame, changes: DataFrame, keyCol: String): DataFrame = {
+    val cols = base.columns.filter(_ != keyCol)
+    val joined = base.alias("b").join(changes.alias("c"),
+      col(s"b.$keyCol") === col(s"c.$keyCol"), "full_outer")
+    val replaced = cols.map(n =>
+      when(col(s"c.$keyCol").isNotNull, col(s"c.$n")).otherwise(col(s"b.$n")).as(n))
+    joined.select(
+      coalesce(col(s"c.$keyCol"), col(s"b.$keyCol")).as(keyCol) +: replaced: _*)
+  }
+
   /** Keyed pseudonymization: replace a stable identifier with its SHA-256
     * digest — referential integrity preserved (same key → same pseudonym),
     * original not recoverable. Pure map, no shuffle. */

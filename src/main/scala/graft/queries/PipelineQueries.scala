@@ -116,6 +116,20 @@ object PipelineQueries {
       PipelineOps.mixSources(t.documents, weights).orderBy("doc_id")
     },
 
+    // SCD-1 upsert: updates for keys %3, inserts above the key space.
+    "q_upsert" -> { t =>
+      val base = t.customer.select("c_custkey", "c_name", "c_acctbal")
+      val updates = base.where(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          concat(lit("upd:"), col("c_name")).as("c_name"),
+          (col("c_acctbal") + 1000d).as("c_acctbal"))
+      val inserts = base.where(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 10000L).as("c_custkey"), col("c_name"), col("c_acctbal"))
+      PipelineOps.upsert(base, updates.union(inserts), "c_custkey")
+        .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+        .orderBy("c_custkey")
+    },
+
     // Hourly resample + forward fill per user (ts pre-truncated to µs so
     // bucket edges agree with the µs-precision oracle).
     "q_resample_fill" -> { t =>
@@ -234,6 +248,19 @@ object PipelineQueries {
         |FROM c)
         |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
         |WHERE rn <= quota ORDER BY r.doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |changes AS (
+        |  SELECT c_custkey, 'upd:' || c_name AS c_name, c_acctbal + 1000 AS c_acctbal
+        |  FROM base WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000, c_name, c_acctbal FROM base WHERE c_custkey % 7 = 0)
+        |SELECT coalesce(ch.c_custkey, b.c_custkey) AS c_custkey,
+        |CASE WHEN ch.c_custkey IS NOT NULL THEN ch.c_name ELSE b.c_name END AS c_name,
+        |round(CASE WHEN ch.c_custkey IS NOT NULL THEN ch.c_acctbal ELSE b.c_acctbal END, 2) AS c_acctbal
+        |FROM base b FULL JOIN changes ch ON b.c_custkey = ch.c_custkey
+        |ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
 
     "q_resample_fill" ->
       """WITH h AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS bucket,

@@ -77,6 +77,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.collect().toSeq == PipelineOps.balanceClasses(d, "lang").collect().toSeq)
   }
 
+  test("upsert replaces changed keys whole-row, inserts new keys, keeps the rest") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "name", "bal")
+    val changes = Seq((2L, null.asInstanceOf[String], 99.0), (4L, "d", 40.0)).toDF("k", "name", "bal")
+    val out = PipelineOps.upsert(base, changes, "k")
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2)))
+    // row-level replacement: key 2's NULL name wins (not patched from base)
+    assert(out.toSeq == Seq(
+      (1L, Some("a"), 10.0), (2L, None, 99.0), (3L, Some("c"), 30.0), (4L, Some("d"), 40.0)))
+  }
+
   test("pseudonymize is stable and collision-free across distinct keys") {
     val d = Seq((1L, "a"), (2L, "b"), (1L, "c")).toDF("user_id", "x")
     val out = PipelineOps.pseudonymize(d, "user_id", "p")
