@@ -220,6 +220,33 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // Sequential funnel: per user, the earliest strictly-ordered
+    // view → click → purchase chain and the furthest stage reached. Each
+    // stage is one aggregation joined back on the user key — no row-by-row
+    // state, so the plan is three partial-aggregated shuffles on user_id
+    // regardless of event volume.
+    "q_funnel" -> { t =>
+      val e = t.events.withColumn("tsn", col("ts") - (col("ts") % 1000))
+      val s1 = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tsn").as("t_view"))
+      val s2 = e.join(s1, "user_id")
+        .where(col("event_type") === "click" && col("tsn") > col("t_view"))
+        .groupBy("user_id").agg(min("tsn").as("t_click"))
+      val s3 = e.join(s2, "user_id")
+        .where(col("event_type") === "purchase" && col("tsn") > col("t_click"))
+        .groupBy("user_id").agg(min("tsn").as("t_purchase"))
+      e.select("user_id").distinct()
+        .join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L)
+            .otherwise(0L).as("stage"))
+        .orderBy("user_id")
+    },
+
     // X5 — sessionization: gap-based session assignment via lag + cumulative
     // sum, then per-session aggregates. All event-time math on µs-truncated
     // ns longs (see EventQueries.tsUs rationale).
@@ -486,6 +513,25 @@ object RelationalQueries {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_ns(ts)) AS t_view FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t_click FROM events e
+        |       JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t_view
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t_purchase FROM events e
+        |       JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t_click
+        |       GROUP BY e.user_id)
+        |SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+        |CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+        |          WHEN s2.t_click IS NOT NULL THEN 2
+        |          WHEN s1.t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_range_frame" ->
       """SELECT event_id, user_id,
