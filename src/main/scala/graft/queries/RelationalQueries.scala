@@ -220,6 +220,23 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // Cohort retention: users grouped by first-seen day, distinct actives
+    // counted per days-since-cohort — the standard retention matrix. Two
+    // aggregations on the user key plus one on the (cohort, age) pair; the
+    // cohort table is the distinct-user set (small relative to events) and
+    // broadcastable at scale.
+    "q_cohort_retention" -> { t =>
+      val dayNs = 86400000000000L
+      val e = t.events.withColumn("day", expr(s"(ts - ts % 1000) div ${dayNs}L"))
+      val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      e.join(cohort, "user_id")
+        .select(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"), col("user_id"))
+        .distinct()
+        .groupBy("cohort_day", "age_days")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "age_days")
+    },
+
     // Sequential funnel: per user, the earliest strictly-ordered
     // view → click → purchase chain and the furthest stage reached. Each
     // stage is one aggregation joined back on the user key — no row-by-row
@@ -513,6 +530,15 @@ object RelationalQueries {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT cohort_day, age_days, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM (SELECT DISTINCT c.cohort_day, e.day - c.cohort_day AS age_days, e.user_id
+        |      FROM e JOIN c USING (user_id))
+        |GROUP BY cohort_day, age_days
+        |ORDER BY cohort_day, age_days""".stripMargin.replaceAll("\\s+", " "),
 
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(epoch_ns(ts)) AS t_view FROM events
