@@ -151,10 +151,22 @@ object PipelineOps {
     * outer join on the key; at 100 TB both sides hash-partition on the key
     * (and a base bucketed by the key via ScaleOps makes the apply
     * shuffle-free on the big side). Row-level replacement (a NULL column in
-    * a change row wins), not column-level patching. */
+    * a change row wins), not column-level patching.
+    *
+    * The changeset is deduplicated to one row per key first — a duplicate
+    * key would otherwise fan the full outer join out and multiply base
+    * rows. The winner is deterministic (max xxhash64 of the whole row), so
+    * re-runs pick the same survivor; feed a changelog with a real version
+    * column through `latestByKey`-style selection instead if ordering
+    * matters. `changes` must share `base`'s non-key columns by name. */
   def upsert(base: DataFrame, changes: DataFrame, keyCol: String): DataFrame = {
     val cols = base.columns.filter(_ != keyCol)
-    val joined = base.alias("b").join(changes.alias("c"),
+    val one = Window.partitionBy(col(keyCol))
+      .orderBy(xxhash64(struct(changes.columns.map(col): _*)).desc)
+    val changes1 = changes
+      .withColumn("__rn", row_number().over(one))
+      .where(col("__rn") === 1).drop("__rn")
+    val joined = base.alias("b").join(changes1.alias("c"),
       col(s"b.$keyCol") === col(s"c.$keyCol"), "full_outer")
     val replaced = cols.map(n =>
       when(col(s"c.$keyCol").isNotNull, col(s"c.$n")).otherwise(col(s"b.$n")).as(n))

@@ -24,6 +24,9 @@ object QuantileOps {
     val whole = Window.partitionBy(col(groupCol))
     val ranked = df
       .select(col(groupCol), col(valCol))
+      // quantile_cont/percentile semantics ignore NULLs; without this filter
+      // Spark's NULLS FIRST ordering would rank them ahead of every value
+      .where(col(valCol).isNotNull)
       .withColumn("rn", row_number().over(byVal))
       .withColumn("n", count(lit(1)).over(whole))
     // keep only the ≤ 2·|ps| boundary rows per group before aggregating

@@ -27,7 +27,16 @@ object TimeSeriesOps {
     * count. */
   def resampleFill(df: DataFrame, keyCol: String, tsNsCol: String,
                    valCol: String, bucketNs: Long): DataFrame = {
-    val bucket = expr(s"$tsNsCol div ${bucketNs}L").as("bucket")
+    require(bucketNs > 0, s"bucketNs must be positive, got $bucketNs")
+    val ts = col(tsNsCol)
+    // Floor division that matches DuckDB's `//` for negative timestamps too:
+    // ts - pmod(ts, b) is the largest multiple of b that is <= ts, so the
+    // integral divide is exact and its truncation direction is irrelevant.
+    // Column-based (not expr(s"...")) so odd column names needing backticks
+    // still resolve.
+    val bucket =
+      call_function("div", ts - pmod(ts, lit(bucketNs)), lit(bucketNs))
+        .as("bucket")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
     df
       .select(col(keyCol), bucket, col(valCol))

@@ -25,9 +25,18 @@ import java.nio.charset.StandardCharsets
   *
   * Mutable per-connection state, driver-side only (it backs the source's
   * chunk loop, not an executor path).
+  *
+  * The carry is bounded: a peer that never emits `\n` (malformed or
+  * adversarial) would otherwise grow it without limit. Once the carry
+  * exceeds `maxLineBytes` it is dropped and the rest of that record —
+  * through its eventual terminating newline — is discarded too, mirroring
+  * the line-level error-tolerance contract (an oversized record behaves
+  * like an unparseable one). Parsing resumes cleanly at the next line.
   */
-final class NdjsonBuffer {
+final class NdjsonBuffer(maxLineBytes: Int = NdjsonBuffer.DefaultMaxLineBytes) {
+  require(maxLineBytes > 0, s"maxLineBytes must be positive, got $maxLineBytes")
   private var carry: Array[Byte] = Array.emptyByteArray
+  private var discarding = false // inside an oversized record's tail
   private val mapper = new ObjectMapper()
 
   private def isValidJson(s: String): Boolean =
@@ -50,8 +59,11 @@ final class NdjsonBuffer {
     var i = 0
     while (i < buf.length) {
       if (buf(i) == '\n') {
-        val line = new String(buf, start, i - start, StandardCharsets.UTF_8).trim
-        if (line.nonEmpty && isValidJson(line)) out += line
+        if (discarding) discarding = false // oversized record's tail — drop
+        else {
+          val line = new String(buf, start, i - start, StandardCharsets.UTF_8).trim
+          if (line.nonEmpty && isValidJson(line)) out += line
+        }
         start = i + 1
       }
       i += 1
@@ -59,6 +71,11 @@ final class NdjsonBuffer {
     // text after the last '\n' is carried over, never emitted
     // (lib/ndjson.rb:20-23) — a chunk ending in '\n' leaves an empty carry.
     carry = java.util.Arrays.copyOfRange(buf, start, buf.length)
+    if (discarding) carry = Array.emptyByteArray // still inside a dropped record
+    else if (carry.length > maxLineBytes) {
+      carry = Array.emptyByteArray
+      discarding = true
+    }
     out.result()
   }
 
@@ -71,4 +88,10 @@ final class NdjsonBuffer {
   /** Text currently carried (incomplete trailing record; lossy if the carry
     * ends mid-character — inspection only, never re-fed). */
   def pending: String = new String(carry, StandardCharsets.UTF_8)
+}
+
+object NdjsonBuffer {
+  /** Generous for webhook-sized JSON frames while still bounding a
+    * newline-less stream to one buffer's worth of memory. */
+  val DefaultMaxLineBytes: Int = 16 << 20 // 16 MiB
 }

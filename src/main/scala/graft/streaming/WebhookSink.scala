@@ -43,13 +43,31 @@ object WebhookSink {
     * 5xx up to `maxRetries` times (the scale-grade variant of the
     * reference's unchecked fire-and-forget — transient webhook hiccups stop
     * dropping notifications, while 4xx still fails fast as non-retryable).
-    * Returns the final status code. */
+    * Returns the final status code.
+    *
+    * Delivery guarantee on the retry path is **at-least-once**: a 5xx
+    * returned after the server already processed the POST is retried, so
+    * receivers must tolerate duplicate notifications. `maxRetries = 0` (the
+    * [[deliver]] default) degrades to the reference's fire-and-forget
+    * at-most-once. Backoff sleeps abort promptly on task cancellation —
+    * `Thread.sleep` throws `InterruptedException` when Spark kills the task,
+    * and we also poll `TaskContext.isInterrupted` so query stop is never
+    * delayed by a full backoff ladder. */
   def postWithRetry(url: String, json: String,
                     maxRetries: Int = 3, backoffMs: Long = 100): Int = {
+    def interrupted: Boolean = {
+      val tc = org.apache.spark.TaskContext.get()
+      tc != null && tc.isInterrupted()
+    }
     var attempt = 0
     var code = post(url, json)
-    while ((code == -1 || code >= 500) && attempt < maxRetries) {
-      Thread.sleep(backoffMs << attempt) // 100, 200, 400, ...
+    while ((code == -1 || code >= 500) && attempt < maxRetries && !interrupted) {
+      try Thread.sleep(backoffMs << attempt) // 100, 200, 400, ...
+      catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt() // preserve the cancel signal
+          return code
+      }
       attempt += 1
       code = post(url, json)
     }

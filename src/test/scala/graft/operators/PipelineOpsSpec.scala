@@ -154,6 +154,37 @@ class PipelineOpsSpec extends SparkSpec {
     // interpolation positions
   }
 
+  test("upsert tolerates duplicate keys in the changeset without fanning out") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
+    val dup = Seq((2L, "b1", 21.0), (2L, "b2", 22.0), (2L, "b1", 21.0))
+      .toDF("k", "name", "bal")
+    val out = PipelineOps.upsert(base, dup, "k")
+    assert(out.count() == 2) // no join fan-out from the 3 duplicate rows
+    val again = PipelineOps.upsert(base, dup, "k")
+      .orderBy("k").collect().toSeq
+    assert(out.orderBy("k").collect().toSeq == again) // deterministic winner
+  }
+
+  test("exactQuantiles ignores NULL values like percentile/quantile_cont") {
+    val withNulls = (Seq.tabulate(99)(i => ("g0", Option(i + 1.0))) ++
+      Seq.fill(50)(("g0", None: Option[Double]))).toDF("g", "v")
+    val ours = PipelineOpsSpecHelper.quantiles(withNulls)
+    // built-in percentile also skips NULLs → quantiles of 1..99
+    assert(ours.map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))) ==
+      Seq((25.5, 50.0, 74.5)))
+  }
+
+  test("resampleFill floors negative timestamps into earlier buckets") {
+    val out = TimeSeriesOps.resampleFill(
+      Seq((1L, -1L, 5.0), (1L, 25L, 7.0)).toDF("k", "ts", "v"), "k", "ts", "v", 10L)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // -1 belongs to bucket -1 (floor), not bucket 0 (truncation); the gap
+    // rows -1..2 forward-fill and sequence() stays ascending
+    assert(out.toSeq == Seq(
+      (-1L, 1L, 5.0), (0L, 0L, 5.0), (1L, 0L, 5.0), (2L, 1L, 7.0)))
+  }
+
   test("keySkew: uniform keys give entropy log2(k)") {
     val d = (0 until 64).map(i => (i % 8, "x")).toDF("k", "v")
     val r = PipelineOps.keySkew(d, "k").collect().head

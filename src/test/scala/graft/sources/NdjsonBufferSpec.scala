@@ -79,6 +79,26 @@ class NdjsonBufferSpec extends AnyFunSuite {
     }
   }
 
+  test("newline-less stream bounds the carry and drops the oversized record") {
+    val b = new NdjsonBuffer(maxLineBytes = 32)
+    // 3 × 20 bytes, no newline: carry is dropped once it crosses 32 bytes
+    assert(b.feed("x" * 20).isEmpty)
+    assert(b.feed("x" * 20).isEmpty)
+    assert(b.pending.isEmpty) // capped, not 40 bytes
+    assert(b.feed("x" * 20).isEmpty)
+    // the record's eventual tail (through its newline) is still discarded,
+    // and parsing resumes cleanly on the next line
+    assert(b.feed("tail\"}\n{\"ok\":1}\n") == Seq("{\"ok\":1}"))
+    assert(b.pending.isEmpty)
+  }
+
+  test("carry cap leaves records at or under the limit untouched") {
+    val b = new NdjsonBuffer(maxLineBytes = 64)
+    val line = """{"k":"0123456789012345678901234567890123456789"}"""
+    assert(b.feed(line.substring(0, 30)).isEmpty)
+    assert(b.feed(line.substring(30) + "\n") == Seq(line))
+  }
+
   test("property: any chunking of a valid NDJSON string parses identically") {
     (1 to 200).foreach { seed =>
       val rnd = new scala.util.Random(seed)

@@ -197,4 +197,17 @@ class NomadEventSourceSpec extends SparkSpec {
         maxRetries = 1, backoffMs = 10) == -1)
     } finally server.stop(0)
   }
+
+  test("postWithRetry aborts the backoff ladder on thread interrupt") {
+    // unreachable endpoint + a 10 s backoff: without the interrupt check
+    // this would sleep out the full ladder and stall query shutdown
+    val t0 = System.nanoTime()
+    Thread.currentThread().interrupt()
+    val code =
+      try WebhookSink.postWithRetry("http://127.0.0.1:1/hook", "{}",
+        maxRetries = 5, backoffMs = 10000)
+      finally assert(Thread.interrupted()) // signal preserved (and cleared for later tests)
+    assert(code == -1)
+    assert((System.nanoTime() - t0) < 5L * 1000 * 1000 * 1000)
+  }
 }
