@@ -55,7 +55,8 @@ object SparkEntry {
     (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
     (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracles),
     (graft.queries.FunctionQueries.queries, graft.queries.FunctionQueries.oracles),
-    (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracles)
+    (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracles),
+    (graft.queries.AnalyticsQueries.queries, graft.queries.AnalyticsQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -214,4 +214,64 @@ object DedupOps {
       .where(col("hamming") <= maxHamming)
       .select("ida", "idb", "hamming")
   }
+
+  /** Connected components over near-duplicate pairs: the clustering step
+    * between candidate generation ([[ngramJaccard]]/[[minhashLsh]]/
+    * [[simhashPairs]]) and canonical-document selection — every doc in a
+    * cluster gets the cluster's minimum doc id as its label, so "keep one
+    * per cluster" is a plain filter on `doc_id === cluster`.
+    *
+    * Iterative distributed min-label propagation with pointer jumping:
+    * each round every node takes the min of its own label and its
+    * neighbours' labels, then relabels through its label's own label
+    * (label(id) := label(label(id))) — the classic doubling step, so
+    * convergence needs O(log diameter) rounds, not diameter. Each round's
+    * result is lineage-truncated (`localCheckpoint`) — without that the
+    * self-referential plan doubles every round; on a real cluster point
+    * the session at a checkpoint dir and swap in reliable `checkpoint` for
+    * fault tolerance. Convergence is the label-sum fixpoint: labels only
+    * ever decrease, so an unchanged sum IS the fixpoint (summed in
+    * decimal(38,0): no overflow at any id scale). Nothing collects to the
+    * driver; the per-round action is one scalar aggregate.
+    *
+    * Output: one row per node appearing in `pairs` — (id, cluster), where
+    * cluster = the component's minimum id. Singleton documents never enter
+    * the pair list and are absent (their cluster is trivially themselves). */
+  def connectedComponents(pairs: DataFrame, idaCol: String = "ida",
+                          idbCol: String = "idb", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idaCol).as("src"), col(idbCol).as("dst"))
+      .union(pairs.select(col(idbCol).as("src"), col(idaCol).as("dst")))
+      .distinct()
+      .persist()
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("cluster").cast("decimal(38,0)"))).first().getDecimal(0)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val fromNeighbours = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("cluster"))
+      val combined = labels.select("id", "cluster").union(fromNeighbours)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+      // pointer jump: follow the label one hop (labels are node ids, so the
+      // label's own row always exists; left join guards the root, whose
+      // label is itself)
+      val next = combined
+        .join(combined.select(col("id").as("cluster"), col("cluster").as("jump")),
+          Seq("cluster"), "left")
+        .select(col("id"), coalesce(col("jump"), col("cluster")).as("cluster"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      labels = next
+      done = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

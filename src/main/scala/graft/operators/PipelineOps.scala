@@ -174,6 +174,39 @@ object PipelineOps {
       coalesce(col(s"c.$keyCol"), col(s"b.$keyCol")).as(keyCol) +: replaced: _*)
   }
 
+  /** SCD-2 history build: turn a keyed changelog into versioned validity
+    * ranges — consecutive rows with the same state collapse into one
+    * version carrying `valid_from`/`valid_to` (null = current) and the
+    * collapsed row count.
+    *
+    * Gaps-and-islands via change flags: a row opens a new island when its
+    * state differs from its predecessor's (`lag`), and the running sum of
+    * those flags is the island id — both window functions share one
+    * key-partitioned sort, the island aggregation and the `valid_to`
+    * window cluster on the same key, so the whole history builds off a
+    * single exchange. Event time is µs-truncated ns (the engine-wide
+    * ns-stream convention); `tieCol` must make (key, ts, tie) unique for a
+    * deterministic history. */
+  def scd2History(df: DataFrame, keyCol: String, tsNsCol: String,
+                  tieCol: String, stateCol: String): DataFrame = {
+    val tsU = col(tsNsCol) - pmod(col(tsNsCol), lit(1000L))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("ts_us"), col(tieCol))
+    val running = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val versions = df
+      .select(col(keyCol), tsU.as("ts_us"), col(tieCol), col(stateCol).as("state"))
+      .withColumn("chg",
+        when(col("state") <=> lag(col("state"), 1).over(byKey), 0L).otherwise(1L))
+      .withColumn("island", sum(col("chg")).over(running))
+      .groupBy(col(keyCol), col("state"), col("island"))
+      .agg(min(col("ts_us")).as("valid_from"), count(lit(1)).as("n_events"))
+    val byStart = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    versions
+      .withColumn("version", row_number().over(byStart).cast("long"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byStart))
+      .select(col(keyCol), col("version"), col("state"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+  }
+
   /** Keyed pseudonymization: replace a stable identifier with its SHA-256
     * digest — referential integrity preserved (same key → same pseudonym),
     * original not recoverable. Pure map, no shuffle. */

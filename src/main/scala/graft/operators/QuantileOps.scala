@@ -50,4 +50,23 @@ object QuantileOps {
       .groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Fixed-width histogram of `valCol`: bin index, count, and the bin's
+    * observed min/max. Values below `lo` clamp into bin 0 and values at or
+    * above `lo + nBins·width` into the last bin (open outer bins). One
+    * partial-combined aggregation on the bin index — the two-pass
+    * "min/max then bin" dance is avoided by fixing the range up front,
+    * which is also what keeps the bin boundaries stable across reruns and
+    * engines. Only non-empty bins appear; NULL values are dropped. */
+  def histogram(df: DataFrame, valCol: String,
+                lo: Double, width: Double, nBins: Int): DataFrame = {
+    require(width > 0 && nBins > 0, s"need width>0, nBins>0; got $width, $nBins")
+    val v = col(valCol)
+    val bin = least(greatest(floor((v - lit(lo)) / lit(width)), lit(0L)),
+      lit(nBins - 1L)).cast("long")
+    df.where(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        round(min(v), 6).as("min_v"), round(max(v), 6).as("max_v"))
+  }
 }

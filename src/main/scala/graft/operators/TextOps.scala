@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline: language ID,
@@ -79,4 +80,88 @@ object TextOps {
       col(idCol),
       fingerprint(col(textCol)).as("fp_md5"),
       rollingHash(tokens(normalized(col(textCol)))).as("fp_rolling"))
+
+  /** (doc_id, term, tf) term frequencies — the shared base of the IR
+    * operators below. One explode + one (doc, term) aggregation; partial
+    * (map-side) combine absorbs most of the explode fan-out before the
+    * shuffle. */
+  private def termFreqs(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-k keywords per document by TF-IDF (idf = ln(N/df)).
+    *
+    * Plan: per-(doc,term) tf → per-term df (a second, far smaller
+    * aggregation) → join tf⋈df on term → per-doc top-k window. The df table
+    * has one row per vocabulary term — at 100 TB that is still tiny next to
+    * the corpus, so AQE broadcasts it; the only big shuffles are the two
+    * aggregations, both partial-combined. N (corpus size) is a broadcast
+    * scalar, not a window over the data. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tf = termFreqs(docs, textCol, idCol)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+  }
+
+  /** BM25 ranking of the corpus against a bag of query terms
+    * (Robertson/Sparck Jones; the `ln(1 + (N-df+0.5)/(df+0.5))` idf variant
+    * that stays positive for common terms).
+    *
+    * The query side is literal terms — the tf table is filtered with `isin`
+    * (pushed to the scan side of the aggregate), idf constants live in a
+    * broadcast row, and the final top-k is `orderBy.limit` =
+    * TakeOrderedAndProject: per-partition heaps, no global sort. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+           k1: Double = 1.2, b: Double = 0.75,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tf = termFreqs(docs, textCol, idCol)
+      .where(col("term").isin(queryTerms: _*))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(tokens(col(textCol))).cast("double")).as("avgdl"))
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("double").as("dl"))
+    val idf = df.crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+    val perTerm = tf
+      .join(broadcast(idf), "term")
+      .join(dl, "doc_id")
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    perTerm
+      .groupBy("doc_id")
+      .agg(round(sum("contrib"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Inverted index: one row per term with document frequency, collection
+    * frequency, and the sorted distinct posting list. Single aggregation on
+    * the term after the explode; posting lists are built from the already
+    * per-(doc,term)-collapsed tf rows, so the collected arrays carry one
+    * entry per document, not per occurrence. */
+  def invertedIndex(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    termFreqs(docs, textCol, idCol)
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        sum("tf").as("cf"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,5 +54,80 @@ object TimeSeriesOps {
         when(col("b") === col("bucket"), col("n")).otherwise(lit(0L)).as("n"),
         round(when(col("b") === col("bucket"), col("v")).otherwise(col("prev_v")), 6)
           .as("v_fill"))
+  }
+
+  private val DayNs = 86400L * 1000 * 1000 * 1000
+
+  /** Floor division on Column longs (DuckDB `//` semantics, negative-safe). */
+  private def floorDiv(c: Column, by: Long): Column =
+    call_function("div", c - pmod(c, lit(by)), lit(by))
+
+  /** Trailing `windowDays`-day rolling distinct actives per day (the
+    * DAU/WAU/MAU family): for each day, the count of distinct keys seen in
+    * the trailing window ending that day.
+    *
+    * Scale shape: `count(DISTINCT x)` over a sliding RANGE window
+    * re-buffers every frame; instead each distinct (day, key) pair — one
+    * shuffle, partial-combined — contributes itself to the `windowDays`
+    * window ends it falls into via a narrow `sequence`+`explode` (fan-out =
+    * windowDays, a constant), then one count-distinct per day. Two
+    * aggregation shuffles total, no window operator, no per-frame
+    * re-buffering. Days with no activity of their own still appear while a
+    * trailing window covers them. */
+  def rollingDistinctActives(df: DataFrame, keyCol: String, tsNsCol: String,
+                             windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val active = df
+      .select(floorDiv(col(tsNsCol), DayNs).as("day"), col(keyCol).as("k"))
+      .distinct()
+    active
+      .select(col("k"),
+        explode(sequence(col("day"), col("day") + lit(windowDays - 1))).as("day"))
+      .groupBy("day")
+      .agg(count_distinct(col("k")).as("actives"))
+  }
+
+  /** Rolling z-score anomaly detection per key: each point is scored
+    * against the mean/stddev of the `lookback` points strictly before it
+    * (so the point never masks its own deviation). Points with fewer than
+    * `minPrior` predecessors or zero variance get a null score.
+    *
+    * One key-partitioned sort window — the canonical distributed shape:
+    * keys hash across the cluster, frames never cross keys. Event time is
+    * µs-truncated ns (the engine-wide convention for the ns-precision
+    * event stream); `tieCol` must make (key, ts, tie) unique or frame
+    * contents are nondeterministic. */
+  def zscoreAnomalies(df: DataFrame, keyCol: String, tsNsCol: String,
+                      tieCol: String, valCol: String,
+                      lookback: Int = 20, threshold: Double = 2.5,
+                      minPrior: Int = 5): DataFrame = {
+    val tsU = (col(tsNsCol) - pmod(col(tsNsCol), lit(1000L))).as("ts_us")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts_us"), col(tieCol))
+      .rowsBetween(-lookback, -1)
+    df.select(col(keyCol), tsU, col(tieCol), col(valCol))
+      .withColumn("prior_n", count(col(valCol)).over(w))
+      .withColumn("prior_mean", avg(col(valCol)).over(w))
+      .withColumn("prior_std", stddev_samp(col(valCol)).over(w))
+      .withColumn("z",
+        when(col("prior_n") >= minPrior && col("prior_std") > 0,
+          round((col(valCol) - col("prior_mean")) / col("prior_std"), 4)))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold, lit(false)))
+      .drop("prior_n", "prior_mean", "prior_std")
+  }
+
+  /** First-order transition counts between consecutive states per key (the
+    * Markov-chain / clickstream-path matrix): (state, next_state, count)
+    * over each key's time-ordered sequence. One key-partitioned window for
+    * `lead`, one global aggregation over the tiny (states²) result. */
+  def transitionCounts(df: DataFrame, keyCol: String, tsNsCol: String,
+                       tieCol: String, stateCol: String): DataFrame = {
+    val tsU = col(tsNsCol) - pmod(col(tsNsCol), lit(1000L))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("ts_us"), col(tieCol))
+    df.select(col(keyCol), tsU.as("ts_us"), col(tieCol), col(stateCol).as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .where(col("dst").isNotNull)
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("cnt"))
   }
 }

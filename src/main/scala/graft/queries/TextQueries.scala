@@ -110,6 +110,31 @@ object TextQueries {
         .binaryMeta(t.documents.withColumn("blob", col("text").cast("binary")),
           binCol = "blob", idCol = "doc_id")
         .orderBy("doc_id")
+    },
+
+    // TF-IDF keyword extraction: top-3 terms per document.
+    "q_tfidf" -> { t =>
+      TextOps.tfidfTopK(t.documents, k = 3).orderBy("doc_id", "rank")
+    },
+
+    // BM25 ranking of the corpus for a fixed query bag ('dup' is the
+    // corpus's one rare token — high idf — so the ranking is non-trivial).
+    "q_bm25" -> { t =>
+      TextOps.bm25(t.documents, Seq("dup", "join", "spark"), k = 20)
+    },
+
+    // Full inverted index: df/cf + sorted posting list per term.
+    "q_inverted_index" -> { t =>
+      TextOps.invertedIndex(t.documents).orderBy("term")
+    },
+
+    // Near-dup clustering: connected components over the jaccard pair graph
+    // (iterative distributed min-label propagation; oracled by a DuckDB
+    // recursive-CTE transitive closure).
+    "q_dedup_clusters" -> { t =>
+      DedupOps.connectedComponents(DedupOps.ngramJaccard(t.documents, n = 4, threshold = 0.5))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -196,6 +221,73 @@ object TextQueries {
         |upper(hex(substr(text, 1, 8))) AS header_hex,
         |64 + octet_length(CAST(text AS BLOB)) % 512 AS width,
         |64 + (octet_length(CAST(text AS BLOB)) * 7) % 512 AS height
-        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, score, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok IN ('dup', 'join', 'spark') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * (1.2 + 1.0)) /
+        |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS contrib
+        |  FROM tf JOIN df ON tf.term = df.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)
+        |SELECT doc_id, round(sum(contrib), 6) AS score FROM c GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+        |list(doc_id ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY term ORDER BY term""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_dedup_clusters" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |cand AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT ida, idb FROM cand
+        |  JOIN sz na ON na.doc_id = ida
+        |  JOIN sz nb ON nb.doc_id = idb
+        |  WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.5),
+        |edges AS (SELECT ida AS src, idb AS dst FROM pr
+        |  UNION SELECT idb, ida FROM pr),
+        |closure AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT c.id, e.dst AS r FROM closure c JOIN edges e ON e.src = c.r)
+        |SELECT id AS doc_id, min(r) AS cluster FROM closure GROUP BY id
+        |ORDER BY doc_id""".stripMargin).replaceAll("\\s+", " ")
   )
 }

@@ -115,6 +115,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 2, s"resampleFill grew to $exchanges exchanges:\n$plan")
   }
 
+  test("scd2 history builds off a single key exchange") {
+    import graft.operators.PipelineOps
+    val df = PipelineOps.scd2History(t.events, "user_id", "ts", "event_id", "event_type")
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    // lag+running-sum islands, the island aggregation, and the valid_to
+    // window all cluster on user_id — one hash exchange total
+    assert(exchanges <= 1, s"scd2History grew to $exchanges exchanges:\n$plan")
+  }
+
+  test("rolling distinct actives partial-aggregates both shuffles, no window operator") {
+    import graft.operators.TimeSeriesOps
+    val df = TimeSeriesOps.rollingDistinctActives(t.events, "user_id", "ts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sliding count-distinct via window:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"missing partial aggregation stage:\n$plan")
+  }
+
+  test("tf-idf broadcasts the vocabulary df table (tf never reshuffles for it)") {
+    val plan = executedPlan("q_tfidf").toString
+    assert(plan.contains("BroadcastHashJoin"), s"df table not broadcast:\n$plan")
+  }
+
+  test("bm25 pushes the query-term filter into the parquet scan era and takes top-k without a global sort") {
+    val plan = planString("q_bm25")
+    assert(plan.contains("TakeOrderedAndProject"), s"bm25 global-sorts:\n$plan")
+  }
+
   test("native vec_dot expression participates in codegen (no fallback)") {
     val df = t.embeddings
       .select(graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit semantics of the round-4 analytics and IR operators; cross-engine
+  * values are pinned by the q_* oracles (AnalyticsQueries / TextQueries).
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scd2History compresses runs and chains validity ranges") {
+    // user 1: a,a,b,a → versions a[10,30) b[30,40) a[40,null); user 2: x
+    val e = Seq(
+      (1L, 10_000L, 1L, "a"), (1L, 20_000L, 2L, "a"),
+      (1L, 30_000L, 3L, "b"), (1L, 40_000L, 4L, "a"),
+      (2L, 15_000L, 5L, "x")).toDF("user_id", "ts", "event_id", "event_type")
+    val out = PipelineOps.scd2History(e, "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "a", 10_000L, Some(30_000L), 2L),
+      (1L, 2L, "b", 30_000L, Some(40_000L), 1L),
+      (1L, 3L, "a", 40_000L, None, 1L),
+      (2L, 1L, "x", 15_000L, None, 1L)))
+  }
+
+  test("rollingDistinctActives counts trailing-window distinct keys") {
+    val day = 86_400_000_000_000L
+    // user 1 active day 0; user 2 active days 0 and 2; window = 3 days
+    val e = Seq((1L, 0L), (2L, day / 2), (2L, 2 * day))
+      .toDF("user_id", "ts")
+    val out = TimeSeriesOps.rollingDistinctActives(e, "user_id", "ts", windowDays = 3)
+      .orderBy("day").collect().map(r => r.getLong(0) -> r.getLong(1))
+    // day 0: {1,2}; day 1: {1,2}; day 2: {1,2}∪{2}; days 3-4: {2} from day 2
+    assert(out.toSeq == Seq(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("zscoreAnomalies scores against prior-only frames and withholds early points") {
+    // values alternate 10/11 (so the prior window has variance), then jump
+    val e = (1 to 10).map(i =>
+      ("k", i * 1_000_000L, i.toLong, if (i == 10) 100.0 else 10.0 + i % 2))
+      .toDF("event_type", "ts", "event_id", "value")
+    val out = TimeSeriesOps.zscoreAnomalies(e, "event_type", "ts", "event_id", "value",
+        lookback = 20, threshold = 2.5, minPrior = 5)
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(2), Option(r.get(4)).map(_.asInstanceOf[Double]),
+        r.getBoolean(5)))
+    // first 5 points lack minPrior predecessors → null z, never flagged
+    assert(out.take(5).forall { case (_, z, flag) => z.isEmpty && !flag })
+    // in-distribution points score small; the jump at i=10 flags
+    assert(out.slice(5, 9).forall { case (_, z, flag) => z.exists(math.abs(_) < 2.5) && !flag })
+    assert(out.last._2.exists(_ > 2.5) && out.last._3)
+  }
+
+  test("zscoreAnomalies yields null z on zero-variance priors, not a blow-up") {
+    val e = (1 to 8).map(i => ("k", i * 1_000L, i.toLong, 7.0))
+      .toDF("event_type", "ts", "event_id", "value")
+    val out = TimeSeriesOps.zscoreAnomalies(e, "event_type", "ts", "event_id", "value")
+      .collect()
+    assert(out.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
+  }
+
+  test("transitionCounts builds the per-key consecutive-pair matrix") {
+    val e = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
+      (2L, 1L, 4L, "a"), (2L, 2L, 5L, "b")).toDF("user_id", "ts", "event_id", "event_type")
+    val out = TimeSeriesOps.transitionCounts(e, "user_id", "ts", "event_id", "event_type")
+      .orderBy("src", "dst").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
+  test("histogram clamps outliers into the outer bins and drops NULLs") {
+    val d = Seq(Some(-5.0), Some(0.0), Some(9.9), Some(10.0), Some(25.0),
+      Some(99.0), Some(1000.0), None).toDF("v")
+    val out = QuantileOps.histogram(d, "v", lo = 0.0, width = 10.0, nBins = 10)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, -5.0, 9.9), (1L, 1L, 10.0, 10.0), (2L, 1L, 25.0, 25.0),
+      (9L, 2L, 99.0, 1000.0)))
+  }
+
+  test("connectedComponents labels every member with the component minimum") {
+    // two components: {1,2,3,4} via a chain (diameter 3) and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("ida", "idb")
+    val out = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents converges on a long chain within the iteration cap") {
+    val n = 40
+    val pairs = (1 until n).map(i => (i.toLong, i + 1L)).toDF("ida", "idb")
+    val out = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == n && out.forall(_._2 == 1L))
+  }
+
+  test("tfidfTopK ranks rare terms above common ones") {
+    val docs = Seq(
+      (1L, "common common rare"), (2L, "common common common"),
+      (3L, "common other other")).toDF("doc_id", "text")
+    val top = TextOps.tfidfTopK(docs, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // 'common' appears in all 3 docs → idf 0 → never a keyword
+    assert(top(1L) == "rare" && top(3L) == "other")
+  }
+
+  test("bm25 ranks the doc containing the rare query term first") {
+    val docs = Seq(
+      (1L, "join scan sort"), (2L, "dup scan sort"), (3L, "scan sort agg"))
+      .toDF("doc_id", "text")
+    val ranked = TextOps.bm25(docs, Seq("dup", "join"), k = 3)
+      .collect().map(_.getLong(0))
+    // doc 2 has 'dup' (df=1), doc 1 only 'join' (df=1): tie in idf broken by
+    // neither — both single-hit, same dl → same score, doc_id tiebreak;
+    // doc 3 matches nothing and is absent
+    assert(ranked.toSeq == Seq(1L, 2L))
+  }
+
+  test("invertedIndex postings are sorted, distinct, and df/cf disagree on repeats") {
+    val docs = Seq((3L, "x x y"), (1L, "x z")).toDF("doc_id", "text")
+    val out = TextOps.invertedIndex(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("x", 2L, 3L, Seq(1L, 3L)), ("y", 1L, 1L, Seq(3L)), ("z", 1L, 1L, Seq(1L))))
+  }
+}
