@@ -70,6 +70,28 @@ object MultimodalOps {
     }.toDF("id", "frame_offset", "frame_bytes")
   }
 
+  /** Column-level frame sampling: every `stride`-th `frameLen`-byte slice
+    * of a binary column, as (id, frame_offset, frame_hex) rows — the same
+    * access pattern as [[sampleFrames]] but expressed with
+    * `sequence`+`explode`+`substr`, so it stays inside whole-stage codegen
+    * and needs no typed serialization. Payloads shorter than one frame
+    * yield no rows. The explode fan-out is bounded by payload/stride — a
+    * narrow generator, no shuffle. */
+  def frameSlices(df: DataFrame, binCol: String, idCol: String,
+                  frameLen: Int, stride: Int): DataFrame = {
+    require(frameLen > 0 && stride > 0, s"need frameLen>0, stride>0; got $frameLen, $stride")
+    val step = stride.toLong * frameLen
+    df.select(col(idCol), col(binCol),
+        length(col(binCol)).cast("long").as("n"))
+      .where(col("n") >= frameLen)
+      .select(col(idCol),
+        explode(sequence(lit(0L), col("n") - frameLen, lit(step))).as("frame_offset"),
+        col(binCol))
+      .select(col(idCol), col("frame_offset"),
+        upper(hex(col(binCol).substr(col("frame_offset").cast("int") + 1,
+          lit(frameLen)))).as("frame_hex"))
+  }
+
   /** Column-level metadata over any DataFrame with a binary column —
     * the oracle-checkable subset (length, digest, header bytes, stub dims).
     */

@@ -181,6 +181,25 @@ object FunctionQueries {
             slice(zip_with(col("toks"), col("lens"),
               (tok, l) => concat(tok, lit(":"), l.cast("string"))), 1, 3)).as("z3"))
         .orderBy("doc_id")
+    },
+
+    // URL function surface: parse_url component extraction + percent
+    // encoding over URLs assembled in-plan (the oracle replicates with
+    // regexes, DuckDB having no parse_url).
+    "q_url_funcs" -> { t =>
+      val url = concat(lit("https://ex.example/"), col("event_type"),
+        lit("/"), col("event_id").cast("string"),
+        lit("?u="), col("user_id").cast("string"), lit("&v=2"))
+      t.events
+        .withColumn("url", url)
+        .select(
+          col("event_id"),
+          col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("u")).as("q_u"))
+        .orderBy("event_id")
     }
   )
 
@@ -295,6 +314,19 @@ object FunctionQueries {
         |len(list_filter(t, x -> length(x) >= 8)) > 0 AS has_long,
         |array_to_string([t[i] || ':' || CAST(length(t[i]) AS VARCHAR)
         |                 for i in range(1, least(len(t), 3) + 1)], '|') AS z3
-        |FROM tok ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+        |FROM tok ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_url_funcs" ->
+      """WITH u AS (
+        |  SELECT event_id,
+        |    'https://ex.example/' || event_type || '/' || CAST(event_id AS VARCHAR)
+        |      || '?u=' || CAST(user_id AS VARCHAR) || '&v=2' AS url
+        |  FROM events)
+        |SELECT event_id, url,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |  regexp_extract(url, '[?&]u=([^&#]*)', 1) AS q_u
+        |FROM u ORDER BY event_id""".stripMargin.replaceAll("\\s+", " ")
   )
 }

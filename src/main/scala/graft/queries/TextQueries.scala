@@ -135,6 +135,24 @@ object TextQueries {
       DedupOps.connectedComponents(DedupOps.ngramJaccard(t.documents, n = 4, threshold = 0.5))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // The actionable tail of near-dup clustering: the docs to DROP (every
+    // cluster member except the canonical minimum-id keeper).
+    "q_dedup_drop" -> { t =>
+      DedupOps.connectedComponents(DedupOps.ngramJaccard(t.documents, n = 4, threshold = 0.5))
+        .where(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"), col("cluster").as("keeper"))
+        .orderBy("doc_id")
+    },
+
+    // Multimodal frame sampling: every 2nd 16-byte slice of the payload,
+    // column-level (sequence+explode+substr — stays in codegen).
+    "q_media_frames" -> { t =>
+      graft.operators.MultimodalOps.frameSlices(
+          t.documents.withColumn("blob", col("text").cast("binary")),
+          binCol = "blob", idCol = "doc_id", frameLen = 16, stride = 2)
+        .orderBy("doc_id", "frame_offset")
     }
   )
 
@@ -288,6 +306,38 @@ object TextQueries {
         |  UNION
         |  SELECT c.id, e.dst AS r FROM closure c JOIN edges e ON e.src = c.r)
         |SELECT id AS doc_id, min(r) AS cluster FROM closure GROUP BY id
-        |ORDER BY doc_id""".stripMargin).replaceAll("\\s+", " ")
+        |ORDER BY doc_id""".stripMargin).replaceAll("\\s+", " "),
+
+    "q_dedup_drop" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |cand AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT ida, idb FROM cand
+        |  JOIN sz na ON na.doc_id = ida
+        |  JOIN sz nb ON nb.doc_id = idb
+        |  WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.5),
+        |edges AS (SELECT ida AS src, idb AS dst FROM pr
+        |  UNION SELECT idb, ida FROM pr),
+        |closure AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT c.id, e.dst AS r FROM closure c JOIN edges e ON e.src = c.r)
+        |SELECT id AS doc_id, min(r) AS keeper FROM closure GROUP BY id
+        |HAVING min(r) <> id ORDER BY doc_id""".stripMargin).replaceAll("\\s+", " "),
+
+    "q_media_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id, upper(hex(CAST(text AS BLOB))) AS h,
+        |    octet_length(CAST(text AS BLOB)) AS n
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, h, unnest(range(0, n - 16 + 1, 32)) AS frame_offset
+        |  FROM b WHERE n >= 16)
+        |SELECT doc_id, frame_offset,
+        |  substring(h, 2 * frame_offset + 1, 32) AS frame_hex
+        |FROM o ORDER BY doc_id, frame_offset""".stripMargin.replaceAll("\\s+", " ")
   )
 }

@@ -120,6 +120,18 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(ranked.toSeq == Seq(1L, 2L))
   }
 
+  test("frameSlices emits strided fixed-length slices, skipping short payloads") {
+    val d = Seq((1L, "abcdefghijklmnop"), (2L, "ab")).toDF("id", "s")
+      .withColumn("blob", col("s").cast("binary"))
+    val out = MultimodalOps.frameSlices(d, "blob", "id", frameLen = 4, stride = 2)
+      .orderBy("id", "frame_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // doc 1 (16 bytes): step = stride·frameLen = 8, offsets 0 and 8, both
+    // full 4-byte frames; doc 2 is shorter than one frame and yields nothing
+    assert(out.toSeq == Seq(
+      (1L, 0L, "61626364"), (1L, 8L, "696A6B6C")))
+  }
+
   test("invertedIndex postings are sorted, distinct, and df/cf disagree on repeats") {
     val docs = Seq((3L, "x x y"), (1L, "x z")).toDF("doc_id", "text")
     val out = TextOps.invertedIndex(docs)
