@@ -144,6 +144,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"bm25 global-sorts:\n$plan")
   }
 
+  test("zscore's three frame aggregates share one Window operator and one exchange") {
+    import graft.operators.TimeSeriesOps
+    val df = TimeSeriesOps.zscoreAnomalies(t.events, "event_type", "ts", "event_id", "value")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).size <= 1, s"window split:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size <= 1, s"extra exchange:\n$plan")
+  }
+
+  test("frame sampling is a narrow generator: no shuffle, binary column pruned to referenced") {
+    import graft.operators.MultimodalOps
+    val df = MultimodalOps.frameSlices(
+      t.documents.withColumn("blob", col("text").cast("binary")),
+      binCol = "blob", idCol = "doc_id", frameLen = 16, stride = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frameSlices shuffles:\n$plan")
+  }
+
   test("native vec_dot expression participates in codegen (no fallback)") {
     val df = t.embeddings
       .select(graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
