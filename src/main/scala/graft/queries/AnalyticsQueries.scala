@@ -47,6 +47,25 @@ object AnalyticsQueries {
     "q_histogram" -> { t =>
       QuantileOps.histogram(t.orders, "o_totalprice", lo = 0.0, width = 50000.0, nBins = 10)
         .orderBy("bin")
+    },
+
+    // Statistical aggregate surface: correlation, covariance, dispersion,
+    // and least-squares regression per group — all single-pass partial
+    // aggregates (Spark's declarative aggregates merge moment sketches, so
+    // the shuffle carries a handful of doubles per group, never values).
+    "q_stat_aggs" -> { t =>
+      import org.apache.spark.sql.functions._
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("std_price"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -110,6 +129,17 @@ object AnalyticsQueries {
         |CAST(count(*) AS BIGINT) AS cnt,
         |round(min(o_totalprice), 6) AS min_v, round(max(o_totalprice), 6) AS max_v
         |FROM orders WHERE o_totalprice IS NOT NULL
-        |GROUP BY 1 ORDER BY bin""".stripMargin.replaceAll("\\s+", " ")
+        |GROUP BY 1 ORDER BY bin""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_stat_aggs" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |round(stddev_samp(l_extendedprice), 4) AS std_price,
+        |round(var_samp(l_quantity), 4) AS var_qty,
+        |round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\\s+", " ")
   )
 }
