@@ -146,6 +146,24 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // End-to-end curation composition: quality filter → exact-dedup keeper
+    // → deterministic split → per-split corpus stats. The point is that the
+    // curation operators compose into one declarative plan Catalyst
+    // optimizes whole (semi-join-able keepers, one final aggregation) —
+    // no materialisation between stages.
+    "q_curation_e2e" -> { t =>
+      val q = TextOps.qualityScore(t.documents)
+        .where(col("quality") >= 0.38)
+        .select(col("doc_id"), col("n_tokens"))
+      val keepers = DedupOps.exact(t.documents).select(col("keeper").as("doc_id"))
+      val kept = t.documents.join(q, "doc_id").join(keepers, "doc_id")
+      graft.operators.PipelineOps.hashSplit(kept)
+        .join(q, "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("split")
+    },
+
     // Multimodal frame sampling: every 2nd 16-byte slice of the payload,
     // column-level (sequence+explode+substr — stays in codegen).
     "q_media_frames" -> { t =>
@@ -327,6 +345,29 @@ object TextQueries {
         |  SELECT c.id, e.dst AS r FROM closure c JOIN edges e ON e.src = c.r)
         |SELECT id AS doc_id, min(r) AS keeper FROM closure GROUP BY id
         |HAVING min(r) <> id ORDER BY doc_id""".stripMargin).replaceAll("\\s+", " "),
+
+    "q_curation_e2e" ->
+      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         |q AS (
+         |  SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    round(least(len(t) / 100.0, 1.0) * 0.3 +
+         |      (len(list_distinct(t)) * 1.0 / len(t)) * 0.4 +
+         |      (len(list_filter(t, x -> list_contains($stop, x))) * 1.0 / len(t)) * 0.3,
+         |      6) AS quality
+         |  FROM tok),
+         |keeper AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |kept AS (
+         |  SELECT q.doc_id, q.text, q.n_tokens FROM q
+         |  JOIN keeper USING (doc_id) WHERE quality >= 0.38),
+         |s AS (
+         |  SELECT n_tokens,
+         |    CASE WHEN substring(md5(text), 1, 1) IN ('c','d') THEN 'valid'
+         |         WHEN substring(md5(text), 1, 1) IN ('e','f') THEN 'test'
+         |         ELSE 'train' END AS split
+         |  FROM kept)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM s GROUP BY split ORDER BY split""".stripMargin.replaceAll("\\s+", " "),
 
     "q_media_frames" ->
       """WITH b AS (
