@@ -183,6 +183,21 @@ object FunctionQueries {
         .orderBy("doc_id")
     },
 
+    // Calendar arithmetic surface: month-clamped shifts, month/week
+    // boundaries, next-weekday search (the oracle reconstructs next_day
+    // from ISO day-of-week arithmetic, DuckDB lacking it).
+    "q_calendar_funcs" -> { t =>
+      t.orders.select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).as("plus3mo"),
+        date_add(col("o_orderdate"), 30).as("plus30d"),
+        last_day(col("o_orderdate")).as("month_end"),
+        next_day(col("o_orderdate"), "Monday").as("next_monday"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"))
+        .orderBy("o_orderkey")
+    },
+
     // URL function surface: parse_url component extraction + percent
     // encoding over URLs assembled in-plan (the oracle replicates with
     // regexes, DuckDB having no parse_url).
@@ -315,6 +330,17 @@ object FunctionQueries {
         |array_to_string([t[i] || ':' || CAST(length(t[i]) AS VARCHAR)
         |                 for i in range(1, least(len(t), 3) + 1)], '|') AS z3
         |FROM tok ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_calendar_funcs" ->
+      """SELECT o_orderkey,
+        |CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+        |CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30d,
+        |last_day(o_orderdate) AS month_end,
+        |CAST(o_orderdate + to_days(CAST(CASE WHEN (9 - (dayofweek(o_orderdate) + 1)) % 7 = 0
+        |  THEN 7 ELSE (9 - (dayofweek(o_orderdate) + 1)) % 7 END AS INT)) AS DATE) AS next_monday,
+        |weekofyear(o_orderdate) AS iso_week,
+        |dayofyear(o_orderdate) AS doy
+        |FROM orders ORDER BY o_orderkey""".stripMargin.replaceAll("\\s+", " "),
 
     "q_url_funcs" ->
       """WITH u AS (
