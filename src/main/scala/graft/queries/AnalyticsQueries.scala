@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{PipelineOps, QuantileOps, TimeSeriesOps}
+import graft.operators.{FuzzyOps, GraphOps, PipelineOps, QualityOps, QuantileOps, TimeSeriesOps}
 import org.apache.spark.sql.DataFrame
 
 /** Event-analytics query bindings: the history/rolling-metric/anomaly
@@ -66,8 +66,77 @@ object AnalyticsQueries {
           round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
           round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"))
         .orderBy("l_returnflag")
+    },
+
+    // Data-quality constraint suite: uniqueness, completeness, referential
+    // integrity, range and domain checks — the whole orders-side suite is a
+    // single scan (FK probe rides a broadcast join), lineitem adds one more.
+    "q_dq_checks" -> { t =>
+      import org.apache.spark.sql.functions._
+      import graft.operators.QualityOps.{Check, rate}
+      val custKeys = broadcast(t.customer.select(col("c_custkey")).distinct())
+      val o = t.orders.join(custKeys, col("o_custkey") === col("c_custkey"), "left")
+      val ordersChecks = QualityOps.dqChecks(o, Seq(
+        Check("orders_pk_unique",
+          count_distinct(col("o_orderkey")).cast("double") / count(lit(1)), 1.0),
+        Check("orders_custkey_complete", rate(col("o_custkey").isNotNull), 1.0),
+        Check("orders_fk_customer", rate(col("c_custkey").isNotNull), 1.0),
+        Check("orders_totalprice_positive", rate(col("o_totalprice") > 0), 1.0),
+        Check("orders_status_domain",
+          rate(col("o_orderstatus").isin("O", "F", "P")), 1.0)))
+      val lineChecks = QualityOps.dqChecks(t.lineitem, Seq(
+        Check("lineitem_qty_range", rate(col("l_quantity").between(1, 50)), 0.99),
+        Check("lineitem_discount_range", rate(col("l_discount").between(0, 0.1)), 0.99)))
+      ordersChecks.unionAll(lineChecks).orderBy("check_name")
+    },
+
+    // Blocked fuzzy self-match: per part, its edit-distance-≤3 neighbours
+    // within a (brand, first-token) block — candidate generation for fuzzy
+    // dedup without the O(n²) cross product.
+    "q_fuzzy_match" -> { t =>
+      FuzzyOps.fuzzyMatchSummary(t.part, "p_partkey", "p_name",
+          "concat(p_brand, '|', split_part(p_name, ' ', 1))", maxDist = 3)
+        .orderBy("a_key")
+    },
+
+    // Weighted PageRank over the part co-purchase graph (parts sharing an
+    // order), 5 power iterations — the iterative-graph-analytics surface.
+    "q_pagerank" -> { t =>
+      GraphOps.pageRank(
+          GraphOps.coOccurrenceEdges(t.lineitem, "l_orderkey", "l_partkey"),
+          iterations = 5)
+        .orderBy("node")
     }
   )
+
+  /** DuckDB lacks recursive aggregation, so the PageRank oracle unrolls the
+    * power iteration as chained CTEs — generated, not hand-written, so the
+    * iteration count stays in one place.
+    */
+  private def pagerankOracleSql(iters: Int): String = {
+    val base =
+      """WITH g AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS DOUBLE) AS w
+        |  FROM g a JOIN g b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |ow AS (SELECT src, sum(w) AS ow FROM e0 GROUP BY src),
+        |e AS (SELECT e0.src, e0.dst, e0.w / ow.ow AS frac FROM e0 JOIN ow ON e0.src = ow.src),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s""", r$i AS (
+         |  SELECT nodes.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.c, 0) AS pr
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst, sum(e.frac * r.pr) AS c
+         |    FROM e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst) c
+         |  ON nodes.node = c.dst)""".stripMargin
+    }.mkString
+    (base + iterCtes +
+      s" SELECT node, round(pr * (SELECT n FROM nn), 6) AS rank_ratio" +
+      s" FROM r$iters ORDER BY node").replaceAll("\\s+", " ")
+  }
 
   val oracles: Map[String, String] = Map(
     "q_scd2" ->
@@ -140,6 +209,53 @@ object AnalyticsQueries {
         |round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
         |round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
-        .stripMargin.replaceAll("\\s+", " ")
+        .stripMargin.replaceAll("\\s+", " "),
+
+    "q_dq_checks" ->
+      """WITH o AS (
+        |  SELECT o.*, c.c_custkey AS fk FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey),
+        |om AS (
+        |  SELECT
+        |    round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6) AS orders_pk_unique,
+        |    round(avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS orders_custkey_complete,
+        |    round(avg(CASE WHEN fk IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS orders_fk_customer,
+        |    round(avg(CASE WHEN o_totalprice > 0 THEN 1.0 ELSE 0.0 END), 6) AS orders_totalprice_positive,
+        |    round(avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 6) AS orders_status_domain
+        |  FROM o),
+        |lm AS (
+        |  SELECT
+        |    round(avg(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1.0 ELSE 0.0 END), 6) AS lineitem_qty_range,
+        |    round(avg(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1.0 ELSE 0.0 END), 6) AS lineitem_discount_range
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT 'orders_pk_unique' AS check_name, orders_pk_unique AS metric, CAST(1.0 AS DOUBLE) AS threshold FROM om
+        |  UNION ALL SELECT 'orders_custkey_complete', orders_custkey_complete, 1.0 FROM om
+        |  UNION ALL SELECT 'orders_fk_customer', orders_fk_customer, 1.0 FROM om
+        |  UNION ALL SELECT 'orders_totalprice_positive', orders_totalprice_positive, 1.0 FROM om
+        |  UNION ALL SELECT 'orders_status_domain', orders_status_domain, 1.0 FROM om
+        |  UNION ALL SELECT 'lineitem_qty_range', lineitem_qty_range, 0.99 FROM lm
+        |  UNION ALL SELECT 'lineitem_discount_range', lineitem_discount_range, 0.99 FROM lm)
+        |SELECT check_name, metric, threshold, metric >= threshold AS pass
+        |FROM r ORDER BY check_name""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_fuzzy_match" ->
+      """WITH b AS (
+        |  SELECT p_partkey AS k, p_name AS nm,
+        |    p_brand || '|' || split_part(p_name, ' ', 1) AS blk
+        |  FROM part),
+        |j AS (
+        |  SELECT a.k AS a_key, c.k AS b_key, levenshtein(a.nm, c.nm) AS d
+        |  FROM b a JOIN b c ON a.blk = c.blk AND a.k <> c.k),
+        |f AS (
+        |  SELECT *, row_number() OVER (PARTITION BY a_key ORDER BY d, b_key) AS rn
+        |  FROM j WHERE d <= 3)
+        |SELECT a_key, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(min(d) AS BIGINT) AS best_dist,
+        |  max(CASE WHEN rn = 1 THEN b_key END) AS best_match
+        |FROM f GROUP BY a_key ORDER BY a_key""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_pagerank" -> pagerankOracleSql(5)
   )
 }

@@ -424,6 +424,30 @@ object RelationalQueries {
           max(when(col("event_type") === "purchase", col("tsn"))).over(w))
         .select("event_id", "user_id", "tsn", "last_purchase_ts")
         .orderBy("event_id")
+    },
+
+    // SQL surface: the engine accepts raw ANSI SQL via spark.sql over
+    // registered views — TPC-H Q5 shape (local-supplier revenue by nation):
+    // a 6-table star join where Catalyst plans the dimension broadcasts and
+    // join order; nothing is hand-scheduled.
+    "q_sql_q5" -> { t =>
+      Seq("region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
+        "supplier" -> t.supplier, "orders" -> t.orders, "lineitem" -> t.lineitem)
+        .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+      t.spark.sql(
+        """SELECT n_name,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |       CAST(count(*) AS BIGINT) AS n_lines
+          |FROM customer
+          |JOIN orders   ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation   ON s_nationkey = n_nationkey
+          |JOIN region   ON n_regionkey = r_regionkey
+          |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+          |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+          |GROUP BY n_name
+          |ORDER BY n_name""".stripMargin)
     }
   )
 
@@ -676,6 +700,20 @@ object RelationalQueries {
         |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY o_orderkey
-        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin.replaceAll("\\s+", " ")
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_sql_q5" ->
+      """SELECT n_name,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |CAST(count(*) AS BIGINT) AS n_lines
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin.replaceAll("\\s+", " ")
   )
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit semantics of the graph / quality / fuzzy operators; the
+  * cross-engine values are pinned by the q_* oracles in AnalyticsQueries.
+  */
+class GraphQualityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coOccurrenceEdges emits both directions with multiplicity weights") {
+    // orders: (o1: p1,p2), (o2: p1,p2), (o3: p1,p3) → w(p1,p2)=2 both ways
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val e = GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(e((10L, 20L)) == 2L && e((20L, 10L)) == 2L)
+    assert(e((10L, 30L)) == 1L && e((30L, 10L)) == 1L)
+    assert(!e.contains((20L, 30L))) // never co-purchased
+  }
+
+  test("pageRank converges toward degree-proportional mass on a symmetric graph") {
+    // path graph a-b-c: b is twice as central as the endpoints
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val r = GraphOps.pageRank(edges, iterations = 30)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // stationary distribution of the symmetric random walk is deg/Σdeg =
+    // (1/4, 2/4, 1/4); damping pulls slightly toward uniform
+    assert(r(2L) > r(1L) && r(2L) > r(3L))
+    assert(math.abs(r(1L) - r(3L)) < 1e-9) // symmetry is exact
+    assert(math.abs(r.values.sum - 3.0) < 2e-6) // rank_ratio sums to N (6dp-rounded)
+  }
+
+  test("dqChecks evaluates every constraint in one pass and flags failures") {
+    val df = Seq((1L, 10.0), (2L, -5.0), (3L, 20.0), (3L, 30.0)).toDF("id", "v")
+    val out = QualityOps.dqChecks(df, Seq(
+      QualityOps.Check("pk_unique",
+        count_distinct(col("id")).cast("double") / count(lit(1)), 1.0),
+      QualityOps.Check("v_positive", QualityOps.rate(col("v") > 0), 1.0)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
+    assert(out("pk_unique") == (0.75, false)) // 3 distinct / 4 rows
+    assert(out("v_positive") == (0.75, false))
+  }
+
+  test("fuzzyMatchSummary blocks, excludes self, and tie-breaks by key") {
+    val df = Seq(
+      (1L, "cold widget", "A"), (2L, "cold widgit", "A"), (3L, "cold widgets", "A"),
+      (4L, "cold widget", "B"), // same name, different block → never matched
+      (5L, "zzzzzzzz", "A")) // in-block but too distant
+      .toDF("k", "nm", "grp")
+    val out = FuzzyOps.fuzzyMatchSummary(df, "k", "nm", "grp", maxDist = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (2L, 1L, 2L)) // two neighbours, best dist 1, smallest key 2
+    assert(!out.contains(4L) && !out.contains(5L))
+  }
+}
