@@ -38,7 +38,9 @@ object GraphOps {
     * rank_ratio = rank·N (mean 1.0), rounded to 6 dp for stable comparison.
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
-    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    // out_w is one row per node — broadcast it so normalization is a
+    // map-side join over the edge relation, not an |E|-row shuffle
+    val outW = broadcast(edges.groupBy(col("src")).agg(sum(col("w")).as("out_w")))
     val e = edges.join(outW, "src")
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("out_w")).as("frac"))
@@ -46,11 +48,16 @@ object GraphOps {
     val nodes = e.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // one scalar to the driver, by design
+    // The rank vector is |V| slim rows vs |E| edges — broadcast it so each
+    // iteration is a map-side join over the cached edges plus one partial
+    // aggregation by dst (the shuffle carries ~|V| pre-combined rows, never
+    // |E|). At a scale where |V| outgrows broadcast, flip to pre-partitioning
+    // both sides by src once and reusing that exchange across iterations.
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
-      val contrib = e.join(ranks, col("src") === col("node"))
+      val contrib = e.join(broadcast(ranks), col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("frac") * col("rank")).as("c"))
-      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+      ranks = nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
     }

@@ -171,4 +171,32 @@ class PlanQualitySpec extends SparkSpec {
     val dotLine = plan.linesIterator.find(_.contains("vec_dot")).getOrElse("")
     assert(dotLine.contains("*("), s"vec_dot fell out of codegen:\n$plan")
   }
+
+  test("pagerank iterations broadcast the rank vector (edges never reshuffle per iteration)") {
+    import graft.operators.GraphOps
+    val df = GraphOps.pageRank(
+      GraphOps.coOccurrenceEdges(t.lineitem, "l_orderkey", "l_partkey"), iterations = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    // every per-iteration join must be a broadcast; a SortMergeJoin here
+    // means the |E|-row edge table shuffles once per iteration
+    assert(!plan.contains("SortMergeJoin"), s"iteration join shuffles edges:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast joins:\n$plan")
+  }
+
+  test("fuzzy matching is a blocked equi-join, never a cartesian product") {
+    import graft.operators.FuzzyOps
+    val df = FuzzyOps.fuzzyMatchSummary(t.part, "p_partkey", "p_name",
+      "concat(p_brand, '|', split_part(p_name, ' ', 1))", maxDist = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy match degenerated to a cross product:\n$plan")
+  }
+
+  test("dq checks compute the whole suite in one scan per table") {
+    val plan = executedPlan("q_dq_checks").toString
+    // one scan of orders (plus the broadcast customer key probe), one of
+    // lineitem — per-check scans would multiply IO by the suite size
+    val ordersScans = "Scan parquet".r.findAllIn(plan).size
+    assert(ordersScans <= 3, s"dq suite rescans inputs ($ordersScans scans):\n$plan")
+  }
 }
