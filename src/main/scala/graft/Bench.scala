@@ -21,13 +21,21 @@ object Bench {
     // runs per query, min reported: the first run absorbs that query's
     // codegen/JIT compilation, so the number reflects steady-state execution
     // rather than which query happened to trigger compilation.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated filter for targeted re-measurement while
+    // iterating on one query (dev loop; the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
         (System.nanoTime() - t0) / 1e9
       }
+      // Iterative operators persist intermediates; drop them so later
+      // queries aren't measured under another query's cache pressure.
+      spark.catalog.clearCache()
       name -> times.min
     }.toMap
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

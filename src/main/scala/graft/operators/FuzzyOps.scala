@@ -1,18 +1,20 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Blocked fuzzy (edit-distance) matching — the approximate-string side of
   * dedup candidate generation.
   *
   * Scale design: never the naive O(n²) cross product. Rows are first grouped
-  * by a cheap blocking key (caller-chosen, e.g. brand + first token); the
-  * pairwise `levenshtein` comparison runs only within a block, as a plain
-  * equi-join on the block key that Catalyst shuffles by block. Comparison
-  * cost is Σ|block|² instead of n² — at 1000× data the knob is the blocking
-  * function (tighter key), not the join strategy. Oversized blocks are the
-  * skew risk; bound them upstream (salt or cap) if the key distribution is
+  * by a cheap blocking key (caller-chosen, e.g. brand + first token), and the
+  * pairwise `levenshtein` comparison runs over DISTINCT (block, name) groups,
+  * not rows: with repeated names the comparison count is quadratic in the
+  * vocabulary per block, independent of row count — at 1000× the data the
+  * same name table is compared, only the group-count join grows. Per-row
+  * results are then reconstituted from the group summaries. Oversized blocks
+  * remain the skew risk; bound them upstream if the key distribution is
   * heavy-tailed.
   */
 object FuzzyOps {
@@ -22,7 +24,7 @@ object FuzzyOps {
     * For every row with at least one within-block neighbour at edit
     * distance ≤ `maxDist` (excluding itself), returns the neighbour count,
     * the best (minimum) distance, and the deterministic best-match key
-    * (ties broken by smallest key).
+    * (distance ties broken by smallest neighbour key).
     *
     * @param df       input relation
     * @param keyCol   unique row key column name
@@ -31,19 +33,51 @@ object FuzzyOps {
     */
   def fuzzyMatchSummary(df: DataFrame, keyCol: String, nameCol: String,
       blockCol: String, maxDist: Int): DataFrame = {
-    val b = df.select(col(keyCol).as("k"), col(nameCol).as("nm"),
+    val rows = df.select(col(keyCol).as("k"), col(nameCol).as("nm"),
       expr(blockCol).as("blk"))
-    val a = b.select(col("k").as("a_key"), col("nm").as("a_nm"), col("blk"))
-    val c = b.select(col("k").as("b_key"), col("nm").as("b_nm"), col("blk"))
-    a.join(c, Seq("blk"))
-      .where(col("a_key") =!= col("b_key"))
+
+    // One row per (block, name): group count and the two smallest keys
+    // (kmin2 serves rows that ARE the group minimum). A single window pass
+    // partitioned by the group provides all three.
+    val w = Window.partitionBy("blk", "nm")
+    val ranked = rows
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy("k")))
+    val groups = ranked.where(col("rn") <= 2)
+      .groupBy("blk", "nm")
+      .agg(max(col("cnt")).as("cnt"),
+        max(when(col("rn") === 1, col("k"))).as("kmin"),
+        max(when(col("rn") === 2, col("k"))).as("kmin2"))
+
+    // Distinct-name comparison: within a block, distinct names always differ
+    // (d ≥ 1), so the own-group d=0 case never appears here.
+    val a = groups.select(col("blk"), col("nm").as("a_nm"), col("cnt").as("a_cnt"))
+    val b = groups.select(col("blk"), col("nm").as("b_nm"), col("cnt").as("b_cnt"),
+      col("kmin").as("b_kmin"))
+    val other = a.join(b, Seq("blk"))
+      .where(col("a_nm") =!= col("b_nm"))
       .withColumn("d", levenshtein(col("a_nm"), col("b_nm")))
       .where(col("d") <= maxDist)
-      .groupBy(col("a_key"))
+      .groupBy(col("blk"), col("a_nm").as("nm"))
       .agg(
-        count(lit(1)).as("n_matches"),
-        min(col("d")).cast("long").as("best_dist"),
-        // struct ordering breaks distance ties by smallest neighbour key
-        min_by(col("b_key"), struct(col("d"), col("b_key"))).as("best_match"))
+        sum(col("b_cnt")).as("n_other"),
+        min(col("d")).as("d_other"),
+        min_by(col("b_kmin"), struct(col("d"), col("b_kmin"))).as("match_other"))
+
+    // Reconstitute per-row answers: own-group duplicates are distance 0 and
+    // dominate; otherwise fall back to the best other-name group.
+    ranked.select(col("k"), col("nm"), col("blk"), col("cnt"))
+      .join(groups.select(col("blk"), col("nm"), col("kmin"), col("kmin2")), Seq("blk", "nm"))
+      .join(other, Seq("blk", "nm"), "left")
+      .withColumn("n_matches", col("cnt") - 1 + coalesce(col("n_other"), lit(0L)))
+      .where(col("n_matches") > 0)
+      .select(
+        col("k").as("a_key"),
+        col("n_matches"),
+        when(col("cnt") >= 2, lit(0L))
+          .otherwise(col("d_other").cast("long")).as("best_dist"),
+        when(col("cnt") >= 2,
+            when(col("k") === col("kmin"), col("kmin2")).otherwise(col("kmin")))
+          .otherwise(col("match_other")).as("best_match"))
   }
 }

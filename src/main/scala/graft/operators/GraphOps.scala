@@ -6,29 +6,37 @@ import org.apache.spark.storage.StorageLevel
 
 /** Iterative graph analytics over edge DataFrames (PageRank-family).
   *
-  * Scale design: the classic DataFrame power-iteration shape — the edge
-  * relation is normalized once (per-source weight fractions), persisted, and
-  * each iteration is one shuffle-join of edges against the current rank
-  * vector plus one aggregation by destination. State per iteration is two
-  * slim (node, double) relations; nothing is collected to the driver except
-  * the node count (a scalar, computed once). Persisting the normalized edges
-  * stops the iterative lineage from re-reading the source k times; on a
-  * cluster the same plan runs with edges pre-partitioned by `src` so the
-  * per-iteration join co-locates.
+  * Scale design: the classic DataFrame power-iteration shape, arranged so the
+  * big relation never moves after setup. The edge list is built with one
+  * shuffle (per-group `collect_set` + pair explode), hash-partitioned by
+  * `dst` ONCE, normalized via a broadcast of the per-source out-weights, and
+  * persisted. Because `hashpartitioning(dst)` satisfies the clustering
+  * requirement of every downstream `groupBy` that includes `dst`, each power
+  * iteration is then a broadcast join plus an in-place aggregation — zero
+  * per-iteration exchanges of the |E|-row relation. Only the node count (a
+  * scalar) ever reaches the driver. At a scale where the |V|-row rank vector
+  * outgrows broadcast, flip the iteration join to pre-partitioning both
+  * sides by src and reusing that exchange instead.
   */
 object GraphOps {
 
   /** Undirected co-occurrence edges: items sharing a group, both directions,
     * weighted by co-occurrence count. (Co-purchase graph when `groupCol` is
-    * the order key and `itemCol` the part key.)
+    * the order key and `itemCol` the part key.) Pair generation is quadratic
+    * in items-per-group — inherent to co-occurrence; cap or sample oversized
+    * groups upstream if the group cardinality is unbounded.
     */
-  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
-    val g = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
-    g.select(col("g"), col("item").as("src"))
-      .join(g.select(col("g"), col("item").as("dst")), Seq("g"))
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .groupBy("g").agg(collect_set(col("item")).as("items"))
+      .select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
       .where(col("src") =!= col("dst"))
+      // partition by dst up front: the weight aggregation below, the
+      // per-iteration contribution aggregation, and the cached layout all
+      // reuse this single exchange
+      .repartition(col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-  }
 
   /** Weighted PageRank by fixed-iteration power iteration.
     *
@@ -39,7 +47,7 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
     // out_w is one row per node — broadcast it so normalization is a
-    // map-side join over the edge relation, not an |E|-row shuffle
+    // map-side join that preserves the edges' dst-partitioning
     val outW = broadcast(edges.groupBy(col("src")).agg(sum(col("w")).as("out_w")))
     val e = edges.join(outW, "src")
       .select(col("src"), col("dst"),
@@ -48,11 +56,6 @@ object GraphOps {
     val nodes = e.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // one scalar to the driver, by design
-    // The rank vector is |V| slim rows vs |E| edges — broadcast it so each
-    // iteration is a map-side join over the cached edges plus one partial
-    // aggregation by dst (the shuffle carries ~|V| pre-combined rows, never
-    // |E|). At a scale where |V| outgrows broadcast, flip to pre-partitioning
-    // both sides by src once and reusing that exchange across iterations.
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
       val contrib = e.join(broadcast(ranks), col("src") === col("node"))
