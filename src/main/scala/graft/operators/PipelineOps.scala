@@ -230,4 +230,23 @@ object PipelineOps {
       round(avg("c"), 6).as("avg_cnt"),
       round(-sum(p * log(2.0, p)), 6).as("entropy_bits"))
   }
+
+  /** Incremental (materialized-view) aggregate maintenance: merge a stored
+    * base aggregate with the aggregate of newly arrived rows, touching only
+    * the delta — never re-scanning history. Works for any algebraic
+    * (commutative-monoid) measures: both inputs carry the same key columns
+    * and partial-sum columns, and the merge is a union + re-sum, so
+    * `merge(agg(old), agg(new)) == agg(old ∪ new)` by associativity.
+    * Non-decomposable metrics (avg, stddev) must be carried as their
+    * sum/count/moment parts and finalized downstream.
+    *
+    * Cost at scale: |base agg| + |delta| rows through one shuffle on the
+    * group keys — the historical fact table is never read.
+    */
+  def mergeAggregates(baseAgg: DataFrame, deltaAgg: DataFrame,
+      keyCols: Seq[String], sumCols: Seq[String]): DataFrame =
+    baseAgg.unionByName(deltaAgg)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(sumCols.head).as(sumCols.head),
+        sumCols.tail.map(c => sum(c).as(c)): _*)
 }

@@ -99,6 +99,29 @@ object AnalyticsQueries {
         .orderBy("a_key")
     },
 
+    // Incremental aggregate maintenance: weekly per-type rollups refreshed
+    // by merging the stored base aggregate with the delta's aggregate —
+    // history is never re-scanned; the day-19745 cutoff splits week 2820 so
+    // the merge genuinely re-sums overlapping groups. Oracle = the full
+    // recompute the merge must equal.
+    "q_incr_agg" -> { t =>
+      import org.apache.spark.sql.functions._
+      val cutoffDay = 19745L
+      val e = t.events.select(
+        expr("(ts div 86400000000000) div 7").as("week"),
+        expr("ts div 86400000000000").as("day"),
+        col("event_type"), col("value"))
+      def agg(df: DataFrame) = df.groupBy("week", "event_type")
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      val base = agg(e.where(col("day") < cutoffDay))
+      val delta = agg(e.where(col("day") >= cutoffDay))
+      PipelineOps.mergeAggregates(base, delta,
+          keyCols = Seq("week", "event_type"), sumCols = Seq("cnt", "sum_value"))
+        .select(col("week"), col("event_type"), col("cnt"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("week", "event_type")
+    },
+
     // Weighted PageRank over the part co-purchase graph (parts sharing an
     // order), 5 power iterations — the iterative-graph-analytics surface.
     "q_pagerank" -> { t =>
@@ -256,6 +279,12 @@ object AnalyticsQueries {
         |  max(CASE WHEN rn = 1 THEN b_key END) AS best_match
         |FROM f GROUP BY a_key ORDER BY a_key""".stripMargin.replaceAll("\\s+", " "),
 
-    "q_pagerank" -> pagerankOracleSql(5)
+    "q_pagerank" -> pagerankOracleSql(5),
+
+    "q_incr_agg" ->
+      """SELECT (epoch_ns(ts) // 86400000000000) // 7 AS week, event_type,
+        |CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY week, event_type"""
+        .stripMargin.replaceAll("\\s+", " ")
   )
 }

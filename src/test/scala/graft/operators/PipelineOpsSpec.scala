@@ -193,4 +193,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("max_cnt") == 8L)
     assert(r.getAs[Double]("entropy_bits") == 3.0)
   }
+
+  test("mergeAggregates equals full recompute on overlapping and disjoint keys") {
+    val rows = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0), ("c", 4L, 40.0))
+      .toDF("k", "n", "v")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+    // split straddles key "a" (overlap) and isolates "c" (delta-only)
+    val merged = PipelineOps.mergeAggregates(
+      agg(rows.where(col("n") <= 1)), agg(rows.where(col("n") > 1)),
+      keyCols = Seq("k"), sumCols = Seq("cnt", "sv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val full = agg(rows)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(merged == full)
+  }
 }
