@@ -56,8 +56,12 @@ object FuzzyOps {
       col("kmin").as("b_kmin"))
     val other = a.join(b, Seq("blk"))
       .where(col("a_nm") =!= col("b_nm"))
-      .withColumn("d", levenshtein(col("a_nm"), col("b_nm")))
-      .where(col("d") <= maxDist)
+      // bounded edit distance: the threshold variant bands the DP to
+      // O(maxDist·len) per pair (returns -1 when exceeded) instead of
+      // O(len²) — the per-comparison knob once blocking has bounded the
+      // comparison count
+      .withColumn("d", levenshtein(col("a_nm"), col("b_nm"), maxDist))
+      .where(col("d").between(0, maxDist))
       .groupBy(col("blk"), col("a_nm").as("nm"))
       .agg(
         sum(col("b_cnt")).as("n_other"),

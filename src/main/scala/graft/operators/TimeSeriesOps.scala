@@ -120,6 +120,23 @@ object TimeSeriesOps {
     * Markov-chain / clickstream-path matrix): (state, next_state, count)
     * over each key's time-ordered sequence. One key-partitioned window for
     * `lead`, one global aggregation over the tiny (states²) result. */
+  /** Lag-k autocorrelation of a regular series: Pearson corr(v_t, v_{t-k})
+    * for each requested lag, one output row. The lag windows order over the
+    * whole series — fine when the series is a bounded aggregate (daily /
+    * hourly rollups: rows = calendar span, not data size); partition by a
+    * series key upstream for per-key correlograms over raw-scale data.
+    */
+  def autocorr(series: DataFrame, ordCol: String, valCol: String,
+      lags: Seq[Int]): DataFrame = {
+    val w = Window.orderBy(col(ordCol))
+    val withLags = lags.foldLeft(series) { (d, k) =>
+      d.withColumn(s"__lag$k", lag(col(valCol), k).over(w))
+    }
+    withLags.agg(
+      count(col(valCol)).as("n"),
+      lags.map(k => round(corr(col(valCol), col(s"__lag$k")), 6).as(s"corr_lag$k")): _*)
+  }
+
   def transitionCounts(df: DataFrame, keyCol: String, tsNsCol: String,
                        tieCol: String, stateCol: String): DataFrame = {
     val tsU = col(tsNsCol) - pmod(col(tsNsCol), lit(1000L))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{FuzzyOps, GraphOps, PipelineOps, QualityOps, QuantileOps, TimeSeriesOps}
+import graft.operators.{FuzzyOps, GraphOps, ParetoOps, PipelineOps, QualityOps, QuantileOps, TimeSeriesOps}
 import org.apache.spark.sql.DataFrame
 
 /** Event-analytics query bindings: the history/rolling-metric/anomaly
@@ -120,6 +120,26 @@ object AnalyticsQueries {
         .select(col("week"), col("event_type"), col("cnt"),
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy("week", "event_type")
+    },
+
+    // 2-D skyline: orders not strictly dominated on (totalprice, orderdate)
+    // — "no other order is both more valuable and more recent". Distributed
+    // two-level prefix max, no global window.
+    "q_skyline" -> { t =>
+      ParetoOps.skyline2d(t.orders.select("o_orderkey", "o_totalprice", "o_orderdate"),
+          xCol = "o_totalprice", yCol = "o_orderdate", bucketWidth = 10000.0)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+
+    // Lag-1/lag-7 autocorrelation of the daily event-count series —
+    // day-over-day persistence and weekly seasonality in one pass.
+    "q_autocorr" -> { t =>
+      import org.apache.spark.sql.functions._
+      val daily = t.events
+        .groupBy(expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      TimeSeriesOps.autocorr(daily, ordCol = "day", valCol = "cnt", lags = Seq(1, 7))
     },
 
     // Weighted PageRank over the part co-purchase graph (parts sharing an
@@ -285,6 +305,32 @@ object AnalyticsQueries {
       """SELECT (epoch_ns(ts) // 86400000000000) // 7 AS week, event_type,
         |CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY week, event_type"""
-        .stripMargin.replaceAll("\\s+", " ")
+        .stripMargin.replaceAll("\\s+", " "),
+
+    "q_skyline" ->
+      """WITH pmax AS (
+        |  SELECT o_totalprice AS x, max(o_orderdate) AS ym FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT x, max(ym) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dom
+        |  FROM pmax)
+        |SELECT o_orderkey, o_totalprice, o_orderdate
+        |FROM orders JOIN d ON o_totalprice = d.x
+        |WHERE dom IS NULL OR o_orderdate >= dom
+        |ORDER BY o_orderkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT cnt, lag(cnt, 1) OVER (ORDER BY day) AS lag1,
+        |    lag(cnt, 7) OVER (ORDER BY day) AS lag7
+        |  FROM daily)
+        |SELECT CAST(count(cnt) AS BIGINT) AS n,
+        |  round(corr(cnt, lag1), 6) AS corr_lag1,
+        |  round(corr(cnt, lag7), 6) AS corr_lag7
+        |FROM l""".stripMargin.replaceAll("\\s+", " ")
   )
 }

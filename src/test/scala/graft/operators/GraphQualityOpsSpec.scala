@@ -44,6 +44,28 @@ class GraphQualityOpsSpec extends SparkSpec {
     assert(out("v_positive") == (0.75, false))
   }
 
+  test("skyline2d keeps exactly the non-strictly-dominated rows, any bucket width") {
+    // (5,5) strictly dominates (4,4) and (1,1); (2,9)/(9,2) are frontier
+    // corners; (5,4) survives because no row has BOTH x>5 and y>4 —
+    // equal-x rows never dominate under strict dominance.
+    val rows = Seq((1L, 5.0, 5.0), (2L, 4.0, 4.0), (3L, 2.0, 9.0),
+      (4L, 9.0, 2.0), (5L, 1.0, 1.0), (6L, 5.0, 4.0))
+      .toDF("id", "x", "y")
+    for (bw <- Seq(0.5, 3.0, 100.0)) {
+      val keep = ParetoOps.skyline2d(rows, "x", "y", bucketWidth = bw)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(keep == Set(1L, 3L, 4L, 6L), s"bucketWidth=$bw")
+    }
+  }
+
+  test("autocorr of a perfectly periodic series: corr at the period is 1") {
+    val series = (0 until 28).map(d => (d.toLong, (d % 7).toDouble + 1))
+      .toDF("day", "cnt")
+    val r = TimeSeriesOps.autocorr(series, "day", "cnt", lags = Seq(7)).collect().head
+    assert(r.getAs[Long]("n") == 28L)
+    assert(r.getAs[Double]("corr_lag7") == 1.0)
+  }
+
   test("fuzzyMatchSummary blocks, excludes self, and tie-breaks by key") {
     val df = Seq(
       (1L, "cold widget", "A"), (2L, "cold widgit", "A"), (3L, "cold widgets", "A"),
