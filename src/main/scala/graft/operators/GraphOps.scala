@@ -38,6 +38,27 @@ object GraphOps {
       .repartition(col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
 
+  /** Association rules (market-basket) from co-occurrence: for each
+    * directed item pair (a → b), support = P(a,b), confidence = P(b|a),
+    * lift = P(a,b)/(P(a)·P(b)). The pair table comes from
+    * [[coOccurrenceEdges]]; per-item group counts are |V| slim rows,
+    * broadcast onto it twice. Counts-to-ratios arithmetic is exact-integer
+    * division, so results are bit-stable across engines.
+    */
+  def associationRules(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
+    val nGroups = g.select(col("g")).distinct().count() // one scalar, by design
+    val itemCnt = g.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    coOccurrenceEdges(df, groupCol, itemCol)
+      .join(broadcast(itemCnt.select(col("item").as("src"), col("cnt").as("src_cnt"))), Seq("src"))
+      .join(broadcast(itemCnt.select(col("item").as("dst"), col("cnt").as("dst_cnt"))), Seq("dst"))
+      .select(col("src"), col("dst"),
+        col("w").as("pair_cnt"),
+        round(col("w") / lit(nGroups.toDouble), 6).as("support"),
+        round(col("w") / col("src_cnt"), 6).as("confidence"),
+        round((col("w") * lit(nGroups)) / (col("src_cnt") * col("dst_cnt")), 6).as("lift"))
+  }
+
   /** Weighted PageRank by fixed-iteration power iteration.
     *
     * rank₀ = 1/N; rankₖ₊₁(v) = (1-d)/N + d·Σ_{(u,v)∈E} rankₖ(u)·w(u,v)/outw(u).

@@ -122,6 +122,16 @@ object AnalyticsQueries {
         .orderBy("week", "event_type")
     },
 
+    // Market-basket association rules over co-purchased parts: top pairs by
+    // lift (deterministic tie-break on keys). Ratios are exact-integer
+    // divisions, so the double ordering is bit-identical cross-engine.
+    "q_market_basket" -> { t =>
+      import org.apache.spark.sql.functions._
+      GraphOps.associationRules(t.lineitem, "l_orderkey", "l_partkey")
+        .orderBy(desc("lift"), col("src"), col("dst"))
+        .limit(20)
+    },
+
     // 2-D skyline: orders not strictly dominated on (totalprice, orderdate)
     // — "no other order is both more valuable and more recent". Distributed
     // two-level prefix max, no global window.
@@ -306,6 +316,20 @@ object AnalyticsQueries {
         |CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY week, event_type"""
         .stripMargin.replaceAll("\\s+", " "),
+
+    "q_market_basket" ->
+      """WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT grp) AS BIGINT) AS n FROM g),
+        |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1),
+        |e AS (
+        |  SELECT a.item AS src, b.item AS dst, CAST(count(*) AS BIGINT) AS pair_cnt
+        |  FROM g a JOIN g b ON a.grp = b.grp AND a.item <> b.item GROUP BY 1, 2)
+        |SELECT src, dst, pair_cnt,
+        |  round(pair_cnt / (SELECT n FROM n), 6) AS support,
+        |  round(pair_cnt / sc.cnt, 6) AS confidence,
+        |  round((pair_cnt * (SELECT n FROM n)) / (sc.cnt * dc.cnt), 6) AS lift
+        |FROM e JOIN ic sc ON e.src = sc.item JOIN ic dc ON e.dst = dc.item
+        |ORDER BY lift DESC, src, dst LIMIT 20""".stripMargin.replaceAll("\\s+", " "),
 
     "q_skyline" ->
       """WITH pmax AS (

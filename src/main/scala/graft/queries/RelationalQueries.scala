@@ -295,6 +295,18 @@ object RelationalQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // Sliding (hopping) event-time windows via the native window()
+    // generator: each event lands in width/slide overlapping windows.
+    "q_sliding_window" -> { t =>
+      t.events
+        .withColumn("tmu", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(window(col("tmu"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+        .select((unix_micros(col("window.start")) * 1000).as("window_start"),
+          col("event_type"), col("n"), col("avg_value"))
+        .orderBy("window_start", "event_type")
+    },
+
     // X7 — JSON props extraction with get_json_object + aggregation.
     "q_json_props" -> { t =>
       t.events
@@ -630,6 +642,16 @@ object RelationalQueries {
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000 AS window_start,
         |event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_sliding_window" ->
+      """WITH x AS (
+        |  SELECT unnest([(epoch_ns(ts) // 3600000000000) * 3600000000000,
+        |                 (epoch_ns(ts) // 3600000000000 - 1) * 3600000000000])
+        |    AS window_start, event_type, value
+        |  FROM events)
+        |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(value), 6) AS avg_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\\s+", " "),
 
     "q_json_props" ->
       """SELECT event_type,
