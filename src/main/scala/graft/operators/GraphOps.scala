@@ -46,10 +46,20 @@ object GraphOps {
     * division, so results are bit-stable across engines.
     */
   def associationRules(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
-    val g = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
-    val nGroups = g.select(col("g")).distinct().count() // one scalar, by design
-    val itemCnt = g.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-    coOccurrenceEdges(df, groupCol, itemCol)
+    // one scan + one shuffle: the per-group item sets feed the group count,
+    // the per-item counts, AND the pair explode
+    val sets = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .groupBy("g").agg(collect_set(col("item")).as("items"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nGroups = sets.count() // one scalar, by design (also materializes the cache)
+    val itemCnt = sets.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val edges = sets
+      .select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    edges
       .join(broadcast(itemCnt.select(col("item").as("src"), col("cnt").as("src_cnt"))), Seq("src"))
       .join(broadcast(itemCnt.select(col("item").as("dst"), col("cnt").as("dst_cnt"))), Seq("dst"))
       .select(col("src"), col("dst"),

@@ -20,6 +20,19 @@ class GraphQualityOpsSpec extends SparkSpec {
     assert(!e.contains((20L, 30L))) // never co-purchased
   }
 
+  test("associationRules: always-together pair has confidence 1 and lift n/cnt") {
+    // 4 baskets: items 10,20 always together (2 baskets); 30 alone in 2
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 30L), (4L, 30L))
+      .toDF("o", "p")
+    val r = GraphOps.associationRules(li, "o", "p")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getDouble(3), x.getDouble(4), x.getDouble(5))).toMap
+    // pair_cnt=2, support=2/4, conf=2/2, lift=2*4/(2*2)=2
+    assert(r((10L, 20L)) == (2L, 0.5, 1.0, 2.0))
+    assert(r((20L, 10L)) == (2L, 0.5, 1.0, 2.0))
+    assert(!r.keySet.exists { case (a, b) => a == 30L || b == 30L })
+  }
+
   test("pageRank converges toward degree-proportional mass on a symmetric graph") {
     // path graph a-b-c: b is twice as central as the endpoints
     val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
