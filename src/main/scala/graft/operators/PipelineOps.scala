@@ -231,6 +231,30 @@ object PipelineOps {
       round(-sum(p * log(2.0, p)), 6).as("entropy_bits"))
   }
 
+  /** Apply an ordered CDC changelog (upserts AND deletes) to a base
+    * snapshot: per key, the highest-sequence change wins — op 'D' removes
+    * the key, anything else replaces/inserts the full row. Change rows
+    * carry the base schema plus (seqCol, opCol).
+    *
+    * Scale shape: latest-change selection is a per-key window over the
+    * changelog only (typically ≪ base); the base is touched by one
+    * anti-join on the changed-key set and never rewritten wholesale. A key
+    * deleted then re-inserted at a later sequence survives (latest wins),
+    * matching log-compaction semantics.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keyCol: String,
+      seqCol: String, opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    val upserts = latest.where(col(opCol) =!= "D")
+      .drop("__rn", seqCol, opCol)
+    base
+      .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(upserts)
+  }
+
   /** Incremental (materialized-view) aggregate maintenance: merge a stored
     * base aggregate with the aggregate of newly arrived rows, touching only
     * the delta — never re-scanning history. Works for any algebraic

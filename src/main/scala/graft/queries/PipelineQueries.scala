@@ -130,6 +130,29 @@ object PipelineQueries {
         .orderBy("c_custkey")
     },
 
+    // CDC changelog apply: four overlapping change waves exercise
+    // latest-wins ordering — update, delete (beats the earlier update),
+    // re-insert after delete, and brand-new keys.
+    "q_cdc_apply" -> { t =>
+      val base = t.customer.select("c_custkey", "c_name", "c_acctbal")
+      def change(df: DataFrame, seq: Int, op: String) = df
+        .withColumn("seq", lit(seq)).withColumn("op", lit(op))
+      val changes =
+        change(base.where(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), concat(lit("v1:"), col("c_name")).as("c_name"),
+            (col("c_acctbal") + 100d).as("c_acctbal")), 1, "U")
+        .unionByName(change(base.where(col("c_custkey") % 5 === 0), 2, "D"))
+        .unionByName(change(base.where(col("c_custkey") % 15 === 0)
+          .select(col("c_custkey"), concat(lit("v3:"), col("c_name")).as("c_name"),
+            (col("c_acctbal") + 300d).as("c_acctbal")), 3, "U"))
+        .unionByName(change(base.where(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + 10000L).as("c_custkey"), col("c_name"),
+            col("c_acctbal")), 4, "I"))
+      PipelineOps.applyCdc(base, changes, "c_custkey", "seq", "op")
+        .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+        .orderBy("c_custkey")
+    },
+
     // Hourly resample + forward fill per user (ts pre-truncated to µs so
     // bucket edges agree with the µs-precision oracle).
     "q_resample_fill" -> { t =>
@@ -260,6 +283,30 @@ object PipelineQueries {
         |CASE WHEN ch.c_custkey IS NOT NULL THEN ch.c_name ELSE b.c_name END AS c_name,
         |round(CASE WHEN ch.c_custkey IS NOT NULL THEN ch.c_acctbal ELSE b.c_acctbal END, 2) AS c_acctbal
         |FROM base b FULL JOIN changes ch ON b.c_custkey = ch.c_custkey
+        |ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_cdc_apply" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |changes AS (
+        |  SELECT c_custkey, 'v1:' || c_name AS c_name, c_acctbal + 100 AS c_acctbal,
+        |    1 AS seq, 'U' AS op FROM base WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, 2, 'D' FROM base WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'v3:' || c_name, c_acctbal + 300, 3, 'U'
+        |  FROM base WHERE c_custkey % 15 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000, c_name, c_acctbal, 4, 'I'
+        |  FROM base WHERE c_custkey % 7 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        |    FROM changes) WHERE rn = 1)
+        |SELECT coalesce(l.c_custkey, b.c_custkey) AS c_custkey,
+        |  CASE WHEN l.c_custkey IS NOT NULL THEN l.c_name ELSE b.c_name END AS c_name,
+        |  round(CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal ELSE b.c_acctbal END, 2) AS c_acctbal
+        |FROM base b FULL JOIN latest l ON b.c_custkey = l.c_custkey
+        |WHERE l.c_custkey IS NULL OR l.op <> 'D'
         |ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
 
     "q_resample_fill" ->

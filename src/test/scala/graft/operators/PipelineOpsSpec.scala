@@ -194,6 +194,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("entropy_bits") == 3.0)
   }
 
+  test("applyCdc: latest change wins across update, delete, resurrect, insert") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a1", 1, "U"), // plain update
+      (2L, "b", 1, "D"), // delete
+      (3L, "c", 2, "D"), (3L, "c3", 5, "U"), // delete then re-insert → survives
+      (1L, "a9", 0, "U"), // stale change, must lose to seq 1
+      (9L, "new", 4, "I")) // brand-new key
+      .toDF("k", "v", "seq", "op")
+    val out = PipelineOps.applyCdc(base, changes, "k", "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a1", 3L -> "c3", 9L -> "new"))
+  }
+
   test("mergeAggregates equals full recompute on overlapping and disjoint keys") {
     val rows = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0), ("c", 4L, 40.0))
       .toDF("k", "n", "v")
