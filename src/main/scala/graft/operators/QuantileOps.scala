@@ -69,4 +69,44 @@ object QuantileOps {
       .agg(count(lit(1)).as("cnt"),
         round(min(v), 6).as("min_v"), round(max(v), 6).as("max_v"))
   }
+
+  /** Winsorize: clamp `valCol` into its group's [pLo, pHi] quantile range,
+    * the robust-stats outlier treatment that keeps row count (unlike
+    * trimming). The quantile table is one row per group — broadcast back
+    * onto the data, so the fact table is scanned once for the quantiles
+    * (sort-based, distributed) and once for the clamp; swap the broadcast
+    * for a shuffle join if the group count itself is huge. Boundaries and
+    * output share one rounding scale so the clamped value is exactly the
+    * published quantile.
+    */
+  /** Equi-depth histogram per group: `nBins` bins whose edges are the
+    * i/nBins quantiles of `valCol` within the group, so populations are
+    * ~equal up to value ties. Edges come from [[exactQuantiles]] (one slim
+    * row per group, broadcast back); bin assignment is a codegen'd chain of
+    * comparisons, no per-row interpreted work. Only non-empty bins appear.
+    */
+  def equiDepthHistogram(df: DataFrame, groupCol: String, valCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins > 1, s"need nBins>1; got $nBins")
+    val edges = (1 until nBins).map(i => s"__e$i" -> i.toDouble / nBins)
+    val qs = exactQuantiles(df, groupCol, valCol, ps = edges, scale = 6)
+    val bin = edges.map { case (label, _) =>
+      when(col(valCol) > col(label), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    df.where(col(valCol).isNotNull)
+      .join(broadcast(qs), Seq(groupCol))
+      .groupBy(col(groupCol), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        round(min(col(valCol)), 6).as("min_v"), round(max(col(valCol)), 6).as("max_v"))
+  }
+
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+      pLo: Double, pHi: Double, scale: Int = 6): DataFrame = {
+    val qs = exactQuantiles(df, groupCol, valCol,
+      ps = Seq("__qlo" -> pLo, "__qhi" -> pHi), scale = scale)
+    df.join(broadcast(qs), Seq(groupCol))
+      .withColumn(s"${valCol}_w",
+        round(least(greatest(col(valCol), col("__qlo")), col("__qhi")), scale))
+      .drop("__qlo", "__qhi")
+  }
 }

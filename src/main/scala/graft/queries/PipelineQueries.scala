@@ -75,6 +75,26 @@ object PipelineQueries {
         .orderBy("l_returnflag")
     },
 
+    // Equi-depth histogram: quartile-edged bins per return flag —
+    // near-equal populations by construction (modulo value ties).
+    "q_histogram_eq" -> { t =>
+      graft.operators.QuantileOps.equiDepthHistogram(
+          t.lineitem, groupCol = "l_returnflag", valCol = "l_extendedprice", nBins = 4)
+        .orderBy("l_returnflag", "bin")
+    },
+
+    // Winsorization: prices clamped into the per-flag [p05, p95] band —
+    // robust-stats outlier treatment preserving row count.
+    "q_winsorize" -> { t =>
+      graft.operators.QuantileOps.winsorize(
+          t.lineitem.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+          groupCol = "l_returnflag", valCol = "l_extendedprice",
+          pLo = 0.05, pHi = 0.95)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice_w"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Data profiling: one summary row per inspected column.
     "q_column_profile" -> { t =>
       def cat(c: String): DataFrame = t.orders.agg(
@@ -229,6 +249,35 @@ object PipelineQueries {
         |round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
         |round(quantile_cont(l_extendedprice, 0.75), 4) AS q75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_histogram_eq" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.25), 6) AS e1,
+        |    round(quantile_cont(l_extendedprice, 0.50), 6) AS e2,
+        |    round(quantile_cont(l_extendedprice, 0.75), 6) AS e3
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  CAST((CASE WHEN l_extendedprice > e1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN l_extendedprice > e2 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN l_extendedprice > e3 THEN 1 ELSE 0 END) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  round(min(l_extendedprice), 6) AS min_v,
+        |  round(max(l_extendedprice), 6) AS max_v
+        |FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_winsorize" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.05), 6) AS qlo,
+        |    round(quantile_cont(l_extendedprice, 0.95), 6) AS qhi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l.l_returnflag,
+        |  round(least(greatest(l_extendedprice, qlo), qhi), 6) AS l_extendedprice_w
+        |FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin.replaceAll("\\s+", " "),
 
     "q_column_profile" ->
       """SELECT * FROM (
