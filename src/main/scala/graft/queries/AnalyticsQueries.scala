@@ -122,6 +122,25 @@ object AnalyticsQueries {
         .orderBy("week", "event_type")
     },
 
+    // Per-group top-k via the bounded-state typed aggregator: O(k) buffer,
+    // partial-merge, map-side combine — the shuffle carries ≤ k rows per
+    // (partition, group) where the window formulation sorts whole groups.
+    "q_topk_group" -> { t =>
+      import org.apache.spark.sql.functions._
+      val s = t.spark
+      import s.implicits._
+      t.orders.select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(new graft.functions.TopKAggregator(5).toColumn.name("top"))
+        .toDF("o_orderpriority", "top")
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+          col("col._1").as("o_totalprice"), col("col._2").as("o_orderkey"))
+        .orderBy("o_orderpriority", "rk")
+    },
+
     // Market-basket association rules over co-purchased parts: top pairs by
     // lift (deterministic tie-break on keys). Ratios are exact-integer
     // divisions, so the double ordering is bit-identical cross-engine.
@@ -316,6 +335,15 @@ object AnalyticsQueries {
         |CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY week, event_type"""
         .stripMargin.replaceAll("\\s+", " "),
+
+    "q_topk_group" ->
+      """SELECT o_orderpriority, rk, o_totalprice, o_orderkey FROM (
+        |  SELECT o_orderpriority,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk,
+        |    o_totalprice, o_orderkey
+        |  FROM orders)
+        |WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin.replaceAll("\\s+", " "),
 
     "q_market_basket" ->
       """WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),

@@ -116,6 +116,20 @@ class OpsSpec extends SparkSpec {
     assert(typed == relational)
   }
 
+  test("TopKAggregator: bounded buffer, insert order invariance, tie-breaks") {
+    val agg = new graft.functions.TopKAggregator(3)
+    val xs = Seq((5.0, 9L), (1.0, 1L), (5.0, 2L), (7.0, 4L), (3.0, 3L), (7.0, 8L))
+    // fold in two different split orders; merge must agree with a full fold
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(
+      xs.take(2).foldLeft(agg.zero)(agg.reduce),
+      xs.drop(2).foldLeft(agg.zero)(agg.reduce))
+    val expected = Array((7.0, 4L), (7.0, 8L), (5.0, 2L)) // value desc, key asc ties
+    assert(whole.toSeq == expected.toSeq)
+    assert(merged.toSeq == expected.toSeq)
+    assert(whole.length == 3) // never exceeds k
+  }
+
   test("native vec_dot is bit-identical to the built-in fold") {
     import graft.functions.VectorFunctions
     val rnd = new scala.util.Random(3)
