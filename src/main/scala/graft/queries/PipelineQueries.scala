@@ -75,6 +75,24 @@ object PipelineQueries {
         .orderBy("l_returnflag")
     },
 
+    // Feature-prep composition: synthesize NULLs (every 11th event), impute
+    // them with the per-type mean, z-score the raw value per type, and
+    // one-hot the event type — broadcast stats, no windows over the facts.
+    "q_feature_prep" -> { t =>
+      import graft.operators.FeatureOps
+      val withNulls = t.events
+        .select(col("event_id"), col("event_type"),
+          when(col("event_id") % 11 =!= 0, col("value")).as("value"))
+      val imputed = FeatureOps.imputeMean(withNulls, "event_type", "value")
+      val scaled = FeatureOps.standardize(imputed, "event_type", "value")
+      FeatureOps.oneHot(scaled, "event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .select(col("event_id"), col("event_type"), col("value_imp"), col("value_z"),
+          col("event_type_click"), col("event_type_error"), col("event_type_purchase"),
+          col("event_type_signup"), col("event_type_view"))
+        .orderBy("event_id")
+    },
+
     // Equi-depth histogram: quartile-edged bins per return flag —
     // near-equal populations by construction (modulo value ties).
     "q_histogram_eq" -> { t =>
@@ -249,6 +267,26 @@ object PipelineQueries {
         |round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
         |round(quantile_cont(l_extendedprice, 0.75), 4) AS q75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_feature_prep" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 11 <> 0 THEN value END AS value
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, round(avg(value), 6) AS mean_v,
+        |    avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM e GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |  coalesce(round(value, 6), mean_v) AS value_imp,
+        |  CASE WHEN sd > 0 THEN round((value - mu) / sd, 6) END AS value_z,
+        |  CAST(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END AS BIGINT) AS event_type_click,
+        |  CAST(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END AS BIGINT) AS event_type_error,
+        |  CAST(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS event_type_purchase,
+        |  CAST(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END AS BIGINT) AS event_type_signup,
+        |  CAST(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END AS BIGINT) AS event_type_view
+        |FROM e JOIN s ON e.event_type = s.event_type
+        |ORDER BY event_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_histogram_eq" ->
       """WITH q AS (

@@ -194,6 +194,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("entropy_bits") == 3.0)
   }
 
+  test("FeatureOps: impute fills group mean, standardize z-scores, oneHot is exclusive") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None), ("b", Some(5.0)))
+      .toDF("g", "v")
+    val imp = FeatureOps.imputeMean(df, "g", "v")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getDouble(2)))
+    // the NULL in group a imputes to mean(1,3)=2; observed values unchanged
+    assert(imp.collect { case ("a", None, vi) => vi }.toSeq == Seq(2.0))
+    val z = FeatureOps.standardize(df, "g", "v")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    // group a: mean 2, sd sqrt(2) → ±0.707107; singleton/NULL rows → NULL z
+    assert(z.contains(("a", Some(1.0), Some(-0.707107))))
+    assert(z.contains(("a", Some(3.0), Some(0.707107))))
+    assert(z.contains(("b", Some(5.0), None)))
+    val oh = FeatureOps.oneHot(df.select("g"), "g", Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(oh.forall { case (g, a, b, c) => a + b + c == 1 && c == 0 })
+  }
+
   test("applyCdc: latest change wins across update, delete, resurrect, insert") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val changes = Seq(
