@@ -154,7 +154,9 @@ object PipelineQueries {
       PipelineOps.mixSources(t.documents, weights).orderBy("doc_id")
     },
 
-    // SCD-1 upsert: updates for keys %3, inserts above the key space.
+    // SCD-1 upsert: updates for keys %3, inserts above the key space
+    // (offset far past any scale factor's key range so synthetic inserts
+    // never collide with real keys or the update set).
     "q_upsert" -> { t =>
       val base = t.customer.select("c_custkey", "c_name", "c_acctbal")
       val updates = base.where(col("c_custkey") % 3 === 0)
@@ -162,7 +164,7 @@ object PipelineQueries {
           concat(lit("upd:"), col("c_name")).as("c_name"),
           (col("c_acctbal") + 1000d).as("c_acctbal"))
       val inserts = base.where(col("c_custkey") % 7 === 0)
-        .select((col("c_custkey") + 10000L).as("c_custkey"), col("c_name"), col("c_acctbal"))
+        .select((col("c_custkey") + 10000000L).as("c_custkey"), col("c_name"), col("c_acctbal"))
       PipelineOps.upsert(base, updates.union(inserts), "c_custkey")
         .withColumn("c_acctbal", round(col("c_acctbal"), 2))
         .orderBy("c_custkey")
@@ -184,7 +186,7 @@ object PipelineQueries {
           .select(col("c_custkey"), concat(lit("v3:"), col("c_name")).as("c_name"),
             (col("c_acctbal") + 300d).as("c_acctbal")), 3, "U"))
         .unionByName(change(base.where(col("c_custkey") % 7 === 0)
-          .select((col("c_custkey") + 10000L).as("c_custkey"), col("c_name"),
+          .select((col("c_custkey") + 10000000L).as("c_custkey"), col("c_name"),
             col("c_acctbal")), 4, "I"))
       PipelineOps.applyCdc(base, changes, "c_custkey", "seq", "op")
         .withColumn("c_acctbal", round(col("c_acctbal"), 2))
@@ -365,7 +367,7 @@ object PipelineQueries {
         |  SELECT c_custkey, 'upd:' || c_name AS c_name, c_acctbal + 1000 AS c_acctbal
         |  FROM base WHERE c_custkey % 3 = 0
         |  UNION ALL
-        |  SELECT c_custkey + 10000, c_name, c_acctbal FROM base WHERE c_custkey % 7 = 0)
+        |  SELECT c_custkey + 10000000, c_name, c_acctbal FROM base WHERE c_custkey % 7 = 0)
         |SELECT coalesce(ch.c_custkey, b.c_custkey) AS c_custkey,
         |CASE WHEN ch.c_custkey IS NOT NULL THEN ch.c_name ELSE b.c_name END AS c_name,
         |round(CASE WHEN ch.c_custkey IS NOT NULL THEN ch.c_acctbal ELSE b.c_acctbal END, 2) AS c_acctbal
@@ -383,7 +385,7 @@ object PipelineQueries {
         |  SELECT c_custkey, 'v3:' || c_name, c_acctbal + 300, 3, 'U'
         |  FROM base WHERE c_custkey % 15 = 0
         |  UNION ALL
-        |  SELECT c_custkey + 10000, c_name, c_acctbal, 4, 'I'
+        |  SELECT c_custkey + 10000000, c_name, c_acctbal, 4, 'I'
         |  FROM base WHERE c_custkey % 7 = 0),
         |latest AS (
         |  SELECT * FROM (
