@@ -38,7 +38,11 @@ class TopKAggregator(k: Int)
 
   override def finish(buf: Array[(Double, Long)]): Array[(Double, Long)] = buf
 
-  override def bufferEncoder: Encoder[Array[(Double, Long)]] = Encoders.javaSerialization
+  // Tungsten ExpressionEncoder on BOTH sides: the buffer crosses the shuffle
+  // on every partial-aggregate exchange, so Java serialization there would
+  // undo the aggregator's whole point of a cheap bounded shuffle payload.
+  override def bufferEncoder: Encoder[Array[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Double, Long)]]()
   override def outputEncoder: Encoder[Array[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Double, Long)]]()
 }

@@ -84,14 +84,28 @@ object DedupOps {
     * Inverted-index plan: explode shingles, self-join on the shingle value
     * (pairs that share no shingle — Jaccard 0 — are never materialised),
     * count shared shingles per pair, then Jaccard = |∩| / (|A|+|B|-|∩|).
+    *
+    * `maxDf` caps the document frequency of shingles entering the self-join:
+    * a shingle in k documents produces O(k²) pair rows, so one stop-phrase in
+    * a million documents would alone emit 10¹² rows. Shingles above the cap
+    * are near-universal boilerplate carrying ~no Jaccard signal; dropping
+    * them from the JOIN ONLY (set sizes stay uncapped) makes the score a
+    * tight lower bound of the true Jaccard and bounds the join blow-up at
+    * maxDf² per hot shingle. The hot-shingle list is tiny by construction
+    * (only stop-phrases exceed the cap) — broadcast anti-join, no extra
+    * shuffle of the exploded index.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                   maxDf: Int = 100,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // distinct (id, shingle-hash) rows: set semantics for the Jaccard
     val ex = shingleHashed(docs, textCol, idCol, n).distinct()
     val sz = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val cand = ex.select(col("id").as("ida"), col("s"))
-      .join(ex.select(col("id").as("idb"), col("s")), Seq("s"))
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("s")
+    val pruned = ex.join(broadcast(hot), Seq("s"), "left_anti")
+    val cand = pruned.select(col("id").as("ida"), col("s"))
+      .join(pruned.select(col("id").as("idb"), col("s")), Seq("s"))
       .where(col("ida") < col("idb"))
       .groupBy("ida", "idb")
       .agg(count(lit(1)).as("shared"))
@@ -135,10 +149,13 @@ object DedupOps {
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** LSH candidate pairs: split the signature into `bands` bands, hash each
-    * band, and emit pairs colliding in at least one band. */
-  def minhashCandidates(signatures: DataFrame, bands: Int = 8): DataFrame = {
-    val rowsPerBand = 4
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * `rowsPerBand` minhashes, hash each band, and emit pairs colliding in at
+    * least one band. Recall for a pair with Jaccard J is 1-(1-J^r)^b — fewer
+    * rows per band and more bands push recall toward 1 at the cost of more
+    * false candidates for the verification step to discard. */
+  def minhashCandidates(signatures: DataFrame, bands: Int = 8,
+                        rowsPerBand: Int = 4): DataFrame = {
     val banded = signatures.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => hash(slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)), bnd))))
@@ -150,13 +167,13 @@ object DedupOps {
       .distinct()
   }
 
-  /** Full MinHash-LSH near-dup pipeline: candidates from banding, then exact
-    * Jaccard verification of candidates only. */
-  def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                 threshold: Double = 0.7,
-                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sigs = minhashSignatures(docs, n, numHashes, textCol, idCol)
-    val cands = minhashCandidates(sigs, bands)
+  /** Exact-Jaccard verification of a candidate pair list: join each side to
+    * its (collected) shingle set and keep pairs at or above the threshold.
+    * Shared by [[minhashLsh]] and [[simhashNearDup]] — the output is a pure
+    * function of the candidate set and the corpus, so any candidate
+    * generator with full recall yields exactly the true pair set. */
+  private def verifyJaccard(docs: DataFrame, cands: DataFrame, n: Int,
+                            threshold: Double, textCol: String, idCol: String): DataFrame = {
     val sets = shingleHashed(docs, textCol, idCol, n)
       .groupBy("id")
       .agg(collect_set(col("s")).as("sh"))
@@ -169,6 +186,68 @@ object DedupOps {
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .where(col("jaccard") >= threshold)
       .select("ida", "idb", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates from banding, then exact
+    * Jaccard verification of candidates only.
+    *
+    * Because verification is exact, the output is hash-free whenever banding
+    * recall is 1: it equals the true Jaccard pair set, which a SQL oracle
+    * can recompute independently. The default 32 bands × 2 rows make a miss
+    * at the J=0.7 decision boundary a (1-0.7²)^32 ≈ 4·10⁻¹⁰ event per pair
+    * — and with deterministic hashes (xxhash64 + fixed affine coefficients)
+    * the recall observed on a given corpus is a constant of the build, not a
+    * per-run draw. Cost scales with colliding-band pairs, never n². */
+  def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+                 rowsPerBand: Int = 2, threshold: Double = 0.7,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(bands * rowsPerBand <= numHashes,
+      s"bands*rowsPerBand (${bands * rowsPerBand}) exceeds numHashes ($numHashes)")
+    val sigs = minhashSignatures(docs, n, numHashes, textCol, idCol)
+    val cands = minhashCandidates(sigs, bands, rowsPerBand)
+    verifyJaccard(docs, cands, n, threshold, textCol, idCol)
+  }
+
+  /** SimHash-blocked near-dup pipeline: candidate pairs from chunk
+    * collisions of the 64-bit SimHash, then exact Jaccard verification —
+    * the same verify step as [[minhashLsh]], so with full candidate recall
+    * the output is the true Jaccard pair set, independent of the hash
+    * family.
+    *
+    * Candidate recall is the HmSearch-style pigeonhole: with `chunks`
+    * chunks and `probeBits` = 1, one side additionally probes every 1-bit
+    * variant of each chunk, so any pair within Hamming 2·chunks-1 (15 for
+    * 8 chunks) shares a probed value — short documents put real near-dups
+    * at Hamming ~10 (measured max 11 on the synthetic corpus at sf0.1),
+    * past the plain chunk guarantee of chunks-1. probeBits = 0 keeps the
+    * exact-chunk variant (guarantee chunks-1, fewer candidates). Probing
+    * multiplies one side's index rows by width+1, never the pair space;
+    * false candidates are filtered by the exact verification. */
+  def simhashNearDup(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                     chunks: Int = 8, probeBits: Int = 1,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    require(probeBits == 0 || probeBits == 1, s"probeBits must be 0 or 1, got $probeBits")
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    val sigs = simhash(docs, textCol, idCol)
+    val chunked = sigs.select(col("id"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    // probe side: the chunk value itself plus (optionally) its 1-bit flips
+    val probed =
+      if (probeBits == 0) chunked
+      else chunked.select(col("id"), col("chunk"),
+        explode(array(col("chunk_val") +:
+          (0 until width).map(j => col("chunk_val").bitwiseXOR(lit(1L << j))): _*))
+          .as("chunk_val"))
+    val cands = probed.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .distinct()
+    verifyJaccard(docs, cands, n, threshold, textCol, idCol)
   }
 
   /** 64-bit SimHash over the token multiset: per bit, sum ±1 weighted by

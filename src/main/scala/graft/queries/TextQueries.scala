@@ -56,17 +56,28 @@ object TextQueries {
     },
 
     // X2 at scale — MinHash+LSH candidates verified by exact Jaccard.
-    // No SQL oracle (xxhash64-dependent); recall vs q_text_dedup_near is
-    // asserted in ScalaTest.
+    // Because the verify step is exact and 32×2 banding has full recall on
+    // this corpus (per-pair miss ≈ 4e-10 at the J=0.7 boundary, and the
+    // hash family is deterministic so observed recall is a build constant),
+    // the output equals the true Jaccard pair set — which the SQL oracle
+    // recomputes hash-free. Banding recall itself is additionally pinned in
+    // ScalaTest.
     "q_minhash_lsh" -> { t =>
-      DedupOps.minhashLsh(t.documents, n = 4, threshold = 0.7)
+      DedupOps.minhashLsh(t.documents, n = 4, numHashes = 64, bands = 32,
+          rowsPerBand = 2, threshold = 0.7)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("ida", "idb")
     },
 
-    // SimHash near-dup pairs (no SQL oracle — hash-dependent).
+    // SimHash chunk-blocked candidates verified by exact Jaccard — same
+    // verify-exact contract as q_minhash_lsh: candidates from 8-bit chunks
+    // with 1-bit probing (pigeonhole Hamming ≤ 15; measured true-pair max
+    // is 11 on this corpus — short docs push near-dups past the plain
+    // chunk guarantee of 7), output = true Jaccard pairs, oracle hash-free.
+    // Chunk+probe recall on this corpus pinned in ScalaTest.
     "q_simhash" -> { t =>
-      DedupOps.simhashPairs(t.documents, maxHamming = 3)
+      DedupOps.simhashNearDup(t.documents, n = 4, threshold = 0.5, chunks = 8, probeBits = 1)
+        .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("ida", "idb")
     },
 
@@ -123,9 +134,13 @@ object TextQueries {
       TextOps.bm25(t.documents, Seq("dup", "join", "spark"), k = 20)
     },
 
-    // Full inverted index: df/cf + sorted posting list per term.
+    // Full inverted index: df/cf + sorted posting list per term. The posting
+    // array is serialized to a comma-joined string for the oracle compare
+    // (the harness comparer cannot hash array cells).
     "q_inverted_index" -> { t =>
-      TextOps.invertedIndex(t.documents).orderBy("term")
+      TextOps.invertedIndex(t.documents)
+        .withColumn("postings", concat_ws(",", col("postings")))
+        .orderBy("term")
     },
 
     // Near-dup clustering: connected components over the jaccard pair graph
@@ -180,6 +195,39 @@ object TextQueries {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\\s+", " "),
 
     "q_text_dedup_near" ->
+      (shingleCte + """,
+        |cand AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ida, idb,
+        |  round(shared * 1.0 / (na.n + nb.n - shared), 6) AS jaccard
+        |FROM cand
+        |JOIN sz na ON na.doc_id = ida
+        |JOIN sz nb ON nb.doc_id = idb
+        |WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.5
+        |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " "),
+
+    // The LSH/blocked candidate generators verify candidates with the EXACT
+    // Jaccard, so with full candidate recall (pinned in ScalaTest; miss
+    // probability ~1e-10 at the decision boundary and the hash families are
+    // deterministic) their output is the true pair set — the oracle is the
+    // same hash-free exact-Jaccard SQL, at each query's threshold.
+    "q_minhash_lsh" ->
+      (shingleCte + """,
+        |cand AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ida, idb,
+        |  round(shared * 1.0 / (na.n + nb.n - shared), 6) AS jaccard
+        |FROM cand
+        |JOIN sz na ON na.doc_id = ida
+        |JOIN sz nb ON nb.doc_id = idb
+        |WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.7
+        |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " "),
+
+    "q_simhash" ->
       (shingleCte + """,
         |cand AS (
         |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
@@ -303,7 +351,7 @@ object TextQueries {
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |  GROUP BY 1, 2)
         |SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
-        |list(doc_id ORDER BY doc_id) AS postings
+        |array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
         |FROM tf GROUP BY term ORDER BY term""".stripMargin.replaceAll("\\s+", " "),
 
     "q_dedup_clusters" ->

@@ -210,6 +210,18 @@ class PlanQualitySpec extends SparkSpec {
       s"fuzzy match degenerated to a cross product:\n$plan")
   }
 
+  test("exact embedding near-dup distributes as a blocked equi-join, never a nested-loop broadcast") {
+    val plan = executedPlan("q_embedding_neardup").toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup degenerated to a nested loop:\n$plan")
+  }
+
+  test("LSH ann candidate join carries only (id, band, bucket) — vectors rejoin after candidates") {
+    val plan = executedPlan("q_ann_lsh").toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate generation degenerated to a cross product:\n$plan")
+  }
+
   test("dq checks compute the whole suite in one scan per table") {
     val plan = executedPlan("q_dq_checks").toString
     // one scan of orders (plus the broadcast customer key probe), one of

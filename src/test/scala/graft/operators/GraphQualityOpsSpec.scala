@@ -20,6 +20,19 @@ class GraphQualityOpsSpec extends SparkSpec {
     assert(!e.contains((20L, 30L))) // never co-purchased
   }
 
+  test("maxBasket drops oversized baskets from both the pair explode and the probability universe") {
+    // one normal basket (2 items) + one oversized basket (5 items)
+    val li = (Seq((1L, 10L), (1L, 20L)) ++ (0 until 5).map(i => (2L, 100L + i)))
+      .toDF("o", "p")
+    val e = GraphOps.coOccurrenceEdges(li, "o", "p", maxBasket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e == Set((10L, 20L), (20L, 10L)), s"oversized basket leaked pairs: $e")
+    val rules = GraphOps.associationRules(li, "o", "p", maxBasket = 3).collect()
+    // the dropped basket leaves the universe: nGroups=1 → support of (10,20)=1.0
+    val r = rules.map(x => (x.getLong(1), x.getLong(0)) -> x.getDouble(3)).toMap
+    assert(rules.length == 2 && r.values.forall(_ == 1.0), rules.mkString(","))
+  }
+
   test("associationRules: always-together pair has confidence 1 and lift n/cnt") {
     // 4 baskets: items 10,20 always together (2 baskets); 30 alone in 2
     val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 30L), (4L, 30L))

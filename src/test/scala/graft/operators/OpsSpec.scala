@@ -41,6 +41,78 @@ class OpsSpec extends SparkSpec {
     assert(exact == lsh)
   }
 
+  test("simhash chunk-blocked near-dup equals the exact Jaccard pair set (full chunk recall)") {
+    val exact = DedupOps.ngramJaccard(docs, n = 3, threshold = 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val sh = DedupOps.simhashNearDup(docs, n = 3, threshold = 0.5, chunks = 8)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "planted duplicates must be found by the exact query")
+    assert(sh == exact, s"chunk candidates missed true pairs: ${exact diff sh}")
+  }
+
+  test("ngramJaccard df-cap drops stop-shingles from the join (score becomes a lower bound)") {
+    // every doc shares one boilerplate 3-gram; two docs are otherwise identical
+    val boiler = "end of document"
+    val d = (0 until 10).map(i => (i.toLong, s"unique$i token$i word$i $boiler")) :+
+      (100L, s"unique0 token0 word0 $boiler")
+    val df = d.toDF("doc_id", "text")
+    // uncapped: the boilerplate shingle alone links every doc pair
+    val loose = DedupOps.ngramJaccard(df, n = 3, threshold = 0.01, maxDf = 1000)
+    assert(loose.count() > 1)
+    // capped at 5: only the true duplicate pair (sharing non-boilerplate
+    // shingles too) survives; the universal shingle never enters the join
+    val capped = DedupOps.ngramJaccard(df, n = 3, threshold = 0.01, maxDf = 5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(capped == Set((0L, 100L)), s"got $capped")
+  }
+
+  test("blocked exact embedding near-dup equals the plain all-pairs reference") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 60).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val expected = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      s = cos(va, vb) if s >= 0.5
+    } yield (ia, ib)).toSet
+    val got = SimilarityOps.nearDupPairs(emb, threshold = 0.5, nBlocks = 7)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"diff: ${(got diff expected) ++ (expected diff got)}")
+  }
+
+  test("LSH near-dup at a genuine near-dup threshold has full recall on planted duplicates") {
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 80).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    // planted near-dups: tiny perturbations of the first 10 vectors (cos ≈ 0.999)
+    val dups = (0 until 10).map { i =>
+      val (id, v) = base(i)
+      (1000L + id, v.map(x => x + rnd.nextFloat() * 0.02f))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = SimilarityOps.nearDupPairs(emb, threshold = 0.95)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 10, s"planted pairs missing from exact: $exact")
+    val lsh = SimilarityOps.nearDupPairsLsh(emb, threshold = 0.95, nPlanes = 8, bands = 16)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(lsh == exact, s"LSH missed: ${exact diff lsh}")
+  }
+
+  test("banded lshTopK with enough cheap bands equals brute force exactly") {
+    val rnd = new scala.util.Random(17)
+    val emb = (0 until 120).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 5)
+    val bf = SimilarityOps.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val lsh = SimilarityOps.lshTopK(emb, queries, k = 5, nPlanes = 2, bands = 40)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(lsh == bf, s"banded LSH diverged from brute force: ${(bf diff lsh) ++ (lsh diff bf)}")
+  }
+
   test("simhash: identical docs at hamming 0; planted near-dups within 3") {
     val pairs = DedupOps.simhashPairs(docs, maxHamming = 3)
       .select("ida", "idb", "hamming").as[(Long, Long, Int)].collect()
