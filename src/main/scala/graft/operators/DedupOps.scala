@@ -215,36 +215,60 @@ object DedupOps {
     * family.
     *
     * Candidate recall is the HmSearch-style pigeonhole: with `chunks`
-    * chunks and `probeBits` = 1, one side additionally probes every 1-bit
-    * variant of each chunk, so any pair within Hamming 2·chunks-1 (15 for
-    * 8 chunks) shares a probed value — short documents put real near-dups
-    * at Hamming ~10 (measured max 11 on the synthetic corpus at sf0.1),
-    * past the plain chunk guarantee of chunks-1. probeBits = 0 keeps the
-    * exact-chunk variant (guarantee chunks-1, fewer candidates). Probing
-    * multiplies one side's index rows by width+1, never the pair space;
-    * false candidates are filtered by the exact verification. */
+    * chunks and per-chunk probing of every ≤`probeBits`-bit variant, any
+    * pair within Hamming chunks·(probeBits+1)-1 shares a probed value.
+    * Chunk width controls bucket concentration: on a shared-vocabulary
+    * corpus the simhash bits are correlated across documents, so narrow
+    * chunks collapse into a few huge buckets (8-bit chunks measured 6.8M
+    * same-bucket pairs at sf0.1 vs 0.23M for 16-bit) — wide chunks + probes
+    * is the cheap shape, because probe values mostly hit EMPTY buckets
+    * (2% occupancy at 16 bits) while narrow chunks pay k² on every hot
+    * bucket. Short documents put real near-dups well past the classic
+    * Hamming-3 regime (measured max 11 at sf0.1 — ~50-token docs give each
+    * bit a tiny margin), hence the default 4×16-bit chunks with 2-bit
+    * probes: guarantee ≤ 11. For long-document corpora (the classic
+    * simhash setting, Hamming ≤ 3) probeBits = 0 suffices and the index
+    * stays 1 row per (doc, chunk). Probing multiplies one side's index
+    * rows by Σ C(width,i), never the pair space; false candidates are
+    * discarded by the exact verification. */
   def simhashNearDup(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-                     chunks: Int = 8, probeBits: Int = 1,
+                     chunks: Int = 4, probeBits: Int = 2,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
-    require(probeBits == 0 || probeBits == 1, s"probeBits must be 0 or 1, got $probeBits")
+    require(probeBits >= 0 && probeBits <= 2, s"probeBits must be 0..2, got $probeBits")
     val width = 64 / chunks
-    val mask = (1L << width) - 1
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = simhash(docs, textCol, idCol)
-    val chunked = sigs.select(col("id"),
+    // the full signature rides along with every index row, so the Hamming
+    // gate below needs no join-back
+    val chunked = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until chunks).map(c =>
         shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    // probe side: the chunk value itself plus (optionally) its 1-bit flips
+    // probe side: the chunk value plus all its ≤probeBits-bit flips
+    val flips: Seq[Long] =
+      (if (probeBits >= 1) (0 until width).map(j => 1L << j) else Seq.empty) ++
+      (if (probeBits >= 2)
+        for { i <- 0 until width; j <- i + 1 until width } yield (1L << i) | (1L << j)
+      else Seq.empty)
     val probed =
-      if (probeBits == 0) chunked
-      else chunked.select(col("id"), col("chunk"),
+      if (flips.isEmpty) chunked
+      else chunked.select(col("id"), col("simhash"), col("chunk"),
         explode(array(col("chunk_val") +:
-          (0 until width).map(j => col("chunk_val").bitwiseXOR(lit(1L << j))): _*))
+          flips.map(m => col("chunk_val").bitwiseXOR(lit(m))): _*))
           .as("chunk_val"))
+    // Hamming gate at the pigeonhole guarantee: candidates beyond it were
+    // never guaranteed anyway, and with both signatures riding the bucket
+    // join the gate is a pure codegen'd filter (xor+bit_count) on the
+    // joined stream — so the bulk of bucket-collision noise (measured 5.8M
+    // pair rows at sf0.1: correlated simhash bits make probe buckets
+    // collide far more than uniform hashes would) dies before BOTH the
+    // distinct and the expensive set-intersection verify.
+    val maxHamming = chunks * (probeBits + 1) - 1
     val cands = probed.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
         col("a.id") < col("b.id"))
+      .where(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
     verifyJaccard(docs, cands, n, threshold, textCol, idCol)

@@ -70,13 +70,15 @@ object TextQueries {
     },
 
     // SimHash chunk-blocked candidates verified by exact Jaccard — same
-    // verify-exact contract as q_minhash_lsh: candidates from 8-bit chunks
-    // with 1-bit probing (pigeonhole Hamming ≤ 15; measured true-pair max
-    // is 11 on this corpus — short docs push near-dups past the plain
-    // chunk guarantee of 7), output = true Jaccard pairs, oracle hash-free.
-    // Chunk+probe recall on this corpus pinned in ScalaTest.
+    // verify-exact contract as q_minhash_lsh: candidates from 4×16-bit
+    // chunks with 2-bit probing (pigeonhole Hamming ≤ 11; measured
+    // true-pair max is 11 on this corpus — ~50-token docs push near-dups
+    // far past the classic Hamming-3 regime), output = true Jaccard pairs,
+    // oracle hash-free. Wide chunks keep buckets sparse on this
+    // correlated-bit corpus (narrow chunks collapse into huge buckets);
+    // chunk+probe recall pinned in ScalaTest.
     "q_simhash" -> { t =>
-      DedupOps.simhashNearDup(t.documents, n = 4, threshold = 0.5, chunks = 8, probeBits = 1)
+      DedupOps.simhashNearDup(t.documents, n = 4, threshold = 0.5, chunks = 4, probeBits = 2)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("ida", "idb")
     },
