@@ -286,10 +286,14 @@ object DedupOps {
     val ex = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
       .withColumn("h", xxhash64(col("t")))
+    // branch-free bit sums: Σ±1 for bit b is 2·Σbit_b − n, so aggregate the
+    // plain bit extracts plus one count — pure shift/and/add in codegen
     val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b")) :+
+      count(lit(1)).as("n")
     val packed = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
-      shiftleft(acc, 1).bitwiseOR(when(col(s"b$b") >= 0, 1L).otherwise(0L))
+      shiftleft(acc, 1).bitwiseOR(
+        when(col(s"b$b") * 2 >= col("n"), 1L).otherwise(0L))
     }
     ex.groupBy("id")
       .agg(bitSums.head, bitSums.tail: _*)
