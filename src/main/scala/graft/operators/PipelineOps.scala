@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -52,6 +52,75 @@ object PipelineOps {
         array_join(slice(col("__toks"), col("start") + 1, lit(size)), " ").as("chunk"),
         org.apache.spark.sql.functions.size(slice(col("__toks"), col("start") + 1, lit(size)))
           .cast("long").as("n_tokens"))
+  }
+
+  /** Greedy stream packing of documents into fixed-length training
+    * sequences: concatenate the token stream in doc-id order and cut every
+    * `ctxLen` tokens — the standard GPT-style pretraining packing. Each doc
+    * gets (seq_id, seq_offset) = where its first token lands; a doc may
+    * straddle a boundary (its tokens spill into seq_id+1), exactly like the
+    * real packed layout.
+    *
+    * The global prefix sum is computed in two phases so no single task ever
+    * sees the whole stream: per-bucket token subtotals (one small shuffle,
+    * |docs|/bucketSize rows), a cumulative-offset window over that TINY
+    * bucket table, then a per-bucket window for the local prefix — the big
+    * relation is touched by one bucket-partitioned sort, never a global
+    * one. (The naive `Window.orderBy(id)` formulation funnels 100 TB
+    * through one task.) */
+  def packSequences(docs: DataFrame, ctxLen: Long, bucketSize: Long = 4096,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(ctxLen > 0 && bucketSize > 0, "ctxLen and bucketSize must be positive")
+    val counts = docs.select(col(idCol).as("id"),
+      org.apache.spark.sql.functions.size(split(col(textCol), " ")).cast("long").as("n_tok"))
+    val bucketed = counts.withColumn("bkt",
+      call_function("div", col("id") - pmod(col("id"), lit(bucketSize)), lit(bucketSize)))
+    val partials = bucketed.groupBy("bkt").agg(sum("n_tok").as("bkt_tok"))
+    // bucket offsets: window over one row per bucket — thousands of rows at
+    // 100 TB, a broadcastable model-sized table
+    val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("bkt_off", coalesce(sum("bkt_tok").over(wOff), lit(0L)))
+      .select("bkt", "bkt_off")
+    val wLocal = Window.partitionBy("bkt").orderBy("id")
+    bucketed
+      .join(broadcast(offsets), Seq("bkt"))
+      .withColumn("start",
+        col("bkt_off") + sum("n_tok").over(wLocal) - col("n_tok"))
+      .select(col("id").as(idCol), col("n_tok"),
+        call_function("div", col("start") - pmod(col("start"), lit(ctxLen)), lit(ctxLen))
+          .as("seq_id"),
+        pmod(col("start"), lit(ctxLen)).as("seq_offset"))
+  }
+
+  /** Deterministic MLM-style token masking: token i of doc d is replaced by
+    * `maskTok` when the first 4 hex digits of md5("d:i") fall below
+    * rate·65536 — a pure, reproducible function of (doc, position) that any
+    * engine recomputes identically (no RNG state, retries re-derive the
+    * same corruption). Narrow codegen'd map over the token array; no
+    * shuffle, no state. Hex-string comparison against the fixed-width
+    * threshold IS the numeric comparison, so both sides stay in string
+    * space. */
+  def maskTokens(docs: DataFrame, rate: Double = 0.15, maskTok: String = "<mask>",
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    val threshold = math.round(rate * 65536)
+    val thresholdHex = f"$threshold%04x"
+    val toks = split(col(textCol), " ")
+    def hit(i: Column): Column =
+      // rate 1.0 would need a 5-hex-digit threshold, outside the 4-digit
+      // compare domain — short-circuit it
+      if (threshold >= 65536) lit(true)
+      else substring(md5(concat(col(idCol).cast("string"), lit(":"), i.cast("string"))
+        .cast("binary")), 1, 4) < thresholdHex
+    val positions = sequence(lit(0), org.apache.spark.sql.functions.size(toks) - 1)
+    docs.select(
+      col(idCol),
+      concat_ws(" ", zip_with(toks, positions,
+        (t, i) => when(hit(i), lit(maskTok)).otherwise(t))).as("masked_text"),
+      aggregate(transform(positions, i => when(hit(i), 1L).otherwise(0L)),
+        lit(0L), _ + _).as("n_masked"),
+      org.apache.spark.sql.functions.size(toks).cast("long").as("n_tokens"))
   }
 
   /** Chained regex redaction: each (pattern → replacement) pair applied in

@@ -152,6 +152,30 @@ object TextOps {
       .limit(k)
   }
 
+  /** CCNet-style language-model quality proxy: the mean log-probability of
+    * a document's tokens under the corpus's own unigram distribution
+    * (ln(cnt(term)/total)). Documents dominated by rare/garbled tokens
+    * score low; boilerplate scores high — the cheap LM filter that
+    * precedes expensive model-based scoring in pretraining pipelines.
+    *
+    * Plan: per-(doc,term) tf (one partial-combined shuffle), corpus term
+    * counts (a second, vocabulary-sized aggregation — broadcast back), the
+    * corpus total as a broadcast scalar, then one per-doc aggregation.
+    * The corpus is scanned once; nothing driver-side. */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tf = termFreqs(docs, textCol, idCol)
+    val cnt = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val total = cnt.agg(sum("cnt").as("total"))
+    tf
+      .join(broadcast(cnt), Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").cast("long").as("n_tokens"),
+        round(sum(col("tf") * log(col("cnt").cast("double") / col("total"))) / sum("tf"), 6)
+          .as("avg_logprob"))
+  }
+
   /** Inverted index: one row per term with document frequency, collection
     * frequency, and the sorted distinct posting list. Single aggregation on
     * the term after the explode; posting lists are built from the already

@@ -25,6 +25,22 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // GPT-style sequence packing: concatenate the doc-id-ordered token
+    // stream, cut every 512 tokens; each doc reports where its first token
+    // lands. Two-phase distributed prefix sum (bucket partials + tiny
+    // offset window) — never a global single-task window.
+    "q_pack_sequences" -> { t =>
+      PipelineOps.packSequences(t.documents, ctxLen = 512, bucketSize = 64)
+        .orderBy("doc_id")
+    },
+
+    // Deterministic MLM corruption: mask tokens where md5("doc:pos")'s
+    // first 4 hex digits fall under the 15% threshold — reproducible across
+    // engines and retries, no RNG state.
+    "q_mask_tokens" -> { t =>
+      PipelineOps.maskTokens(t.documents, rate = 0.15).orderBy("doc_id")
+    },
+
     // Chained regex redaction (PII-scrub shape) over customer names.
     "q_pii_redact" -> { t =>
       PipelineOps.redact(t.customer, "c_name", "redacted",
@@ -231,6 +247,30 @@ object PipelineQueries {
         |array_to_string(t[start+1:start+32], ' ') AS chunk,
         |CAST(len(t[start+1:start+32]) AS BIGINT) AS n_tokens
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_pack_sequences" ->
+      """WITH c AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |FROM documents),
+        |s AS (SELECT doc_id, n_tok,
+        |  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |FROM c)
+        |SELECT doc_id, n_tok, CAST(start // 512 AS BIGINT) AS seq_id,
+        |CAST(start % 512 AS BIGINT) AS seq_offset
+        |FROM s ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_mask_tokens" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |m AS (SELECT doc_id, t,
+        |  [CASE WHEN substring(md5(doc_id || ':' || (i-1)), 1, 4) < '2666'
+        |        THEN '<mask>' ELSE t[i] END for i in range(1, len(t)+1)] AS mt,
+        |  [CASE WHEN substring(md5(doc_id || ':' || (i-1)), 1, 4) < '2666'
+        |        THEN 1 ELSE 0 END for i in range(1, len(t)+1)] AS hits
+        |FROM tok)
+        |SELECT doc_id, array_to_string(mt, ' ') AS masked_text,
+        |CAST(list_sum(hits) AS BIGINT) AS n_masked,
+        |CAST(len(t) AS BIGINT) AS n_tokens
+        |FROM m ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_pii_redact" ->
       """SELECT c_custkey, c_name,

@@ -136,6 +136,12 @@ object TextQueries {
       TextOps.bm25(t.documents, Seq("dup", "join", "spark"), k = 20)
     },
 
+    // CCNet-style unigram LM quality proxy: mean token log-probability
+    // under the corpus's own unigram distribution.
+    "q_unigram_logprob" -> { t =>
+      TextOps.unigramLogProb(t.documents).orderBy("doc_id")
+    },
+
     // Full inverted index: df/cf + sorted posting list per term. The posting
     // array is serialized to a comma-joined string for the oracle compare
     // (the harness comparer cannot hash array cells).
@@ -242,6 +248,18 @@ object TextQueries {
         |JOIN sz nb ON nb.doc_id = idb
         |WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.5
         |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " "),
+
+    "q_unigram_logprob" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |cnt AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+        |tot AS (SELECT sum(cnt) AS total FROM cnt)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |round(sum(tf.tf * ln(cnt.cnt * 1.0 / tot.total)) / sum(tf.tf), 6) AS avg_logprob
+        |FROM tf JOIN cnt ON tf.term = cnt.term CROSS JOIN tot
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -222,6 +222,22 @@ class PlanQualitySpec extends SparkSpec {
       s"LSH candidate generation degenerated to a cross product:\n$plan")
   }
 
+  test("sequence packing windows the big relation per-bucket; only the tiny offset table goes global") {
+    val df = SparkEntry.queries("q_pack_sequences")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    // the per-document prefix window (over n_tok) must be bucket-partitioned
+    val docWindows = windows.filter(_.contains("sum(n_tok"))
+    assert(docWindows.nonEmpty, s"doc-level prefix window missing:\n$plan")
+    docWindows.foreach(l => assert(l.contains("windowspecdefinition(bkt#"),
+      s"doc-level window not bucket-partitioned (global sort of the corpus):\n$l"))
+    // global (unpartitioned) windows may only run over the per-bucket
+    // subtotals — a model-sized table
+    windows.filterNot(_.contains("windowspecdefinition(bkt#")).foreach(l =>
+      assert(l.contains("bkt_tok"), s"global window over a data-sized relation:\n$l"))
+  }
+
   test("dq checks compute the whole suite in one scan per table") {
     val plan = executedPlan("q_dq_checks").toString
     // one scan of orders (plus the broadcast customer key probe), one of

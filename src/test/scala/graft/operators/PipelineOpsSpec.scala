@@ -88,6 +88,31 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, Some("a"), 10.0), (2L, None, 99.0), (3L, Some("c"), 30.0), (4L, Some("d"), 40.0)))
   }
 
+  test("packSequences two-phase prefix sum equals the sequential packing reference") {
+    val docs = Seq((0L, "a b c"), (1L, "d e"), (2L, "f g h i"), (3L, "j"),
+      (10L, "k l m"), (11L, "n o p q r")).toDF("doc_id", "text")
+    // sequential reference: cumulative starts in id order, ctx=4
+    val expected = Map(0L -> (0L, 0L), 1L -> (0L, 3L), 2L -> (1L, 1L),
+      3L -> (2L, 1L), 10L -> (2L, 2L), 11L -> (3L, 1L))
+    // bucketSize=2 forces multiple buckets through the two-phase path
+    val got = PipelineOps.packSequences(docs, ctxLen = 4, bucketSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected, s"got $got")
+  }
+
+  test("maskTokens is deterministic, counts its masks, and respects rate 0/1") {
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val none = PipelineOps.maskTokens(docs, rate = 0.0).collect().head
+    assert(none.getAs[Long]("n_masked") == 0L && !none.getAs[String]("masked_text").contains("<mask>"))
+    val all = PipelineOps.maskTokens(docs, rate = 1.0).collect().head
+    assert(all.getAs[Long]("n_masked") == 10L)
+    val once = PipelineOps.maskTokens(docs, rate = 0.5).collect().head
+    val again = PipelineOps.maskTokens(docs, rate = 0.5).collect().head
+    assert(once.getAs[String]("masked_text") == again.getAs[String]("masked_text"))
+    assert(once.getAs[Long]("n_masked") ==
+      once.getAs[String]("masked_text").split(" ").count(_ == "<mask>"))
+  }
+
   test("pseudonymize is stable and collision-free across distinct keys") {
     val d = Seq((1L, "a"), (2L, "b"), (1L, "c")).toDF("user_id", "x")
     val out = PipelineOps.pseudonymize(d, "user_id", "p")
