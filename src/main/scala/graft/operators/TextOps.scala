@@ -152,6 +152,32 @@ object TextOps {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion of several rankings (Cormack et al.): each
+    * ranker contributes 1/(k+rank) and documents are re-ranked by the sum —
+    * the standard lexical+semantic hybrid-retrieval merge (BM25 ⊕ vector
+    * top-k), robust to incomparable score scales because only RANKS enter.
+    * A document absent from a ranker simply gets no contribution from it.
+    *
+    * Inputs are top-k ranking tables — model-sized by construction — so the
+    * union + aggregation is trivially cheap; the heavy lifting lives in the
+    * upstream rankers. Final top-N via orderBy+limit =
+    * TakeOrderedAndProject. With two rankers the per-group sum is a single
+    * commutative FP add, bit-stable across engines; for 3+ rankers prefer
+    * higher-precision accumulation if bit-reproducibility matters. */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60, topN: Int = 20,
+              idCol: String = "doc_id", rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    rankings
+      .map(r => r.select(col(idCol),
+        (lit(1.0) / (lit(kRrf) + col(rankCol))).as("__c")))
+      .reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(round(sum("__c"), 6).as("rrf_score"),
+        count(lit(1)).cast("long").as("n_rankers"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topN)
+  }
+
   /** CCNet-style language-model quality proxy: the mean log-probability of
     * a document's tokens under the corpus's own unigram distribution
     * (ln(cnt(term)/total)). Documents dominated by rare/garbled tokens

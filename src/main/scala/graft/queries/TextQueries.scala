@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{DedupOps, TextOps}
+import graft.operators.{DedupOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dedup + text-analysis query bindings over the `documents` table
@@ -142,6 +143,22 @@ object TextQueries {
       TextOps.unigramLogProb(t.documents).orderBy("doc_id")
     },
 
+    // Hybrid retrieval: BM25 lexical ranking ⊕ embedding cosine ranking
+    // (query = vector 0), merged by reciprocal-rank fusion — ranks only, so
+    // the incomparable score scales never mix. Both ranker top-50 tables
+    // are model-sized; the fusion is a trivial union+sum.
+    "q_hybrid_retrieval" -> { t =>
+      val lex = TextOps.bm25(t.documents, Seq("dup", "join", "spark"), k = 50)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "rank")
+      val qv = t.embeddings.where(col("vec_id") === 0)
+      val sem = SimilarityOps.bruteForceTopK(t.embeddings, qv, k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      TextOps.rrfFuse(Seq(lex, sem), kRrf = 60, topN = 20)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    },
+
     // Full inverted index: df/cf + sorted posting list per term. The posting
     // array is serialized to a comma-joined string for the oracle compare
     // (the harness comparer cannot hash array cells).
@@ -167,6 +184,26 @@ object TextQueries {
         .where(col("id") =!= col("cluster"))
         .select(col("id").as("doc_id"), col("cluster").as("keeper"))
         .orderBy("doc_id")
+    },
+
+    // Quality-aware canonical selection: per near-dup cluster, keep the
+    // HIGHEST-QUALITY member (ties to the smaller id) instead of the
+    // arbitrary min-id — the curation rule real pipelines want. Lexicographic
+    // struct-max gives a deterministic argmax inside one partial-combined
+    // aggregation.
+    "q_dedup_keep_best" -> { t =>
+      val clusters = DedupOps.connectedComponents(
+        DedupOps.ngramJaccard(t.documents, n = 4, threshold = 0.5))
+      val quality = TextOps.qualityScore(t.documents)
+        .select(col("doc_id").as("id"), col("quality"))
+      clusters.join(quality, Seq("id"))
+        .groupBy("cluster")
+        .agg(
+          count(lit(1)).cast("long").as("n_members"),
+          max(struct(col("quality").as("q"), (-col("id")).as("negid"))).as("__best"))
+        .select(col("cluster"), (-col("__best.negid")).as("keeper"),
+          col("__best.q").as("best_quality"), col("n_members"))
+        .orderBy("cluster")
     },
 
     // End-to-end curation composition: quality filter → exact-dedup keeper
@@ -260,6 +297,45 @@ object TextQueries {
         |round(sum(tf.tf * ln(cnt.cnt * 1.0 / tot.total)) / sum(tf.tf), 6) AS avg_logprob
         |FROM tf JOIN cnt ON tf.term = cnt.term CROSS JOIN tot
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_hybrid_retrieval" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok IN ('dup', 'join', 'spark') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * (1.2 + 1.0)) /
+        |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS contrib
+        |  FROM tf JOIN df ON tf.term = df.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+        |lexs AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM c GROUP BY doc_id),
+        |lexr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |  AS BIGINT) AS rank FROM lexs),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |sems AS (SELECT x.vec_id AS doc_id,
+        |  list_dot_product(q.e, x.e) / (q.nrm * x.nrm) AS sim
+        |  FROM n q JOIN n x ON x.vec_id <> q.vec_id WHERE q.vec_id = 0),
+        |semr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+        |  AS BIGINT) AS rank FROM sems),
+        |u AS (
+        |  SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS co
+        |  FROM lexr WHERE rank <= 50
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS co
+        |  FROM semr WHERE rank <= 50)
+        |SELECT doc_id, round(sum(co), 6) AS rrf_score,
+        |CAST(count(*) AS BIGINT) AS n_rankers
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin.replaceAll("\\s+", " "),
 
     "q_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -413,6 +489,41 @@ object TextQueries {
         |  SELECT c.id, e.dst AS r FROM closure c JOIN edges e ON e.src = c.r)
         |SELECT id AS doc_id, min(r) AS keeper FROM closure GROUP BY id
         |HAVING min(r) <> id ORDER BY doc_id""".stripMargin).replaceAll("\\s+", " "),
+
+    "q_dedup_keep_best" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+        |cand AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT ida, idb FROM cand
+        |  JOIN sz na ON na.doc_id = ida
+        |  JOIN sz nb ON nb.doc_id = idb
+        |  WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.5),
+        |edges AS (SELECT ida AS src, idb AS dst FROM pr
+        |  UNION SELECT idb, ida FROM pr),
+        |closure AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT c.id, e.dst AS r FROM closure c JOIN edges e ON e.src = c.r),
+        |cl AS (SELECT id, min(r) AS cluster FROM closure GROUP BY id),
+        |q AS (
+        |  SELECT doc_id AS id,
+        |    round(least(len(t) / 100.0, 1.0) * 0.3 +
+        |      (len(list_distinct(t)) * 1.0 / len(t)) * 0.4 +
+        |      (len(list_filter(t, x -> list_contains($stop, x))) * 1.0 / len(t)) * 0.3,
+        |      6) AS quality
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |r AS (
+        |  SELECT cl.cluster, cl.id, q.quality,
+        |    row_number() OVER (PARTITION BY cl.cluster
+        |      ORDER BY q.quality DESC, cl.id) AS rn,
+        |    count(*) OVER (PARTITION BY cl.cluster) AS n_members
+        |  FROM cl JOIN q USING (id))
+        |SELECT cluster, id AS keeper, quality AS best_quality,
+        |CAST(n_members AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin).replaceAll("\\s+", " "),
 
     "q_curation_e2e" ->
       s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
