@@ -120,6 +120,32 @@ class OpsSpec extends SparkSpec {
     assert(planted.length == 3, s"planted pairs found: ${planted.mkString(",")}")
   }
 
+  test("rrfFuse sums 1/(k+rank) across rankers; absent docs get single-ranker scores") {
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (1L, 2L), (9L, 3L)).toDF("doc_id", "rank")
+    val out = TextOps.rrfFuse(Seq(a, b), kRrf = 60, topN = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def rrf(rs: Seq[Long]): Double =
+      math.rint(rs.map(r => 1.0 / (60 + r)).sum * 1e6) / 1e6
+    assert(out(1L) == (rrf(Seq(1L, 2L)), 2L))
+    assert(out(2L) == (rrf(Seq(2L, 1L)), 2L))
+    assert(out(3L) == (rrf(Seq(3L)), 1L))   // only ranker a
+    assert(out(9L) == (rrf(Seq(3L)), 1L))   // only ranker b
+    // doc 1 and 2 tie by construction (1/61+1/62 both ways)
+    assert(out(1L)._1 == out(2L)._1)
+  }
+
+  test("unigramLogProb matches a hand-computed corpus distribution") {
+    // corpus: "a a b" + "b c" → counts a:2 b:2 c:1, total 5
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.unigramLogProb(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def lp(counts: Seq[Long]): Double =
+      math.rint(counts.map(c => math.log(c / 5.0)).sum / counts.size * 1e6) / 1e6
+    assert(out(1L) == (3L, lp(Seq(2L, 2L, 2L))))   // a, a, b
+    assert(out(2L) == (2L, lp(Seq(2L, 1L))))       // b, c
+  }
+
   test("rolling hash is order-sensitive; md5 fingerprint is whitespace-robust") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a  b   c")).toDF("doc_id", "text")
     val fp = TextOps.fingerprints(d).collect().map(r =>
