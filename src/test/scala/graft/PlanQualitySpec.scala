@@ -238,6 +238,36 @@ class PlanQualitySpec extends SparkSpec {
       assert(l.contains("bkt_tok"), s"global window over a data-sized relation:\n$l"))
   }
 
+  test("minhash banding never degenerates to a cross product") {
+    val plan = executedPlan("q_minhash_lsh").toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded candidate join degenerated:\n$plan")
+  }
+
+  test("token masking is a narrow per-row map: no shuffle") {
+    val df = SparkEntry.queries("q_mask_tokens")(spark, dir)
+    // drop the binding's presentation orderBy — the operator itself is narrow
+    val op = graft.operators.PipelineOps.maskTokens(
+      spark.read.parquet(s"$dir/documents.parquet"), rate = 0.15)
+    val plan = op.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"masking shuffles:\n$plan")
+    assert(df.columns.sameElements(Seq("doc_id", "masked_text", "n_masked", "n_tokens")))
+  }
+
+  test("hybrid retrieval fuses model-sized rankings and takes top-N without a global sort") {
+    val plan = executedPlan("q_hybrid_retrieval").toString
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("BroadcastHashJoin"),
+      s"fusion plan lost its bounded shape:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"fusion cross-joined:\n$plan")
+  }
+
+  test("unigram logprob broadcasts the vocabulary counts (tf never reshuffles for the join)") {
+    val df = SparkEntry.queries("q_unigram_logprob")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocabulary join not broadcast:\n$plan")
+  }
+
   test("dq checks compute the whole suite in one scan per table") {
     val plan = executedPlan("q_dq_checks").toString
     // one scan of orders (plus the broadcast customer key probe), one of
