@@ -91,6 +91,27 @@ object PipelineQueries {
         .orderBy("l_returnflag")
     },
 
+    // Approximate percentiles (the production quantile path at 100 TB —
+    // Greenwald-Khanna sketch, bounded memory) pinned the same way as
+    // q_approx_distinct: the oracled output is the EXACT quantile plus a
+    // boolean asserting the sketch value lands within the exact ±1%-rank
+    // band; the oracle asserts the same exact values and `true`, so the
+    // sketch's accuracy contract is under test, not its bit pattern.
+    "q_approx_quantile" -> { t =>
+      val exact = graft.operators.QuantileOps.exactQuantiles(
+        t.lineitem, "l_returnflag", "l_extendedprice",
+        ps = Seq("p50" -> 0.50, "p95" -> 0.95,
+          "lo50" -> 0.49, "hi50" -> 0.51, "lo95" -> 0.94, "hi95" -> 0.96))
+      val approx = t.lineitem.groupBy("l_returnflag").agg(
+        percentile_approx(col("l_extendedprice"), lit(0.50), lit(10000)).as("a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95"))
+      exact.join(approx, "l_returnflag")
+        .select(col("l_returnflag"), col("p50"), col("p95"),
+          col("a50").between(col("lo50"), col("hi50")).as("ok50"),
+          col("a95").between(col("lo95"), col("hi95")).as("ok95"))
+        .orderBy("l_returnflag")
+    },
+
     // Feature-prep composition: synthesize NULLs (every 11th event), impute
     // them with the per-type mean, z-score the raw value per type, and
     // one-hot the event type — broadcast stats, no windows over the facts.
@@ -308,6 +329,13 @@ object PipelineQueries {
         |round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
         |round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
         |round(quantile_cont(l_extendedprice, 0.75), 4) AS q75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |TRUE AS ok50, TRUE AS ok95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\\s+", " "),
 
     "q_feature_prep" ->

@@ -100,6 +100,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expected, s"got $got")
   }
 
+  test("packSequences equals the sequential reference on random corpora (property)") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // sparse, shuffled-magnitude ids exercise bucket boundaries
+      val docs = (0 until 40).map { i =>
+        (i.toLong * rnd.nextInt(5).max(1),
+          (0 to rnd.nextInt(9)).map(_ => "w").mkString(" "))
+      }.distinctBy(_._1)
+      val ctx = 1 + rnd.nextInt(16)
+      var cum = 0L
+      val expected = docs.sortBy(_._1).map { case (id, text) =>
+        val n = text.split(" ").length.toLong
+        val r = id -> (cum / ctx, cum % ctx)
+        cum += n
+        r
+      }.toMap
+      val got = PipelineOps.packSequences(docs.toDF("doc_id", "text"),
+          ctxLen = ctx, bucketSize = 1 + rnd.nextInt(7))
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(got == expected, s"seed=$seed ctx=$ctx")
+    }
+  }
+
   test("maskTokens is deterministic, counts its masks, and respects rate 0/1") {
     val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val none = PipelineOps.maskTokens(docs, rate = 0.0).collect().head
