@@ -46,6 +46,37 @@ object SimilarityOps {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** [[bruteForceTopK]] re-expressed as a BOUNDED-STATE aggregation: the
+    * per-query top-k is maintained by [[graft.functions.TopKAggregator]]
+    * (O(k) buffer, associative merge, map-side combine) instead of a
+    * window sort, so per-query state never exceeds k rows regardless of
+    * corpus size — and the same plan runs UNCHANGED on a streaming corpus
+    * (stream-static broadcast join + stateful aggregation = the running
+    * top-k is the aggregation state), the continuously-maintained
+    * similarity-search shape of the streaming top-k literature (EDBT'19/
+    * SIGMOD'20 continuous similarity search). Batch output is identical to
+    * [[bruteForceTopK]] (same sim, same desc/id tie-break). */
+  def topKAggregated(corpus: DataFrame, queries: DataFrame, k: Int,
+                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = prepared(corpus, vecCol, idCol)
+    val q = prepared(queries, vecCol, idCol)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("sim", cosinePrenormed(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .select(col("query_id"), col("sim"), col("id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("col._1"), 4).as("sim"))
+  }
+
   /** (id, band, bucket) rows: `bands` bands of `nPlanes` hyperplane sign
     * bits each, one row per band. Only ids and two small ints go through the
     * candidate join — vectors are re-fetched for scoring afterwards, so the

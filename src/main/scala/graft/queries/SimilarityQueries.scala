@@ -28,6 +28,17 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Same semantics as q_similarity_topk through the bounded-state
+    // aggregator (O(k) state per query, map-side combine, no window sort) —
+    // the formulation that also runs unchanged on a streaming corpus
+    // (continuous top-k maintenance; streaming equivalence pinned in
+    // ScalaTest). Same brute-force oracle.
+    "q_similarity_topk_agg" -> { t =>
+      val queries = t.embeddings.where(col("vec_id") < 10)
+      SimilarityOps.topKAggregated(t.embeddings, queries, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // Embedding-cosine near-duplicate pairs — EXACT, as a blocked
     // distributed equi-join (threshold 0.4 sits in the continuous bulk of
     // this corpus's similarity distribution — the tightest true pair is at
@@ -72,6 +83,20 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q_similarity_topk" ->
+      (dotCte + """,
+        |p AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    list_dot_product(q.e, x.e) / (q.nrm * x.nrm) AS sim
+        |  FROM n q JOIN n x ON x.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, round(sim, 4) AS sim
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin).replaceAll("\\s+", " "),
+
+    "q_similarity_topk_agg" ->
       (dotCte + """,
         |p AS (
         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
