@@ -322,6 +322,40 @@ object DedupOps {
       .select("ida", "idb", "hamming")
   }
 
+  /** Exact-substring duplication stats (the Lee et al. 2021 "Deduplicating
+    * Training Data" signal, position-resolved): a token position is
+    * DUPLICATED when its n-gram occurs anywhere else in the corpus (another
+    * document, or elsewhere in the same document). Returns per-document
+    * position counts and the duplicated-position ratio — the input to
+    * span-removal or doc-dropping policies.
+    *
+    * Plan: one position explode (the codegen'd slice/concat path), a global
+    * per-n-gram count (partial-combined; the n-gram table is vocabulary-
+    * sized), a shuffle join back on the n-gram hash (content-keyed → skew
+    * follows duplication, AQE-splittable), and a per-doc aggregation.
+    * Nothing driver-side; no pairwise joins at all — cost is linear in
+    * corpus positions, which is what makes this the 100 TB-safe exact
+    * signal next to the pairwise Jaccard family. */
+  def duplicatedSpanStats(docs: DataFrame, n: Int = 8,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pos = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
+      .select(col("id"),
+        xxhash64(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n)))).as("g"))
+    val counts = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
+    pos
+      .join(counts, Seq("g"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_positions"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_positions"))
+      .select(col("id").as(idCol), col("n_positions"), col("dup_positions"),
+        round(col("dup_positions").cast("double") / col("n_positions"), 6).as("dup_ratio"))
+  }
+
   /** Connected components over near-duplicate pairs: the clustering step
     * between candidate generation ([[ngramJaccard]]/[[minhashLsh]]/
     * [[simhashPairs]]) and canonical-document selection — every doc in a

@@ -48,6 +48,14 @@ object TextQueries {
         .orderBy("ida", "idb")
     },
 
+    // Exact-substring duplication stats (Lee et al. 2021): per document,
+    // how many 8-gram positions occur anywhere else in the corpus — the
+    // position-resolved exact-dedup signal, linear in corpus positions
+    // (no pairwise join).
+    "q_dup_spans" -> { t =>
+      DedupOps.duplicatedSpanStats(t.documents, n = 8).orderBy("doc_id")
+    },
+
     // Benchmark decontamination: corpus docs sharing any 8-gram with the
     // (held-out) benchmark slice, benchmark shingles broadcast.
     "q_decontaminate" -> { t =>
@@ -336,6 +344,19 @@ object TextQueries {
         |CAST(count(*) AS BIGINT) AS n_rankers
         |FROM u GROUP BY doc_id
         |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_dup_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, [array_to_string(t[i:i+7], ' ') for i in range(1, len(t)-6)] AS ss
+        |       FROM tok WHERE len(t) >= 8),
+        |pos AS (SELECT doc_id, unnest(ss) AS g FROM sh),
+        |cnt AS (SELECT g, count(*) AS cnt FROM pos GROUP BY g),
+        |j AS (SELECT doc_id, CASE WHEN cnt > 1 THEN 1 ELSE 0 END AS dup
+        |      FROM pos JOIN cnt USING (g))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_positions,
+        |CAST(sum(dup) AS BIGINT) AS dup_positions,
+        |round(CAST(sum(dup) AS BIGINT) * 1.0 / count(*), 6) AS dup_ratio
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
