@@ -268,6 +268,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"vocabulary join not broadcast:\n$plan")
   }
 
+  test("duplicated-span stats stay pairwise-free: no self-join of positions") {
+    val df = SparkEntry.queries("q_dup_spans")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"dup-span stats degenerated:\n$plan")
+    // exactly one join (positions ⋈ global n-gram counts) — a second join
+    // would mean a pairwise formulation snuck in
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins <= 2, s"unexpected extra joins ($joins):\n$plan")
+  }
+
   test("dq checks compute the whole suite in one scan per table") {
     val plan = executedPlan("q_dq_checks").toString
     // one scan of orders (plus the broadcast customer key probe), one of
