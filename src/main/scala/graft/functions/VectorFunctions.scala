@@ -39,8 +39,16 @@ object VectorFunctions {
     * hyperplanes — the random-hyperplane LSH family for cosine distance.
     * Plane coefficients are ±1 derived from xxhash64(plane, dim), identical
     * on every executor with no broadcast state. Returns array<int> of 0/1
-    * bits. */
+    * bits. Native codegen'd ([[graft.plans.VecLshBits]], registered by
+    * GraftExtensions) — a compiled nested loop instead of nPlanes × dim
+    * interpreted lambda closures; bit-identical to
+    * [[hyperplaneBitsBuiltin]], which it is tested against. */
   def hyperplaneBits(vec: Column, nPlanes: Int): Column =
+    call_function("vec_lsh_bits", vec, lit(nPlanes))
+
+  /** The built-in-only formulation, kept as the portability fallback and
+    * the semantic reference the native expression is tested against. */
+  def hyperplaneBitsBuiltin(vec: Column, nPlanes: Int): Column =
     transform(sequence(lit(0), lit(nPlanes - 1)), p => {
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** `vec_dot(array<double>, array<double>) → double` — a native Catalyst
   * expression with whole-stage codegen.
@@ -58,6 +58,77 @@ case class VecDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `vec_lsh_bits(array<double>, nPlanes) → array<int>` — the random-
+  * hyperplane LSH signature as a native codegen expression.
+  *
+  * Semantically identical to the built-in formulation in
+  * [[graft.functions.VectorFunctions.hyperplaneBitsBuiltin]] (plane
+  * coefficients ±1 from xxhash64(plane, dim) — replicated here via the
+  * same XXH64.hashInt chain Spark's xxhash64 uses for two int children,
+  * seed 42; strict index-order accumulation), but compiled to a primitive
+  * nested loop instead of nPlanes × dim interpreted lambda closures — the
+  * signature computation dominates LSH index builds otherwise. Equality
+  * with the interpreted form is pinned in ScalaTest. */
+case class VecLshBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "vec_lsh_bits"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val nPlanes = b.asInstanceOf[Int]
+    val dim = v.numElements()
+    val bits = new Array[Int](nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      val seedP = XXH64.hashInt(p, 42L)
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        val h = XXH64.hashInt(i, seedP)
+        val x = v.getDouble(i)
+        s += (if (((h % 2) + 2) % 2 == 0) x else -x)
+        i += 1
+      }
+      bits(p) = if (s >= 0) 1 else 0
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val dim = ctx.freshName("dim")
+      val seedP = ctx.freshName("seedP")
+      val h = ctx.freshName("h")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val bits = ctx.freshName("bits")
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      s"""
+         |int $dim = $a.numElements();
+         |int[] $bits = new int[$b];
+         |for (int $p = 0; $p < $b; $p++) {
+         |  long $seedP = $xxh.hashInt($p, 42L);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    long $h = $xxh.hashInt($i, $seedP);
+         |    double $x = $a.getDouble($i);
+         |    $s += ((($h % 2L) + 2L) % 2L == 0L) ? $x : -$x;
+         |  }
+         |  $bits[$p] = ($s >= 0.0) ? 1 : 0;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($bits);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extensions registering graft's native functions. Enabled via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (set by
   * [[graft.GraftSession]]), so `call_function("vec_dot", a, b)` and SQL
@@ -68,5 +139,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotProduct].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDotProduct(children(0), children(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("vec_lsh_bits"),
+      new ExpressionInfo(classOf[VecLshBits].getName, "vec_lsh_bits"),
+      (children: Seq[Expression]) => VecLshBits(children(0), children(1))))
   }
 }

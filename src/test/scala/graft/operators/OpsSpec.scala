@@ -241,6 +241,22 @@ class OpsSpec extends SparkSpec {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("native vec_lsh_bits is bit-identical to the built-in hyperplane formulation") {
+    import graft.functions.VectorFunctions
+    val rnd = new scala.util.Random(9)
+    val df = (0 until 40).map(i => (i.toLong, Array.fill(17)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("v"))
+    Seq(1, 8, 80).foreach { nPlanes =>
+      val both = df.select(
+        VectorFunctions.hyperplaneBits(col("v"), nPlanes).as("native"),
+        VectorFunctions.hyperplaneBitsBuiltin(col("v"), nPlanes).as("builtin"))
+        .collect()
+      both.foreach(r =>
+        assert(r.getSeq[Int](0) == r.getSeq[Int](1), s"nPlanes=$nPlanes"))
+    }
+  }
+
   test("IVF top-k recall against brute force on clustered vectors") {
     val rnd = new scala.util.Random(5)
     // 4 well-separated clusters so the coarse quantizer is meaningful
