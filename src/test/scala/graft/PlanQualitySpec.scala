@@ -172,6 +172,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(dotLine.contains("*("), s"vec_dot fell out of codegen:\n$plan")
   }
 
+  test("native vec_lsh_bits expression participates in codegen (no fallback)") {
+    val df = t.embeddings
+      .select(graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+      .select(graft.functions.VectorFunctions.hyperplaneBits(col("v"), 16).as("bits"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("vec_lsh_bits")).getOrElse("")
+    assert(line.contains("*("), s"vec_lsh_bits fell out of codegen:\n$plan")
+  }
+
   test("pagerank iterations broadcast the rank vector (edges never reshuffle per iteration)") {
     import graft.operators.GraphOps
     val full = GraphOps.pageRank(
