@@ -173,9 +173,15 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("native vec_lsh_bits expression participates in codegen (no fallback)") {
+    // norm(v) references v twice, which blocks project-collapse — so the
+    // bits Project sees a plain attribute input, exactly like the real
+    // prepared() → banded() pipeline (an interpreted transform() lambda
+    // collapsed into the same Project would drag it out of codegen)
     val df = t.embeddings
       .select(graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
-      .select(graft.functions.VectorFunctions.hyperplaneBits(col("v"), 16).as("bits"))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v")))
+      .select(graft.functions.VectorFunctions.hyperplaneBits(col("v"), 16).as("bits"),
+        col("nrm"))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     val line = plan.linesIterator.find(_.contains("vec_lsh_bits")).getOrElse("")
