@@ -152,6 +152,28 @@ object TextOps {
       .limit(k)
   }
 
+  /** Adjacent-token-pair frequencies — the merge-candidate statistic at the
+    * heart of BPE/WordPiece tokenizer training (each training step merges
+    * the most frequent adjacent pair). One position explode (codegen'd
+    * scalar pair construction, the same hot path as the shingle operators)
+    * and one partial-combined count; top-k via orderBy+limit =
+    * TakeOrderedAndProject. Linear in corpus tokens. */
+  def bpePairCounts(docs: DataFrame, k: Int = 20,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pairs = docs
+      .select(tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("toks"), explode(sequence(lit(0), size(col("toks")) - 2)).as("i"))
+      .select(
+        element_at(col("toks"), col("i") + 1).as("lhs"),
+        element_at(col("toks"), col("i") + 2).as("rhs"))
+    pairs
+      .groupBy("lhs", "rhs")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion of several rankings (Cormack et al.): each
     * ranker contributes 1/(k+rank) and documents are re-ranked by the sum —
     * the standard lexical+semantic hybrid-retrieval merge (BM25 ⊕ vector

@@ -48,6 +48,12 @@ object TextQueries {
         .orderBy("ida", "idb")
     },
 
+    // BPE merge-candidate statistic: top adjacent-token-pair frequencies
+    // (the quantity each BPE training step maximises).
+    "q_bpe_pairs" -> { t =>
+      TextOps.bpePairCounts(t.documents, k = 20)
+    },
+
     // Exact-substring duplication stats (Lee et al. 2021): per document,
     // how many 8-gram positions occur anywhere else in the corpus — the
     // position-resolved exact-dedup signal, linear in corpus positions
@@ -344,6 +350,14 @@ object TextQueries {
         |CAST(count(*) AS BIGINT) AS n_rankers
         |FROM u GROUP BY doc_id
         |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_bpe_pairs" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT unnest(t[1:len(t)-1]) AS lhs, unnest(t[2:len(t)]) AS rhs
+        |      FROM tok WHERE len(t) >= 2)
+        |SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2
+        |ORDER BY cnt DESC, lhs, rhs LIMIT 20""".stripMargin.replaceAll("\\s+", " "),
 
     "q_dup_spans" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -32,11 +32,11 @@ for name, sql in sorted(oracle.items()):
         mine = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
         mcols = sorted(mine.columns)
         mrows = [tuple(norm(v) for v in row) for row in
-                 con.sql(f"SELECT {', '.join(mcols)} FROM mine").fetchall()]
+                 con.sql("SELECT " + ', '.join(f'"{c}"' for c in mcols) + " FROM mine").fetchall()]
         ora = con.sql(sql)
         ocols = sorted(ora.columns)
         orows = [tuple(norm(v) for v in row) for row in
-                 con.sql(f"SELECT {', '.join(ocols)} FROM ora").fetchall()]
+                 con.sql("SELECT " + ', '.join(f'"{c}"' for c in ocols) + " FROM ora").fetchall()]
         if mcols != ocols:
             print(f"FAIL {name}: cols mine={mcols} oracle={ocols}"); fails += 1; continue
         if len(mrows) != len(orows):
