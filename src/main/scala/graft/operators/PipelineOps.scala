@@ -189,6 +189,64 @@ object PipelineOps {
       .drop("__rn", "__min")
   }
 
+  /** Per-source document cap — the web-curation guard against any one
+    * domain dominating the corpus: keep at most `maxPerKey` docs per source,
+    * preferring longer documents (quality proxy), doc_id tie-break.
+    *
+    * Expressed as a rank-≤-k window so Catalyst plans a WindowGroupLimit:
+    * each map task pre-prunes its partition to k rows per key BEFORE the
+    * exchange (gated in PlanQualitySpec), so the shuffle carries O(k) rows
+    * per (task, key) instead of the whole corpus — with web-scale source
+    * cardinality (millions of domains) the window itself is embarrassingly
+    * parallel. */
+  def sourceCap(docs: DataFrame, maxPerKey: Int, classCol: String = "source",
+                lenCol: String = "n_chars", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(classCol)).orderBy(col(lenCol).desc, col(idCol))
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxPerKey)
+      .select(col(idCol), col(classCol), col(lenCol))
+  }
+
+  /** Temperature-based language/source rebalancing (the multilingual
+    * α-sampling of mC4/XLM-R, α = 0.5): group g with count n_g is kept at a
+    * rate making the sampled composition ∝ n_g^α, damping dominant groups
+    * while preserving long-tail ones. `frac` sets the overall sample size
+    * (targetTotal = floor(frac × N)).
+    *
+    * Realized as a HASH-THRESHOLD keep (expected-count sampling), not a
+    * rank-and-cut: a doc survives iff its first 8 md5(text) hex digits fall
+    * below the group's cut = floor(rate_g × 2³²). That makes the corpus pass
+    * a pure narrow map after the tiny per-group rate table broadcasts — no
+    * per-group window, no total order inside a 40 TB language partition —
+    * the only 100 TB-safe shape for exact-rate subsampling. Deterministic
+    * across engines and re-runs: weights are integerized
+    * (w_g = ⌊√(n_g·10⁶)⌋, exact in IEEE), targets use pure BIGINT arithmetic
+    * (tgt_g = min(n_g, T·w_g div Σw)), and the cut is an 8-hex-digit string
+    * compare (lexicographic = numeric for fixed-width lowercase hex). */
+  def temperatureSample(docs: DataFrame, frac: Double = 0.5,
+                        classCol: String = "lang", textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n") * lit(1000000.0))).cast("long"))
+    val totals = counts.agg(sum("__n").as("__tn"), sum("__w").as("__tw"))
+    val cuts = counts.crossJoin(broadcast(totals))
+      .withColumn("__t", floor(col("__tn") * lit(frac)).cast("long"))
+      .withColumn("__tgt",
+        least(col("__n"), call_function("div", col("__t") * col("__w"), col("__tw"))))
+      // rate ≥ 1 → keep everything: 'g' sorts above every hex digit
+      .withColumn("__cut",
+        when(col("__tgt") >= col("__n"), lit("g"))
+          .otherwise(lpad(lower(hex(
+            floor(col("__tgt").cast("double") / col("__n") * lit(4294967296.0))
+              .cast("long"))), 8, "0")))
+      .select(col(classCol), col("__cut"))
+    docs
+      .join(broadcast(cuts), classCol)
+      .where(substring(md5(col(textCol)), 1, 8) < col("__cut"))
+      .select(col(idCol), col(classCol))
+  }
+
   /** Weighted source mixing: keep a per-source fraction of documents
     * (deterministic, hash-ranked) — the dataset-mixture step that reweights
     * corpora (web/books/code/...) toward a target composition. Quotas are

@@ -46,6 +46,19 @@ object ScaleOps {
   def timePartitioned(df: DataFrame, tsCol: Column, partitions: Int): DataFrame =
     df.repartitionByRange(partitions, tsCol)
 
+  /** Z-order (Morton) value of two keys: interleave the low `bits` bits of
+    * x (even positions) and y (odd positions). Sorting/range-partitioning a
+    * table by this value clusters rows that are close in BOTH dimensions
+    * into the same files, so min/max file statistics prune scans for
+    * predicates on either key — the multi-dimensional layout optimization
+    * behind Delta/Iceberg Z-ORDER, here as a plain codegen'd column
+    * expression (a sum of shift/mask terms; no UDF, no shuffle). */
+  def zorderValue(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _)
+
   /** Hive-style partitioned layout: one directory per key value, so
     * predicates on the partition column prune entire directories at planning
     * time (`PartitionFilters` in the scan, zero bytes read for excluded

@@ -195,6 +195,81 @@ object SimilarityOps {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Product-quantization (PQ) codes — the storage layer of IVF-PQ, the
+    * standard billion-vector ANN index: the vector splits into `nSub`
+    * subspaces and each subvector is replaced by the id of its nearest
+    * codebook centroid, compressing dim×f32 down to nSub bytes (here
+    * 64×4B → 4B per vector, 64×). Output per vector: the code word, plus
+    * the reconstruction distance √Σ‖x_s − c_s‖² (the quantization
+    * distortion that an ADC scan would incur).
+    *
+    * Codebooks here are the subvectors of the `nCentroids` lowest-id
+    * vectors — the same deterministic-init contract as [[ivfTopK]] (swap a
+    * per-subspace k-means fit at production; the assignment plan is
+    * unchanged, and the k-means-fitted variant's distortion win is pinned
+    * in ScalaTest). Assignment is one narrow codegen'd pass: centroids ride
+    * along as array literals (model metadata, nSub×nCentroids×subdim
+    * doubles), ‖x_s−c‖² expands to x·x − 2x·c + c·c with dots in index
+    * order on both engines (bitwise-reproducible), argmin via array_sort on
+    * (dist², cid). No shuffle, no state — at 100 TB this is scan-speed. */
+  def pqCodes(emb: DataFrame, nSub: Int = 4, nCentroids: Int = 16,
+              kmeansIters: Int = 0,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val p = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    // per-subspace codebooks, deterministic init
+    var books: Array[Array[Seq[Double]]] = {
+      val init = p.orderBy(col("id")).limit(nCentroids)
+        .select(col("v")).collect().map(_.getSeq[Double](0))
+      val dim = init.head.length
+      require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+      val sd = dim / nSub
+      Array.tabulate(nSub)(s => init.map(_.slice(s * sd, (s + 1) * sd)))
+    }
+    val sd = books(0)(0).length
+    // bind each subvector and its self-dot to columns first: non-attribute
+    // expressions referenced inside lambdas re-evaluate per reference
+    val withSubs = (0 until nSub).foldLeft(p) { (df, s) =>
+      df.withColumn(s"__s$s", slice(col("v"), s * sd + 1, sd))
+        .withColumn(s"__ss$s",
+          call_function("vec_dot", col(s"__s$s"), col(s"__s$s")))
+    }
+    // nearest codebook entry for subspace s: argmin ‖x_s−c‖² via
+    // (x·x − 2x·c) + c·c, array_sort on (dist², cid)
+    def bestFor(s: Int): Column = {
+      val centArr = array(books(s).zipWithIndex.map { case (cs, ci) =>
+        val cdot = cs.foldLeft(0.0)((a, x) => a + x * x) // index order = vec_dot order
+        struct(lit(ci).as("cid"), array(cs.map(lit): _*).as("cv"), lit(cdot).as("cc"))
+      }: _*)
+      element_at(array_sort(transform(centArr, c =>
+        struct(
+          ((col(s"__ss$s") -
+            lit(2.0) * call_function("vec_dot", col(s"__s$s"), c.getField("cv"))) +
+            c.getField("cc")).as("d2"),
+          c.getField("cid").as("cid")))), 1)
+    }
+    // optional per-subspace Lloyd refinement: assign, then per-cell mean.
+    // Each step collects only nCentroids×sd doubles per subspace — model
+    // metadata, not data; the corpus stays distributed throughout.
+    for (_ <- 1 to kmeansIters; s <- 0 until nSub) {
+      val means = withSubs
+        .withColumn("__cell", bestFor(s).getField("cid"))
+        .groupBy("__cell")
+        .agg(array((0 until sd).map(i => avg(element_at(col(s"__s$s"), i + 1))): _*).as("cv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      // cells that lost all members keep their previous centroid
+      books(s) = books(s).zipWithIndex.map { case (prev, ci) => means.getOrElse(ci, prev) }
+    }
+    val coded = withSubs.select(col("id") +:
+      (0 until nSub).map(s => bestFor(s).as(s"__b$s")): _*)
+    coded.select(
+      col("id").as(idCol),
+      concat_ws(",", (0 until nSub).map(s =>
+        col(s"__b$s").getField("cid").cast("string")): _*).as("codes"),
+      round(sqrt((0 until nSub).map(s => col(s"__b$s").getField("d2")).reduce(_ + _)), 4)
+        .as("recon_err"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * storage/bandwidth reduction before ANN indexing (4× smaller than f32,
     * 8× smaller than the f64 compute type). Per vector: scale by

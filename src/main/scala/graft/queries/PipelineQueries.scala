@@ -191,6 +191,21 @@ object PipelineQueries {
       PipelineOps.mixSources(t.documents, weights).orderBy("doc_id")
     },
 
+    // Per-domain cap (keep the 15 longest docs per source): rank-≤-k window
+    // that Catalyst plans as WindowGroupLimit — map-side per-key pruning
+    // before the exchange (gated in PlanQualitySpec).
+    "q_source_cap" -> { t =>
+      PipelineOps.sourceCap(t.documents, maxPerKey = 15).orderBy("doc_id")
+    },
+
+    // Temperature-based (α = 0.5) language rebalancing at half the corpus
+    // size: dominant languages are damped toward √-proportional shares via
+    // a broadcast per-language hash cut — a pure narrow map over the corpus
+    // (no per-language window), the 100 TB-safe shape.
+    "q_temperature_sample" -> { t =>
+      PipelineOps.temperatureSample(t.documents, frac = 0.5).orderBy("doc_id")
+    },
+
     // SCD-1 upsert: updates for keys %3, inserts above the key space
     // (offset far past any scale factor's key range so synthetic inserts
     // never collide with real keys or the update set).
@@ -428,6 +443,22 @@ object PipelineQueries {
         |FROM c)
         |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
         |WHERE rn <= quota ORDER BY r.doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_source_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn FROM documents)
+        |SELECT doc_id, source, n_chars FROM r WHERE rn <= 15 ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(n * 1000000.0)) AS BIGINT) AS wt FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(wt) AS BIGINT) AS tw FROM w),
+        |g AS (SELECT lang, n, least(n, (CAST(floor(tn * 0.5) AS BIGINT) * wt) // tw) AS tgt FROM w, t),
+        |h AS (SELECT lang, CASE WHEN tgt >= n THEN 'g'
+        |ELSE lpad(lower(hex(CAST(floor(CAST(tgt AS DOUBLE) / n * 4294967296.0) AS BIGINT))), 8, '0')
+        |END AS cut FROM g)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN h USING (lang)
+        |WHERE substring(md5(d.text), 1, 8) < h.cut ORDER BY d.doc_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_upsert" ->
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),

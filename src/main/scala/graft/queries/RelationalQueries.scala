@@ -394,6 +394,22 @@ object RelationalQueries {
         .orderBy("user_id", "start_ts")
     },
 
+    // Z-order (Morton) layout key over (l_partkey, l_suppkey): rows sorted
+    // by this value cluster in BOTH dimensions, so file-level min/max stats
+    // prune scans for predicates on either key (Delta/Iceberg Z-ORDER). The
+    // value is a pure codegen'd shift/mask sum; at write time the engine
+    // would repartitionByRange(zval) — here the sorted projection itself is
+    // the graded artifact.
+    "q_zorder" -> { t =>
+      import graft.operators.ScaleOps
+      t.lineitem.select(
+          col("l_orderkey"), col("l_linenumber"),
+          ScaleOps.zorderValue(
+            pmod(col("l_partkey"), lit(65536L)),
+            pmod(col("l_suppkey"), lit(65536L))).cast("long").as("zval"))
+        .orderBy("zval", "l_orderkey", "l_linenumber")
+    },
+
     // Skew-handling path as a graded query: the salted join must produce
     // exactly the plain equi-join result (the oracle is the plain join).
     "q_salted_join" -> { t =>
@@ -703,6 +719,14 @@ object RelationalQueries {
         |FROM events))
         |GROUP BY user_id, session_id
         |ORDER BY user_id, start_ts""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_zorder" -> {
+      val terms = (0 until 16).map(i =>
+        s"((((l_partkey % 65536) >> $i) & 1) << ${2 * i}) + " +
+          s"((((l_suppkey % 65536) >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zval
+         |FROM lineitem ORDER BY zval, l_orderkey, l_linenumber""".stripMargin.replaceAll("\\s+", " ")
+    },
 
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

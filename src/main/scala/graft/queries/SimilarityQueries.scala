@@ -78,6 +78,17 @@ object SimilarityQueries {
     // Symmetric int8 quantization (storage path for ANN at scale).
     "q_embedding_quantize" -> { t =>
       SimilarityOps.quantizeInt8(t.embeddings).orderBy("vec_id")
+    },
+
+    // Product-quantization codes (the storage layer of IVF-PQ): 4 subspaces
+    // × 16 centroids = 64× compression, assigned in one narrow codegen'd
+    // pass with broadcast-literal codebooks. Deterministic codebooks (the
+    // lowest-id vectors' subvectors) make the assignment exactly
+    // reproducible in the SQL oracle; the k-means-fitted variant is pinned
+    // in ScalaTest.
+    "q_pq_codes" -> { t =>
+      SimilarityOps.pqCodes(t.embeddings, nSub = 4, nCentroids = 16)
+        .orderBy("vec_id")
     }
   )
 
@@ -157,6 +168,27 @@ object SimilarityQueries {
         |  CASE WHEN mx = 0 THEN array_to_string([0 for x in e], ',')
         |       ELSE array_to_string([CAST(round(x * 127.0 / mx) AS INTEGER) for x in e], ',')
         |  END AS quant
-        |FROM m ORDER BY vec_id""".stripMargin).replaceAll("\\s+", " ")
+        |FROM m ORDER BY vec_id""".stripMargin).replaceAll("\\s+", " "),
+
+    // dist² expands as (x·x − 2x·c) + c·c with every dot in index order —
+    // the same association the Spark expression uses, so values agree
+    // bitwise before the round.
+    "q_pq_codes" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+        |s AS (SELECT vec_id, e, sub FROM v, (SELECT unnest(range(4)) AS sub)),
+        |d AS (SELECT s.vec_id, s.sub, c.cid,
+        |  (list_dot_product(e[sub*16+1 : sub*16+16], e[sub*16+1 : sub*16+16])
+        |   - 2 * list_dot_product(e[sub*16+1 : sub*16+16], ce[sub*16+1 : sub*16+16]))
+        |   + list_dot_product(ce[sub*16+1 : sub*16+16], ce[sub*16+1 : sub*16+16]) AS d2
+        |  FROM s, c),
+        |r AS (SELECT vec_id, sub, cid, d2,
+        |  row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM d),
+        |b AS (SELECT vec_id, sub, cid, d2 FROM r WHERE rn = 1)
+        |SELECT vec_id, string_agg(CAST(cid AS VARCHAR), ',' ORDER BY sub) AS codes,
+        |  round(sqrt(sum(d2)), 4) AS recon_err
+        |FROM b GROUP BY vec_id ORDER BY vec_id""".stripMargin.replaceAll("\\s+", " ")
   )
 }

@@ -296,6 +296,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(joins <= 2, s"unexpected extra joins ($joins):\n$plan")
   }
 
+  test("per-source cap plans a WindowGroupLimit (map-side per-key pruning before the exchange)") {
+    val plan = executedPlan("q_source_cap").toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k window not group-limited:\n$plan")
+  }
+
+  test("temperature sampling is a narrow corpus pass: broadcast rate join, no window") {
+    val plan = executedPlan("q_temperature_sample").toString
+    assert(!plan.contains("Window"), s"corpus-side window crept in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$plan")
+  }
+
+  test("PQ code assignment is shuffle-free (codebooks ride as literals)") {
+    // the binding's output orderBy contributes the only (range) exchange;
+    // the assignment itself must not hash-shuffle or window
+    val plan = executedPlan("q_pq_codes").toString
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Window"),
+      s"PQ assignment shuffles:\n$plan")
+  }
+
+  test("zorder layout sorts in one range exchange with the morton value codegen'd") {
+    val df = SparkEntry.queries("q_zorder")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // AQE's toString repeats the plan (Initial + Final), so pin kinds, not
+    // counts: the only exchange is the range sort — no hash shuffle at all
+    assert(plan.contains("Exchange rangepartitioning"), s"no range sort:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected hash shuffle:\n$plan")
+    assert(plan.contains("*("), s"morton value not codegen'd:\n$plan")
+  }
+
   test("dq checks compute the whole suite in one scan per table") {
     val plan = executedPlan("q_dq_checks").toString
     // one scan of orders (plus the broadcast customer key probe), one of

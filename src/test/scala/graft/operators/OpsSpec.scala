@@ -274,6 +274,57 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall too low: $recall (bf=$bf ivf=$ivf)")
   }
 
+  test("PQ codes: valid code words, and a Lloyd-fitted codebook never increases distortion") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0 until 200).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val init = SimilarityOps.pqCodes(emb, nSub = 4, nCentroids = 8, kmeansIters = 0)
+    val fit = SimilarityOps.pqCodes(emb, nSub = 4, nCentroids = 8, kmeansIters = 2)
+    val codes = init.select("codes").as[String].collect()
+    assert(codes.forall(_.split(",").map(_.toInt).forall(c => c >= 0 && c < 8)))
+    assert(codes.forall(_.split(",").length == 4))
+    val d0 = init.agg(avg("recon_err")).as[Double].head()
+    val d2 = fit.agg(avg("recon_err")).as[Double].head()
+    assert(d2 <= d0 + 1e-9, s"k-means fit increased distortion: $d0 -> $d2")
+    // the fit should actually bite on random data, not just not-regress
+    assert(d2 < d0 * 0.95, s"k-means fit did not reduce distortion: $d0 -> $d2")
+  }
+
+  test("zorderValue interleaves bits (matches a plain-Scala Morton reference)") {
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L), (12345L, 54321L))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ScaleOps.zorderValue(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == morton(x, y), s"($x,$y)") }
+    // locality: sorting by z groups the quadrants — the max z of the low
+    // quadrant (x,y < 256) is below the min z of the high one (x,y >= 256)
+    val lo = (0 until 100).map(_ => (rndLong(256), rndLong(256)))
+    val hi = (0 until 100).map(_ => (256 + rndLong(256), 256 + rndLong(256)))
+    assert(lo.map(p => morton(p._1, p._2)).max < hi.map(p => morton(p._1, p._2)).min)
+  }
+  private def rndLong(n: Int): Long = scala.util.Random.nextInt(n).toLong
+
+  test("temperatureSample damps dominant groups toward √-proportional shares") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+    val before = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = PipelineOps.temperatureSample(docs, frac = 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = before.values.sum
+    val keptTotal = kept.values.sum
+    // hash-threshold sampling hits the target in expectation
+    assert(math.abs(keptTotal - total * 0.5) < total * 0.15,
+      s"kept $keptTotal of $total, expected ~${total / 2}")
+    // the dominant language is kept at a strictly lower RATE than the rarest
+    val maxLang = before.maxBy(_._2)._1
+    val minLang = before.minBy(_._2)._1
+    val rate = (l: String) => kept.getOrElse(l, 0L).toDouble / before(l)
+    assert(rate(maxLang) < rate(minLang),
+      s"no damping: $maxLang rate ${rate(maxLang)} vs $minLang rate ${rate(minLang)}")
+  }
+
   test("batch NDJSON file replay drops truncated lines like the live stream") {
     import graft.streaming.NomadPipeline
     val dir = java.nio.file.Files.createTempDirectory("ndjson-replay")

@@ -66,6 +66,37 @@ class ScaleOpsSpec extends SparkSpec {
       "predicate handled per-row instead of via partition pruning")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB the optimizer injects a bloom filter built from the
+    // selective (filtered) side into the big side's scan, cutting shuffle
+    // input before the join. The size thresholds that gate the rewrite are
+    // lowered so the sf0.001 tables qualify; the rewrite itself is what we
+    // pin here.
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    try {
+      val t = Tables(spark, dir)
+      val q = t.lineitem.join(
+        t.orders.where(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("range partitioning by time yields non-overlapping partition ranges") {
     val events = Tables(spark, dir).events
     val parts = ScaleOps.timePartitioned(events, col("ts"), 4)
