@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** `vec_dot(array<double>, array<double>) → double` — a native Catalyst
   * expression with whole-stage codegen.
@@ -129,6 +129,127 @@ case class VecLshBits(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `simhash64(array<long>) → long` — the 64-bit SimHash of a pre-hashed
+  * token multiset as a single narrow codegen expression.
+  *
+  * Replaces the explode → 64-column conditional-sum aggregate → sign-pack
+  * formulation ([[graft.operators.DedupOps.simhash]]'s original shape): that
+  * plan exploded every token into a row and shuffled a 65-column partial
+  * aggregate per document; this expression computes the same per-bit
+  * majority vote in one primitive loop per document — no generator, no
+  * aggregate, NO SHUFFLE. Bit packing is identical to the aggregate
+  * formulation (bit b of the loop lands at position 63−b; ties 2·cnt = n
+  * round to 1, matching the `>=` vote), pinned in ScalaTest.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val cnt = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 64) { cnt(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      out = (out << 1) | (if (2 * cnt(b) >= n) 1L else 0L)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val cnt = ctx.freshName("cnt")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $cnt = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) { $cnt[$b] += (int) (($h >>> $b) & 1L); }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  $out = ($out << 1) | ((2 * $cnt[$b] >= $n) ? 1L : 0L);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `sorted_intersect_count(array<long>, array<long>) → long` — merge-style
+  * intersection size of two SORTED, DEDUPLICATED long arrays.
+  *
+  * The built-in `size(array_intersect(a, b))` builds a hash set per row —
+  * allocation and boxing on every candidate pair, which dominates exact
+  * near-dup verification (hundreds of thousands of candidate pairs × ~50
+  * element sets). This is the O(n+m) two-pointer merge in primitive longs.
+  * Callers must pre-sort with `sort_array(collect_set(…))` — one cheap pass
+  * per DOCUMENT, amortized over every PAIR the document appears in.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val c = ctx.freshName("c")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extensions registering graft's native functions. Enabled via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (set by
   * [[graft.GraftSession]]), so `call_function("vec_dot", a, b)` and SQL
@@ -143,5 +264,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_lsh_bits"),
       new ExpressionInfo(classOf[VecLshBits].getName, "vec_lsh_bits"),
       (children: Seq[Expression]) => VecLshBits(children(0), children(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    extensions.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
   }
 }

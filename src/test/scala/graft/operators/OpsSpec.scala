@@ -274,6 +274,38 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall too low: $recall (bf=$bf ivf=$ivf)")
   }
 
+  test("native simhash64 is bit-identical to the explode+aggregate formulation") {
+    import graft.functions.TextFunctions.tokens
+    // the original 65-column aggregate shape, kept here as the reference
+    val ex = docs
+      .select(col("doc_id").as("id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b")) :+ count(lit(1)).as("n")
+    val packed = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
+      shiftleft(acc, 1).bitwiseOR(when(col(s"b$b") * 2 >= col("n"), 1L).otherwise(0L))
+    }
+    val ref = ex.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), packed.as("ref"))
+    val mismatches = DedupOps.simhash(docs, "text", "doc_id")
+      .join(ref, Seq("id"))
+      .where(col("simhash") =!= col("ref")).count()
+    assert(mismatches == 0)
+  }
+
+  test("native sorted_intersect_count equals size(array_intersect) on sorted sets") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 200).map { i =>
+      (i.toLong,
+        rnd.shuffle((0 until 40).map(_ => rnd.nextInt(60).toLong)).distinct.sorted.toArray,
+        rnd.shuffle((0 until 40).map(_ => rnd.nextInt(60).toLong)).distinct.sorted.toArray)
+    }.toDF("id", "a", "b")
+    val bad = rows.where(
+      call_function("sorted_intersect_count", col("a"), col("b")) =!=
+        size(array_intersect(col("a"), col("b"))).cast("long")).count()
+    assert(bad == 0)
+  }
+
   test("PQ codes: valid code words, and a Lloyd-fitted codebook never increases distortion") {
     val rnd = new scala.util.Random(11)
     val emb = (0 until 200).map { i =>
