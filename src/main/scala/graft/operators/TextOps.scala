@@ -174,6 +174,48 @@ object TextOps {
       .limit(k)
   }
 
+  /** PMI collocation mining — pointwise mutual information of adjacent
+    * token pairs, log(p(ab) / (p(a)·p(b))): the phrase-mining /
+    * vocabulary-construction statistic that separates true collocations
+    * ("new york") from pairs that co-occur only because both words are
+    * frequent. Complements [[bpePairCounts]] (raw frequency) with the
+    * association-strength score; `minCount` drops low-support pairs whose
+    * PMI estimate is noise.
+    *
+    * Plan shape: one bigram count (single shuffle, partial-combined), then
+    * the model-sized unigram vocabulary broadcasts onto the pair table
+    * twice — the corpus is never reshuffled for the probability join. The
+    * two corpus totals are broadcast scalars. Top-k via orderBy+limit =
+    * TakeOrderedAndProject. The PMI argument is evaluated in a fixed
+    * association (((c_ab·T)·T) / ((B·c_a)·c_b)) so engines agree bitwise
+    * before the round. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 10, k: Int = 30,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val uniTot = uni.agg(sum("c").cast("double").as("tt"))
+    val pairs = toks.where(size(col("toks")) >= 2)
+      .select(col("toks"), explode(sequence(lit(0), size(col("toks")) - 2)).as("i"))
+      .select(
+        element_at(col("toks"), col("i") + 1).as("lhs"),
+        element_at(col("toks"), col("i") + 2).as("rhs"))
+      .groupBy("lhs", "rhs").agg(count(lit(1)).as("c_ab"))
+    val pairTot = pairs.agg(sum("c_ab").cast("double").as("bt"))
+    pairs
+      .where(col("c_ab") >= minCount)
+      .join(broadcast(uni.select(col("t").as("lhs"), col("c").as("c_a"))), Seq("lhs"))
+      .join(broadcast(uni.select(col("t").as("rhs"), col("c").as("c_b"))), Seq("rhs"))
+      .crossJoin(broadcast(uniTot))
+      .crossJoin(broadcast(pairTot))
+      .withColumn("pmi", round(log(
+        ((col("c_ab").cast("double") * col("tt")) * col("tt")) /
+          ((col("bt") * col("c_a")) * col("c_b"))), 6))
+      .select(col("lhs"), col("rhs"), col("c_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("lhs"), col("rhs"))
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion of several rankings (Cormack et al.): each
     * ranker contributes 1/(k+rank) and documents are re-ranked by the sum —
     * the standard lexical+semantic hybrid-retrieval merge (BM25 ⊕ vector

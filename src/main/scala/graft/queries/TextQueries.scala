@@ -54,6 +54,14 @@ object TextQueries {
       TextOps.bpePairCounts(t.documents, k = 20)
     },
 
+    // PMI collocations: association strength of adjacent token pairs —
+    // phrase mining / vocabulary construction. Broadcast unigram
+    // probabilities onto one bigram count; fixed-association arithmetic
+    // keeps both engines bitwise-equal before the round.
+    "q_collocations" -> { t =>
+      TextOps.pmiCollocations(t.documents, minCount = 10, k = 30)
+    },
+
     // Exact-substring duplication stats (Lee et al. 2021): per document,
     // how many 8-gram positions occur anywhere else in the corpus — the
     // position-resolved exact-dedup signal, linear in corpus positions
@@ -358,6 +366,25 @@ object TextQueries {
         |SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2
         |ORDER BY cnt DESC, lhs, rhs LIMIT 20""".stripMargin.replaceAll("\\s+", " "),
+
+    // NB DuckDB log() is base-10; ln() matches Spark's log().
+    "q_collocations" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+        |ut AS (SELECT CAST(sum(c) AS DOUBLE) AS tt FROM uc),
+        |pc AS (SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS c_ab FROM
+        |       (SELECT unnest(t[1:len(t)-1]) AS lhs, unnest(t[2:len(t)]) AS rhs
+        |        FROM tok WHERE len(t) >= 2) GROUP BY 1, 2),
+        |pt AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS bt FROM pc)
+        |SELECT pc.lhs, pc.rhs, pc.c_ab,
+        |  round(ln(((CAST(pc.c_ab AS DOUBLE) * tt) * tt) / ((bt * a.c) * b.c)), 6) AS pmi
+        |FROM pc
+        |JOIN uc a ON a.w = pc.lhs
+        |JOIN uc b ON b.w = pc.rhs
+        |CROSS JOIN ut CROSS JOIN pt
+        |WHERE pc.c_ab >= 10
+        |ORDER BY pmi DESC, pc.lhs, pc.rhs LIMIT 30""".stripMargin.replaceAll("\\s+", " "),
 
     "q_dup_spans" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
