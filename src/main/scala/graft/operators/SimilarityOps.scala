@@ -215,59 +215,131 @@ object SimilarityOps {
   def pqCodes(emb: DataFrame, nSub: Int = 4, nCentroids: Int = 16,
               kmeansIters: Int = 0,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val p = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-    // per-subspace codebooks, deterministic init
-    var books: Array[Array[Seq[Double]]] = {
-      val init = p.orderBy(col("id")).limit(nCentroids)
-        .select(col("v")).collect().map(_.getSeq[Double](0))
-      val dim = init.head.length
-      require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
-      val sd = dim / nSub
-      Array.tabulate(nSub)(s => init.map(_.slice(s * sd, (s + 1) * sd)))
-    }
+    pqCodesWith(emb, pqFitBooks(emb, nSub, nCentroids, kmeansIters, vecCol, idCol),
+      vecCol, idCol)
+  }
+
+  /** [[pqCodes]] against ALREADY-FITTED codebooks — use when the same fit
+    * must be shared with [[adcTopK]] (the Lloyd means are DataFrame
+    * averages, so two independent fits are not bit-identical). */
+  def pqCodesWith(emb: DataFrame, books: Array[Array[Seq[Double]]],
+                  vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val nSub = books.length
     val sd = books(0)(0).length
-    // bind each subvector and its self-dot to columns first: non-attribute
-    // expressions referenced inside lambdas re-evaluate per reference
-    val withSubs = (0 until nSub).foldLeft(p) { (df, s) =>
-      df.withColumn(s"__s$s", slice(col("v"), s * sd + 1, sd))
-        .withColumn(s"__ss$s",
-          call_function("vec_dot", col(s"__s$s"), col(s"__s$s")))
-    }
-    // nearest codebook entry for subspace s: argmin ‖x_s−c‖² via
-    // (x·x − 2x·c) + c·c, array_sort on (dist², cid)
-    def bestFor(s: Int): Column = {
-      val centArr = array(books(s).zipWithIndex.map { case (cs, ci) =>
-        val cdot = cs.foldLeft(0.0)((a, x) => a + x * x) // index order = vec_dot order
-        struct(lit(ci).as("cid"), array(cs.map(lit): _*).as("cv"), lit(cdot).as("cc"))
-      }: _*)
-      element_at(array_sort(transform(centArr, c =>
-        struct(
-          ((col(s"__ss$s") -
-            lit(2.0) * call_function("vec_dot", col(s"__s$s"), c.getField("cv"))) +
-            c.getField("cc")).as("d2"),
-          c.getField("cid").as("cid")))), 1)
-    }
-    // optional per-subspace Lloyd refinement: assign, then per-cell mean.
-    // Each step collects only nCentroids×sd doubles per subspace — model
-    // metadata, not data; the corpus stays distributed throughout.
-    for (_ <- 1 to kmeansIters; s <- 0 until nSub) {
-      val means = withSubs
-        .withColumn("__cell", bestFor(s).getField("cid"))
-        .groupBy("__cell")
-        .agg(array((0 until sd).map(i => avg(element_at(col(s"__s$s"), i + 1))): _*).as("cv"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      // cells that lost all members keep their previous centroid
-      books(s) = books(s).zipWithIndex.map { case (prev, ci) => means.getOrElse(ci, prev) }
-    }
+    val p = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val withSubs = bindSubspaces(p, nSub, sd)
     val coded = withSubs.select(col("id") +:
-      (0 until nSub).map(s => bestFor(s).as(s"__b$s")): _*)
+      (0 until nSub).map(s => nearestEntry(s, books(s)).as(s"__b$s")): _*)
     coded.select(
       col("id").as(idCol),
       concat_ws(",", (0 until nSub).map(s =>
         col(s"__b$s").getField("cid").cast("string")): _*).as("codes"),
       round(sqrt((0 until nSub).map(s => col(s"__b$s").getField("d2")).reduce(_ + _)), 4)
         .as("recon_err"))
+  }
+
+  /** Bind each subvector and its self-dot to columns first: non-attribute
+    * expressions referenced inside lambdas re-evaluate per reference. */
+  private def bindSubspaces(p: DataFrame, nSub: Int, sd: Int): DataFrame =
+    (0 until nSub).foldLeft(p) { (df, s) =>
+      df.withColumn(s"__s$s", slice(col("v"), s * sd + 1, sd))
+        .withColumn(s"__ss$s",
+          call_function("vec_dot", col(s"__s$s"), col(s"__s$s")))
+    }
+
+  /** Nearest codebook entry struct(d2, cid) for subspace s: argmin ‖x_s−c‖²
+    * via (x·x − 2x·c) + c·c (dots in index order, bitwise-reproducible),
+    * array_sort on (dist², cid). Expects [[bindSubspaces]] columns. */
+  private def nearestEntry(s: Int, book: Array[Seq[Double]]): Column = {
+    val centArr = array(book.zipWithIndex.map { case (cs, ci) =>
+      val cdot = cs.foldLeft(0.0)((a, x) => a + x * x) // index order = vec_dot order
+      struct(lit(ci).as("cid"), array(cs.map(lit): _*).as("cv"), lit(cdot).as("cc"))
+    }: _*)
+    element_at(array_sort(transform(centArr, c =>
+      struct(
+        ((col(s"__ss$s") -
+          lit(2.0) * call_function("vec_dot", col(s"__s$s"), c.getField("cv"))) +
+          c.getField("cc")).as("d2"),
+        c.getField("cid").as("cid")))), 1)
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the search
+    * path of IVF-PQ: corpus vectors exist only as [[pqCodes]] code words;
+    * each query scores a code word by summing, per subspace, its exact
+    * dot-product with the CENTROID the code names. The classic formulation
+    * precomputes a (nSub × nCentroids) lookup table per query; here the
+    * codebooks ride as array literals and the per-subspace lookup is
+    * `element_at(book, code+1)` + `vec_dot` in codegen — the corpus side
+    * carries only its id and nSub bytes of codes through the scan, never
+    * the original vectors. Approximate by construction (quantization error
+    * bounds the score), so recall is pinned in ScalaTest against brute
+    * force, the same contract as partial-probe IVF.
+    *
+    * `books` must be the codebooks the codes were assigned under — pass
+    * the same (nSub, nCentroids, kmeansIters, corpus) to [[pqCodes]]. */
+  def adcTopK(codes: DataFrame, queries: DataFrame, books: Array[Array[Seq[Double]]],
+              k: Int,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val nSub = books.length
+    val sd = books(0)(0).length
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
+    val withCodes = codes.select(col(idCol).as("id"),
+      split(col("codes"), ",").as("cs"))
+    // cosine against the RECONSTRUCTION: numerator Σ_s q_s·c_{code_s};
+    // ‖recon‖² = Σ_s ‖c_{code_s}‖² rides as a second literal lookup
+    val scored = withCodes
+      .join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("sim",
+        (0 until nSub).map { s =>
+          val book = array(books(s).map(cv => array(cv.map(lit): _*)): _*)
+          call_function("vec_dot",
+            slice(col("qv"), s * sd + 1, sd),
+            element_at(book, element_at(col("cs"), s + 1).cast("int") + 1))
+        }.reduce(_ + _) /
+          (col("qnrm") * sqrt((0 until nSub).map { s =>
+            val cc = array(books(s).map(cv =>
+              lit(cv.foldLeft(0.0)((a, x) => a + x * x))): _*)
+            element_at(cc, element_at(col("cs"), s + 1).cast("int") + 1)
+          }.reduce(_ + _))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** The fitted per-subspace codebooks [[pqCodes]] trains — exposed so
+    * [[adcTopK]] can score against exactly the books the codes were
+    * assigned under. */
+  def pqFitBooks(emb: DataFrame, nSub: Int = 4, nCentroids: Int = 16,
+                 kmeansIters: Int = 0,
+                 vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Seq[Double]]] = {
+    val p = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val init = p.orderBy(col("id")).limit(nCentroids)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    val dim = init.head.length
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val sd = dim / nSub
+    val books = Array.tabulate(nSub)(s => init.map(_.slice(s * sd, (s + 1) * sd)))
+    // optional per-subspace Lloyd refinement: assign, then per-cell mean.
+    // Each step collects only nCentroids×sd doubles per subspace — model
+    // metadata, not data; the corpus stays distributed throughout.
+    if (kmeansIters > 0) {
+      val withSubs = bindSubspaces(p, nSub, sd)
+      for (_ <- 1 to kmeansIters; s <- 0 until nSub) {
+        val means = withSubs
+          .withColumn("__cell", nearestEntry(s, books(s)).getField("cid"))
+          .groupBy("__cell")
+          .agg(array((0 until sd).map(i => avg(element_at(col(s"__s$s"), i + 1))): _*).as("cv"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        // cells that lost all members keep their previous centroid
+        books(s) = books(s).zipWithIndex.map { case (prev, ci) => means.getOrElse(ci, prev) }
+      }
+    }
+    books
   }
 
   /** Symmetric int8 quantization of an embedding column — the standard

@@ -323,6 +323,28 @@ class OpsSpec extends SparkSpec {
     assert(d2 < d0 * 0.95, s"k-means fit did not reduce distortion: $d0 -> $d2")
   }
 
+  test("ADC search over PQ codes reaches high recall on clustered vectors") {
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextFloat() * 10 - 5))
+    val emb = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 4)
+    val books = SimilarityOps.pqFitBooks(emb, nSub = 4, nCentroids = 8, kmeansIters = 2)
+    val codes = SimilarityOps.pqCodesWith(emb, books)
+    val bf = SimilarityOps.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adc = SimilarityOps.adcTopK(codes, queries, books, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect adc).size.toDouble / bf.size
+    // quantization blurs WITHIN-cluster ordering; cluster-level recall is
+    // what ADC promises before the re-rank stage of a real IVF-PQ pipeline
+    assert(recall >= 0.5, s"ADC recall too low: $recall")
+    // every ADC hit must come from the query's own cluster (i % 4 partition)
+    adc.foreach { case (q, n) => assert(q % 4 == n % 4, s"cross-cluster hit ($q,$n)") }
+  }
+
   test("zorderValue interleaves bits (matches a plain-Scala Morton reference)") {
     def morton(x: Long, y: Long): Long =
       (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
