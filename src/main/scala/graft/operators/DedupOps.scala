@@ -172,14 +172,29 @@ object DedupOps {
     * Shared by [[minhashLsh]] and [[simhashNearDup]] — the output is a pure
     * function of the candidate set and the corpus, so any candidate
     * generator with full recall yields exactly the true pair set. */
-  private def verifyJaccard(docs: DataFrame, cands: DataFrame, n: Int,
+  private def verifyJaccard(docs: DataFrame, cands0: DataFrame, n: Int,
                             threshold: Double, textCol: String, idCol: String): DataFrame = {
+    // Materialize the candidate pairs once (executor-local checkpoint, the
+    // same pattern as connectedComponents): the pair list is read twice
+    // below — as the semi-join filter and as the join probe — and without
+    // truncation the whole candidate-generation subplan (signatures +
+    // banding) would execute twice. Candidate pairs are orders of magnitude
+    // smaller than the corpus.
+    val cands = cands0.localCheckpoint(true)
+    // Only documents that appear in some candidate pair need a shingle set
+    // — semi-join the corpus down BEFORE re-shingling, so the verify
+    // explode+aggregate is candidate-sized, not corpus-sized (under
+    // effective blocking, candidates are a small fraction of the corpus).
+    val candIds = cands.select(col("ida").as("__cand_id"))
+      .union(cands.select(col("idb").as("__cand_id")))
+      .distinct()
+    val needed = docs.join(candIds, col(idCol) === col("__cand_id"), "left_semi")
     // sort once per DOCUMENT so the per-PAIR intersection is a primitive
     // two-pointer merge (native sorted_intersect_count) instead of
     // size(array_intersect(…))'s per-row hash-set build — the verify step
     // runs once per candidate pair, which outnumber documents by orders of
     // magnitude under near-dup-heavy blocking
-    val sets = shingleHashed(docs, textCol, idCol, n)
+    val sets = shingleHashed(needed, textCol, idCol, n)
       .groupBy("id")
       .agg(sort_array(collect_set(col("s"))).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
@@ -234,7 +249,9 @@ object DedupOps {
     * probes: guarantee ≤ 11. For long-document corpora (the classic
     * simhash setting, Hamming ≤ 3) probeBits = 0 suffices and the index
     * stays 1 row per (doc, chunk). Probing multiplies one side's index
-    * rows by Σ C(width,i), never the pair space; false candidates are
+    * rows by Σ C(width,i), never the pair space (a `require` rejects
+    * configurations where that multiplier exceeds 160 — e.g. 2×32-bit
+    * chunks with 2-bit probes would be 529×); false candidates are
     * discarded by the exact verification. */
   def simhashNearDup(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                      chunks: Int = 4, probeBits: Int = 2,
@@ -242,6 +259,16 @@ object DedupOps {
     require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
     require(probeBits >= 0 && probeBits <= 2, s"probeBits must be 0..2, got $probeBits")
     val width = 64 / chunks
+    // probe-budget guard: probing multiplies ONE side's index rows by
+    // 1 + C(width,1) + C(width,2); at width 16 that is 137 (the measured
+    // default), but width 32 with probeBits=2 would be 529 rows per
+    // (doc, chunk) — an index explosion no recall gain justifies. Callers
+    // needing a wider Hamming guarantee should add chunks, not probes.
+    val probeMult = 1 + (if (probeBits >= 1) width else 0) +
+      (if (probeBits >= 2) width * (width - 1) / 2 else 0)
+    require(probeMult <= 160,
+      s"probe multiplier $probeMult (chunks=$chunks -> width=$width, probeBits=$probeBits) " +
+        "exceeds the 160-rows-per-(doc,chunk) budget; use more chunks or fewer probe bits")
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = simhash(docs, textCol, idCol)
     // the full signature rides along with every index row, so the Hamming

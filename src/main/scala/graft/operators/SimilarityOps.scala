@@ -29,6 +29,31 @@ object SimilarityOps {
     emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
 
+  /** Per-cell mean vectors for a Lloyd step, computed with EXACT decimal
+    * sums + counts and divided on the driver. A distributed `avg(double)`
+    * accumulates partial sums in partition order, so the fitted centroids —
+    * and everything downstream of them (cell assignments, PQ codes, ADC
+    * scores) — would differ between environments with different core counts
+    * or partitionings. Decimal addition is exact, hence order-independent:
+    * this makes the fit a constant of the corpus, not of the cluster
+    * layout. Collects one row per cell (model metadata, never data);
+    * decimal(38,20) leaves 18 integer digits of headroom, enough for 10¹⁷
+    * unit-scale elements per cell. */
+  private def cellMeans(df: DataFrame, cellCol: String, vecCol: String,
+                        dim: Int): Map[Int, Seq[Double]] = {
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col(vecCol), i + 1).cast("decimal(38,20)")).as(s"__sum$i"))
+    df.groupBy(col(cellCol).cast("int").as("__cell"))
+      .agg(count(lit(1)).as("__n"), sums: _*)
+      .collect()
+      .map { r =>
+        val n = java.math.BigDecimal.valueOf(r.getLong(1))
+        val mean: Seq[Double] = (0 until dim).map(i =>
+          r.getDecimal(i + 2).divide(n, java.math.MathContext.DECIMAL64).doubleValue())
+        r.getInt(0) -> mean
+      }.toMap
+  }
+
   /** Exact top-k neighbours for each query vector (excluding self).
     * The query side is broadcast — corpus never shuffles. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -168,12 +193,8 @@ object SimilarityOps {
             cent.getField("cid").as("cid")))),
         s => s.getField("cid")), lit(1), lit(n))
     for (_ <- 1 to kmeansIters) {
-      val means = c
-        .withColumn("cell", element_at(cellsFor(col("v"), 1), 1))
-        .groupBy("cell")
-        .agg(array((0 until dim).map(i => avg(element_at(col("v"), i + 1))): _*).as("cv"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      val means = cellMeans(
+        c.withColumn("cell", element_at(cellsFor(col("v"), 1), 1)), "cell", "v", dim)
       // cells that lost all members keep their previous centroid
       centroids = centroids.map { case (i, prev, _) =>
         val v = means.getOrElse(i, prev)
@@ -220,8 +241,8 @@ object SimilarityOps {
   }
 
   /** [[pqCodes]] against ALREADY-FITTED codebooks — use when the same fit
-    * must be shared with [[adcTopK]] (the Lloyd means are DataFrame
-    * averages, so two independent fits are not bit-identical). */
+    * is shared with [[adcTopK]] (the fit is deterministic, but refitting
+    * per call would still rescan the corpus kmeansIters × nSub times). */
   def pqCodesWith(emb: DataFrame, books: Array[Array[Seq[Double]]],
                   vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val nSub = books.length
@@ -323,18 +344,18 @@ object SimilarityOps {
     require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
     val sd = dim / nSub
     val books = Array.tabulate(nSub)(s => init.map(_.slice(s * sd, (s + 1) * sd)))
-    // optional per-subspace Lloyd refinement: assign, then per-cell mean.
-    // Each step collects only nCentroids×sd doubles per subspace — model
-    // metadata, not data; the corpus stays distributed throughout.
+    // optional per-subspace Lloyd refinement: assign, then per-cell mean
+    // via [[cellMeans]] (exact decimal sums — the fit must be a constant of
+    // the corpus, not of the partitioning, or PQ codes/ADC scores diverge
+    // across environments). Each step collects only nCentroids×sd doubles
+    // per subspace — model metadata, not data; the corpus stays distributed
+    // throughout.
     if (kmeansIters > 0) {
       val withSubs = bindSubspaces(p, nSub, sd)
       for (_ <- 1 to kmeansIters; s <- 0 until nSub) {
-        val means = withSubs
-          .withColumn("__cell", nearestEntry(s, books(s)).getField("cid"))
-          .groupBy("__cell")
-          .agg(array((0 until sd).map(i => avg(element_at(col(s"__s$s"), i + 1))): _*).as("cv"))
-          .collect()
-          .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        val means = cellMeans(
+          withSubs.withColumn("__cell", nearestEntry(s, books(s)).getField("cid")),
+          "__cell", s"__s$s", sd)
         // cells that lost all members keep their previous centroid
         books(s) = books(s).zipWithIndex.map { case (prev, ci) => means.getOrElse(ci, prev) }
       }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
@@ -24,10 +24,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * [[graft.functions.VectorFunctions.toDouble]]).
   */
 case class VecDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // strict array<double> inputs: without the check, a SQL call with
+  // array<int>/array<float> would make UnsafeArrayData.getDouble silently
+  // misread memory — wrong results instead of an analysis error
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -70,10 +75,13 @@ case class VecDotProduct(left: Expression, right: Expression)
   * signature computation dominates LSH index builds otherwise. Equality
   * with the interpreted form is pinned in ScalaTest. */
 case class VecLshBits(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "vec_lsh_bits"
+  // see VecDotProduct: wrong-typed SQL input must fail at analysis time
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), IntegerType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
@@ -141,10 +149,12 @@ case class VecLshBits(left: Expression, right: Expression)
   * formulation (bit b of the loop lands at position 63−b; ties 2·cnt = n
   * round to 1, matching the `>=` vote), pinned in ScalaTest.
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  // see VecDotProduct: wrong-typed SQL input must fail at analysis time
+  override def inputTypes = Seq(ArrayType(LongType))
 
   override protected def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
@@ -204,10 +214,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * per DOCUMENT, amortized over every PAIR the document appears in.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
+  // see VecDotProduct: wrong-typed SQL input must fail at analysis time
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

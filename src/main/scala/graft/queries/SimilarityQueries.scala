@@ -50,6 +50,27 @@ object SimilarityQueries {
         .orderBy("ida", "idb")
     },
 
+    // PRODUCTION near-dup path (the 100 TB shape): banded hyperplane-LSH
+    // candidate pairs + exact rescoring at a genuine near-dup threshold.
+    // The corpus's own tightest pair sits at sim 0.40, so the query plants
+    // near-duplicates the oracle reproduces independently: doubled copies
+    // of the 50 lowest-id vectors. Scaling by 2 is EXACT in floating point
+    // and preserves every hyperplane sign, so each planted pair collides in
+    // ALL bands — candidate recall 1 by construction — and the exact verify
+    // step makes the output the hash-free pair set the SQL oracle
+    // recomputes (the verify-exact contract of q_ann_lsh/q_minhash_lsh).
+    // Cost scales with colliding-band pairs, never n² — the PlanQualitySpec
+    // gate pins the no-all-pairs shape.
+    "q_embedding_neardup_lsh" -> { t =>
+      val base = t.embeddings.select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("embedding"))
+      val copies = base.where(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0d)).as("embedding"))
+      SimilarityOps.nearDupPairsLsh(base.unionByName(copies), threshold = 0.9)
+        .orderBy("ida", "idb")
+    },
+
     // ANN scale path: banded hyperplane-LSH candidates + exact rescoring.
     // 40 bands × 2 planes drive per-neighbour miss probability below 1e-7
     // even at this corpus's weakest top-5 similarity (0.26), and rescoring
@@ -89,6 +110,22 @@ object SimilarityQueries {
     "q_pq_codes" -> { t =>
       SimilarityOps.pqCodes(t.embeddings, nSub = 4, nCentroids = 16)
         .orderBy("vec_id")
+    },
+
+    // ADC search over PQ codes — the SEARCH path of IVF-PQ, completing the
+    // storage-path oracle of q_pq_codes: corpus vectors exist only as code
+    // words; queries score cosine against the RECONSTRUCTION (per-subspace
+    // codebook dots summed left-to-right, every dot in index order on both
+    // engines), so with the same deterministic codebooks as q_pq_codes
+    // (kmeansIters = 0: the lowest-16 vectors' subvectors) the scoring is
+    // exactly reproducible in SQL. The k-means-fitted variant and the
+    // reconstruction-space-equality contract are pinned in ScalaTest.
+    "q_adc_topk" -> { t =>
+      val books = SimilarityOps.pqFitBooks(t.embeddings, nSub = 4, nCentroids = 16)
+      val codes = SimilarityOps.pqCodesWith(t.embeddings, books)
+      val queries = t.embeddings.where(col("vec_id") < 10)
+      SimilarityOps.adcTopK(codes, queries, books, k = 5)
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -160,6 +197,26 @@ object SimilarityQueries {
         |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " "),
 
+    // LSH-blocked near-dup with exact rescoring at full candidate recall
+    // (planted pairs collide in every band — see the binding comment), so
+    // the hash-free exact pair set IS the output. The oracle rebuilds the
+    // planted-copy union (×2 scaling is exact in FP on both engines) and
+    // joins exactly.
+    "q_embedding_neardup_lsh" ->
+      """WITH v0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, e FROM v0
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(e, x -> x * 2.0) FROM v0 WHERE vec_id < 50),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM u)
+        |SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.9
+        |ORDER BY ida, idb""".stripMargin.replaceAll("\\s+", " "),
+
     "q_embedding_quantize" ->
       (dotCte + """,
         |m AS (SELECT vec_id, e, list_max([abs(x) for x in e]) AS mx FROM v)
@@ -189,6 +246,45 @@ object SimilarityQueries {
         |b AS (SELECT vec_id, sub, cid, d2 FROM r WHERE rn = 1)
         |SELECT vec_id, string_agg(CAST(cid AS VARCHAR), ',' ORDER BY sub) AS codes,
         |  round(sqrt(sum(d2)), 4) AS recon_err
-        |FROM b GROUP BY vec_id ORDER BY vec_id""".stripMargin.replaceAll("\\s+", " ")
+        |FROM b GROUP BY vec_id ORDER BY vec_id""".stripMargin.replaceAll("\\s+", " "),
+
+    // ADC scoring against the reconstruction: the code assignment is the
+    // q_pq_codes oracle verbatim; then sim = (((d₀+d₁)+d₂)+d₃) /
+    // (‖q‖ · sqrt(((cc₀+cc₁)+cc₂)+cc₃)) with dₛ = q_s·c_s and cc_s = c_s·c_s
+    // — list() ORDER BY sub + explicit left-assoc addition reproduces the
+    // Spark reduce(_ + _) association, so sims agree bitwise before the
+    // round and the (sim DESC, id) ranking matches.
+    "q_adc_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+        |s AS (SELECT vec_id, e, sub FROM v, (SELECT unnest(range(4)) AS sub)),
+        |d AS (SELECT s.vec_id, s.sub, c.cid, c.ce,
+        |  (list_dot_product(e[sub*16+1 : sub*16+16], e[sub*16+1 : sub*16+16])
+        |   - 2 * list_dot_product(e[sub*16+1 : sub*16+16], ce[sub*16+1 : sub*16+16]))
+        |   + list_dot_product(ce[sub*16+1 : sub*16+16], ce[sub*16+1 : sub*16+16]) AS d2
+        |  FROM s, c),
+        |r AS (SELECT vec_id, sub, cid, ce, d2,
+        |  row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM d),
+        |b AS (SELECT vec_id, sub,
+        |  ce[sub*16+1 : sub*16+16] AS cv,
+        |  list_dot_product(ce[sub*16+1 : sub*16+16], ce[sub*16+1 : sub*16+16]) AS cc
+        |  FROM r WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, e AS qe, sqrt(list_dot_product(e, e)) AS qnrm
+        |  FROM v WHERE vec_id < 10),
+        |sc AS (SELECT b.vec_id AS id, q.query_id, q.qnrm,
+        |  list(list_dot_product(q.qe[b.sub*16+1 : b.sub*16+16], b.cv) ORDER BY b.sub) AS ds,
+        |  list(b.cc ORDER BY b.sub) AS ccs
+        |  FROM b JOIN q ON b.vec_id <> q.query_id
+        |  GROUP BY b.vec_id, q.query_id, q.qnrm),
+        |sim AS (SELECT query_id, id,
+        |  (((ds[1] + ds[2]) + ds[3]) + ds[4])
+        |    / (qnrm * sqrt((((ccs[1] + ccs[2]) + ccs[3]) + ccs[4]))) AS sim
+        |  FROM sc),
+        |rk AS (SELECT query_id, id AS neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn FROM sim)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, round(sim, 4) AS sim
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\\s+", " ")
   )
 }

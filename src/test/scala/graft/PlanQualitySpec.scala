@@ -232,6 +232,22 @@ class PlanQualitySpec extends SparkSpec {
       s"near-dup degenerated to a nested loop:\n$plan")
   }
 
+  test("LSH near-dup pair generation is a banded equi-join, never all-pairs") {
+    val plan = executedPlan("q_embedding_neardup_lsh").toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH near-dup degenerated to an all-pairs join:\n$plan")
+  }
+
+  test("ADC search scans codes only — corpus vectors never enter the scoring join") {
+    val plan = executedPlan("q_adc_topk").toString
+    // the scoring join is codes × broadcast(model-sized query set); the
+    // only embeddings reads are the one-time codebook fit + assignment and
+    // the 10-row query side — never a corpus-sized vector join
+    assert(!plan.contains("CartesianProduct"), s"ADC cross-joined:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"ADC shuffled the corpus for the scoring join:\n$plan")
+  }
+
   test("LSH ann candidate join carries only (id, band, bucket) — vectors rejoin after candidates") {
     val plan = executedPlan("q_ann_lsh").toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
@@ -255,9 +271,18 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("minhash banding never degenerates to a cross product") {
-    val plan = executedPlan("q_minhash_lsh").toString
+    // the full query checkpoints candidates before the verify step, so
+    // gate the candidate-generation subplan directly
+    import graft.operators.DedupOps
+    val sigs = DedupOps.minhashSignatures(t.documents, n = 4, numHashes = 64)
+    val cands = DedupOps.minhashCandidates(sigs, bands = 32, rowsPerBand = 2)
+    val plan = cands.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"banded candidate join degenerated:\n$plan")
+    // and the verify stage of the assembled query stays equi-join-only
+    val full = executedPlan("q_minhash_lsh").toString
+    assert(!full.contains("CartesianProduct") && !full.contains("BroadcastNestedLoopJoin"),
+      s"verify join degenerated:\n$full")
   }
 
   test("token masking is a narrow per-row map: no shuffle") {

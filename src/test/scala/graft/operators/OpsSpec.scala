@@ -50,6 +50,43 @@ class OpsSpec extends SparkSpec {
     assert(sh == exact, s"chunk candidates missed true pairs: ${exact diff sh}")
   }
 
+  test("simhashNearDup rejects explosive probe configurations") {
+    // width 32 with 2-bit probes = 529 index rows per (doc, chunk) — the
+    // guard must reject it before any plan is built
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashNearDup(docs, chunks = 2, probeBits = 2)
+    }
+    // width 64 with 2-bit probes = 2081 rows per doc — worse still
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashNearDup(docs, chunks = 1, probeBits = 2)
+    }
+  }
+
+  test("graded ngram-Jaccard corpora stay below the df-cap (oracles compute uncapped Jaccard)") {
+    // q_text_dedup_near / q_dedup_clusters / q_dedup_drop / q_dedup_keep_best
+    // run ngramJaccard(n = 4) with the default maxDf = 100, but their DuckDB
+    // oracles compute the UNCAPPED Jaccard — the two agree only while no
+    // shingle's document frequency reaches the cap. Pin that precondition at
+    // the graded scale factors so a corpus change fails here, not in the
+    // correctness gate.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val d = graft.Tables(spark, s"/root/testdata/$sf").documents
+      val maxDf = d
+        .select(col("doc_id").as("id"), TextFunctions.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 4)
+        .select(col("id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 4)).as("i"))
+        .select(col("id"),
+          xxhash64(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(4)))).as("s"))
+        .distinct()
+        .groupBy("s").count()
+        .agg(max("count")).as[Long].head()
+      assert(maxDf <= 100,
+        s"$sf: hottest 4-gram shingle df $maxDf reaches the maxDf=100 cap — " +
+          "the capped score would diverge from the uncapped oracle")
+    }
+  }
+
   test("ngramJaccard df-cap drops stop-shingles from the join (score becomes a lower bound)") {
     // every doc shares one boilerplate 3-gram; two docs are otherwise identical
     val boiler = "end of document"
@@ -257,6 +294,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("native expressions reject wrong-typed SQL inputs at analysis time") {
+    // without ExpectsInputTypes a call with array<int>/array<float> makes
+    // UnsafeArrayData.getDouble/getLong silently misread memory — these
+    // must be analysis errors, not wrong results
+    val df = Seq((Array(1, 2, 3), Array(1.0f, 2.0f, 3.0f), Array(1.0, 2.0, 3.0)))
+      .toDF("ai", "af", "ad")
+    def rejects(c: org.apache.spark.sql.Column): Unit =
+      intercept[org.apache.spark.sql.AnalysisException] { df.select(c).collect() }
+    rejects(call_function("vec_dot", col("af"), col("af")))
+    rejects(call_function("vec_dot", col("ai"), col("ad")))
+    rejects(call_function("vec_lsh_bits", col("af"), lit(8)))
+    rejects(call_function("vec_lsh_bits", col("ad"), lit(8L)))
+    rejects(call_function("simhash64", col("ad")))
+    rejects(call_function("sorted_intersect_count", col("ai"), col("ai")))
+    // correctly-typed calls still resolve
+    assert(df.select(call_function("vec_dot", col("ad"), col("ad"))).head().getDouble(0) == 14.0)
+  }
+
   test("IVF top-k recall against brute force on clustered vectors") {
     val rnd = new scala.util.Random(5)
     // 4 well-separated clusters so the coarse quantizer is meaningful
@@ -323,7 +378,7 @@ class OpsSpec extends SparkSpec {
     assert(d2 < d0 * 0.95, s"k-means fit did not reduce distortion: $d0 -> $d2")
   }
 
-  test("ADC search over PQ codes reaches high recall on clustered vectors") {
+  test("ADC search over PQ codes equals reconstruction-space exact search") {
     val rnd = new scala.util.Random(5)
     val centers = Array.fill(4)(Array.fill(16)(rnd.nextFloat() * 10 - 5))
     val emb = (0 until 200).map { i =>
@@ -333,14 +388,42 @@ class OpsSpec extends SparkSpec {
     val queries = emb.where(col("vec_id") < 4)
     val books = SimilarityOps.pqFitBooks(emb, nSub = 4, nCentroids = 8, kmeansIters = 2)
     val codes = SimilarityOps.pqCodesWith(emb, books)
-    val bf = SimilarityOps.bruteForceTopK(emb, queries, k = 5)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val adc = SimilarityOps.adcTopK(codes, queries, books, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val recall = (bf intersect adc).size.toDouble / bf.size
-    // quantization blurs WITHIN-cluster ordering; cluster-level recall is
-    // what ADC promises before the re-rank stage of a real IVF-PQ pipeline
-    assert(recall >= 0.5, s"ADC recall too low: $recall")
+
+    // What ADC promises is RECONSTRUCTION-space exactness (4×3-bit codes
+    // blur within-cluster ordering in the ORIGINAL space, so original-space
+    // recall@k is not a property of the algorithm — a real IVF-PQ pipeline
+    // re-ranks survivors with full vectors). Replicate the scoring on the
+    // driver with the same arithmetic — per-subspace index-order dots,
+    // left-to-right subspace sum, (sim desc, id) tie-break — and demand
+    // set equality. The fit is deterministic (exact decimal Lloyd means),
+    // so this holds in any environment at any core count.
+    val nSub = 4
+    val sd = 4
+    val codeMap = codes.select("vec_id", "codes").as[(Long, String)].collect()
+      .map { case (id, cs) => id -> cs.split(",").map(_.toInt) }.toMap
+    val vecs = emb.as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toSeq }.toMap
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val expected = (0L until 4L).flatMap { q =>
+      val qv = vecs(q)
+      val qnrm = math.sqrt(dot(qv, qv))
+      codeMap.keys.filter(_ != q).map { id =>
+        val cs = codeMap(id)
+        val num = (0 until nSub).map(s =>
+          dot(qv.slice(s * sd, s * sd + sd), books(s)(cs(s)))).reduce(_ + _)
+        val reconNorm = math.sqrt((0 until nSub).map(s =>
+          dot(books(s)(cs(s)), books(s)(cs(s)))).reduce(_ + _))
+        (num / (qnrm * reconNorm), id)
+      }.toSeq.sortBy { case (sim, id) => (-sim, id) }.take(5).map { case (_, id) => (q, id) }
+    }.toSet
+    assert(adc == expected,
+      s"ADC diverged from reconstruction-space exact search:\n spurious: ${adc diff expected}\n missing: ${expected diff adc}")
     // every ADC hit must come from the query's own cluster (i % 4 partition)
     adc.foreach { case (q, n) => assert(q % 4 == n % 4, s"cross-cluster hit ($q,$n)") }
   }
