@@ -121,6 +121,42 @@ object DedupOps {
       .select("ida", "idb", "jaccard")
   }
 
+  /** Incremental near-dup check: which INCOMING documents are near-
+    * duplicates (n-gram Jaccard ≥ threshold) of an EXISTING corpus — the
+    * rolling-ingestion shape of dedup at 100 TB. Re-running pairwise dedup
+    * over corpus+batch per ingest would re-pay the corpus×corpus work every
+    * batch; here the batch joins the corpus's shingle inverted index, so
+    * cost is proportional to the BATCH's shingle instances × their corpus
+    * document frequency — linear in the batch, never |corpus|².
+    *
+    * Same df-cap contract as [[ngramJaccard]]: corpus-side shingles above
+    * `maxDf` (near-universal boilerplate) are dropped from the join only,
+    * making the score a tight lower bound and bounding the per-shingle
+    * fan-out. Returns (new_id, old_id, jaccard) — aggregate per new_id
+    * downstream for a keep/drop decision. */
+  def incrementalNearDup(existing: DataFrame, incoming: DataFrame, n: Int = 3,
+                         threshold: Double = 0.5, maxDf: Int = 100,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val exE = shingleHashed(existing, textCol, idCol, n).distinct()
+    val exI = shingleHashed(incoming, textCol, idCol, n).distinct()
+    val szE = exE.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val szI = exI.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val hot = exE.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("s")
+    val cand = exI.join(broadcast(hot), Seq("s"), "left_anti")
+      .select(col("id").as("new_id"), col("s"))
+      .join(exE.select(col("id").as("old_id"), col("s")), Seq("s"))
+      .groupBy("new_id", "old_id")
+      .agg(count(lit(1)).as("shared"))
+    cand
+      .join(szI.select(col("id").as("new_id"), col("n_sh").as("ni")), Seq("new_id"))
+      .join(szE.select(col("id").as("old_id"), col("n_sh").as("ne")), Seq("old_id"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("ni") + col("ne") - col("shared")))
+      .where(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+  }
+
   /** MinHash signature of the shingle set: `numHashes` min-hash values from
     * the standard affine family h_i(x) = (a_i·h(x) + b_i) mod p over one
     * xxhash64 base hash per shingle.

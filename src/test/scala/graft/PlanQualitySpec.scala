@@ -285,6 +285,19 @@ class PlanQualitySpec extends SparkSpec {
       s"verify join degenerated:\n$full")
   }
 
+  test("simhash signature build has no exchange and the chunk join is an equi-join") {
+    import graft.operators.DedupOps
+    // signature: one narrow codegen'd map — no generator, no aggregate
+    val sigs = DedupOps.simhash(t.documents)
+    val sigPlan = sigs.queryExecution.executedPlan.toString
+    assert(!sigPlan.contains("Exchange"), s"simhash signature build shuffles:\n$sigPlan")
+    // candidate pairs: chunk-keyed equi-join, never a cross product
+    val pairs = DedupOps.simhashPairs(t.documents)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"simhash chunk join degenerated:\n$plan")
+  }
+
   test("token masking is a narrow per-row map: no shuffle") {
     val df = SparkEntry.queries("q_mask_tokens")(spark, dir)
     // drop the binding's presentation orderBy — the operator itself is narrow
