@@ -212,15 +212,15 @@ object DedupOps {
                             threshold: Double, textCol: String, idCol: String): DataFrame = {
     // Materialize the candidate pairs once (executor-local checkpoint, the
     // same pattern as connectedComponents): the pair list is read twice
-    // below — as the semi-join filter and as the join probe — and without
-    // truncation the whole candidate-generation subplan (signatures +
-    // banding) would execute twice. Candidate pairs are orders of magnitude
-    // smaller than the corpus. Measured trade (sf0.1): the checkpoint
-    // serializes candidate-gen and verify into consecutive jobs, which costs
-    // a little overlap on candidate-dense corpora (simhash 2.5→3.2s) but the
-    // candidate-doc pruning below dominates wherever blocking is effective
-    // (minhash 4.9→1.9s) — and at 100 TB re-shingling the full corpus for
-    // verification is never acceptable.
+    // below — as the semi-join filter and as the join probe — and column
+    // pruning diverges the two subtrees enough that ReuseExchange does NOT
+    // dedupe them (measured: the no-checkpoint variant re-runs part of
+    // candidate generation, minhash 2.1→2.8s). Candidate pairs are orders
+    // of magnitude smaller than the corpus; the checkpoint's job barrier
+    // costs a little DAG overlap on candidate-dense corpora (simhash
+    // 2.5→3.2s) but candidate-doc pruning dominates wherever blocking is
+    // effective (minhash 4.9→1.9s) — and at 100 TB re-shingling the full
+    // corpus for verification is never acceptable.
     val cands = cands0.localCheckpoint(true)
     // Only documents that appear in some candidate pair need a shingle set
     // — semi-join the corpus down BEFORE re-shingling, so the verify
