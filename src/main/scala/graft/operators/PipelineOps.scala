@@ -208,6 +208,51 @@ object PipelineOps {
       .select(col(idCol), col(classCol), col(lenCol))
   }
 
+  /** Select the highest-quality documents that fit a token budget — the
+    * data-mixing step that turns quality scores into a training corpus
+    * ("take the best B tokens"). Greedy by (quality desc, id): keep every
+    * document whose inclusive running token total stays within `budget`.
+    *
+    * Scale shape: NO data-sized global window (the naive cumulative sum
+    * would total-order the corpus on one reducer). Quality (∈ [0,1]) is
+    * quantized into `nBuckets` buckets; the global running sum runs over
+    * the BUCKET TOTALS (a model-sized table), whole buckets inside the
+    * budget pass via a broadcast semi-join, and only the single straddling
+    * bucket runs a per-doc prefix window — partitioned by bucket, i.e.
+    * 1/nBuckets of the corpus sorts, distributed. Same two-level pattern
+    * as [[packSequences]]. Exactly equals the global greedy selection:
+    * bucket order refines quality order and ties break on id inside one
+    * bucket (equal qualities always share a bucket). Callers should pass a
+    * quality already rounded to a cross-engine-stable precision if results
+    * must reproduce bitwise across engines. */
+  def selectByTokenBudget(docs: DataFrame, budget: Long, nBuckets: Int = 1000,
+                          qualityCol: String = "quality", tokenCol: String = "n_tokens",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0 && nBuckets > 0, s"need budget>=0, nBuckets>0; got $budget, $nBuckets")
+    val q = col(qualityCol)
+    // bucket 0 = best quality
+    val d = docs.withColumn("__bkt",
+      least(greatest(floor((lit(1.0) - q) * nBuckets), lit(0.0)), lit(nBuckets - 1.0))
+        .cast("int"))
+    val totals = d.groupBy("__bkt").agg(sum(col(tokenCol)).as("__btok"))
+    // running total of tokens in strictly better buckets — a global window
+    // over ≤ nBuckets rows (model-sized, the one place a global order is OK)
+    val wB = Window.orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.withColumn("__prev", coalesce(sum(col("__btok")).over(wB), lit(0L)))
+    val fullyIn = offsets.where(col("__prev") + col("__btok") <= budget).select("__bkt")
+    val straddle = offsets
+      .where(col("__prev") < budget && col("__prev") + col("__btok") > budget)
+      .select("__bkt", "__prev") // ≤ 1 row
+    val keptWhole = d.join(broadcast(fullyIn), Seq("__bkt"), "left_semi")
+    val wD = Window.partitionBy(col("__bkt")).orderBy(q.desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptPart = d.join(broadcast(straddle), Seq("__bkt"))
+      .withColumn("__cum", sum(col(tokenCol)).over(wD))
+      .where(col("__prev") + col("__cum") <= budget)
+      .drop("__prev", "__cum")
+    keptWhole.unionByName(keptPart).drop("__bkt")
+  }
+
   /** Temperature-based language/source rebalancing (the multilingual
     * α-sampling of mC4/XLM-R, α = 0.5): group g with count n_g is kept at a
     * rate making the sampled composition ∝ n_g^α, damping dominant groups

@@ -266,6 +266,43 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** Bigram-LM document fluency: average log P(w_i | w_{i-1}) under an
+    * add-one-smoothed bigram model fitted on the corpus itself — the
+    * conditional-probability quality signal one tier above
+    * [[unigramLogProb]] (the KenLM-style perplexity filter of the CCNet/
+    * RefinedWeb pipelines, restricted to order 2). Smoothing:
+    * P(w₂|w₁) = (c(w₁,w₂) + 1) / (c(w₁·) + V), with c(w₁·) the count of w₁
+    * as a bigram prefix and V the corpus vocabulary size.
+    *
+    * Plan: one position explode builds (doc, w₁, w₂) rows (codegen'd
+    * element_at, same hot path as the shingle operators); the bigram count
+    * table is corpus-sparse and joins back on its own key (content-keyed
+    * shuffle — skew follows real collocations, AQE-splittable); the prefix
+    * counts are vocabulary-sized (broadcast) and V is a broadcast scalar.
+    * Linear in corpus tokens, nothing driver-side. */
+  def bigramLogProb(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pos = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 2)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("i") + 1).as("w1"),
+        element_at(col("toks"), col("i") + 2).as("w2"))
+    val c12 = pos.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = pos.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = docs.select(explode(tokens(col(textCol))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    pos
+      .join(c12, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp",
+        log((col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("lp"), 6).as("avg_logprob"))
+  }
+
   /** Inverted index: one row per term with document frequency, collection
     * frequency, and the sorted distinct posting list. Single aggregation on
     * the term after the explode; posting lists are built from the already

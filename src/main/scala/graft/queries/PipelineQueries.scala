@@ -206,6 +206,17 @@ object PipelineQueries {
       PipelineOps.temperatureSample(t.documents, frac = 0.5).orderBy("doc_id")
     },
 
+    // Token-budget corpus selection: the best documents by quality until an
+    // 8k-token budget is spent — the data-mixing step after quality scoring.
+    // Two-level bucketed prefix sums: the corpus never sees a global window
+    // (gated in PlanQualitySpec); equals the oracle's global greedy cumsum
+    // because quality is pre-rounded (cross-engine-stable ordering).
+    "q_token_budget" -> { t =>
+      val scored = graft.operators.TextOps.qualityScore(t.documents)
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+      PipelineOps.selectByTokenBudget(scored, budget = 8000).orderBy("doc_id")
+    },
+
     // SCD-1 upsert: updates for keys %3, inserts above the key space
     // (offset far past any scale factor's key range so synthetic inserts
     // never collide with real keys or the update set).
@@ -459,6 +470,23 @@ object PipelineQueries {
         |END AS cut FROM g)
         |SELECT d.doc_id, d.lang FROM documents d JOIN h USING (lang)
         |WHERE substring(md5(d.text), 1, 8) < h.cut ORDER BY d.doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    // the oracle IS the naive global greedy cumsum — the operator's bucketed
+    // two-level plan must select exactly the same documents
+    "q_token_budget" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.3
+        |    + len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) * 0.4
+        |    + len(list_filter(string_split(text, ' '),
+        |        x -> list_contains(['the','a','of','to','and','in','is','on'], x))) * 1.0
+        |      / len(string_split(text, ' ')) * 0.3, 6) AS quality
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens, quality,
+        |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s)
+        |SELECT doc_id, n_tokens, quality FROM c WHERE cum <= 8000
+        |ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_upsert" ->
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),

@@ -228,6 +228,13 @@ object TextQueries {
         .orderBy("cluster")
     },
 
+    // Bigram-LM fluency: avg log P(w_i | w_{i-1}) with add-one smoothing —
+    // the conditional-probability quality tier above q_unigram_logprob
+    // (KenLM-style perplexity filtering, order 2).
+    "q_bigram_logprob" -> { t =>
+      TextOps.bigramLogProb(t.documents).orderBy("doc_id")
+    },
+
     // Rolling-ingestion dedup: an incoming batch (odd doc ids) checked
     // against the existing corpus (even doc ids) via the corpus's shingle
     // inverted index — cost linear in the batch, never |corpus|². The
@@ -320,6 +327,23 @@ object TextQueries {
         |JOIN sz nb ON nb.doc_id = idb
         |WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.5
         |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " "),
+
+    // bigram keys travel as the joined "w1 w2" string (tokens are
+    // space-split, so the concatenation is collision-free); arithmetic is
+    // (c12+1)/(c1+V) in double on both engines, averaged per doc.
+    "q_bigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |  FROM tk WHERE len(t) >= 2),
+        |pw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM p),
+        |c12 AS (SELECT bg, count(*) AS c12 FROM pw GROUP BY bg),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM pw GROUP BY w1),
+        |vv AS (SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+        |SELECT pw.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln((c12.c12 + 1) * 1.0 / (c1.c1 + vv.v))), 6) AS avg_logprob
+        |FROM pw JOIN c12 USING (bg) JOIN c1 USING (w1) CROSS JOIN vv
+        |GROUP BY pw.doc_id ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_dedup_incremental" ->
       (shingleCte + """,

@@ -270,6 +270,23 @@ class PlanQualitySpec extends SparkSpec {
       assert(l.contains("bkt_tok"), s"global window over a data-sized relation:\n$l"))
   }
 
+  test("token-budget selection windows the corpus per-bucket; only bucket totals go global") {
+    val df = SparkEntry.queries("q_token_budget")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"expected window operators:\n$plan")
+    // per-document prefix sums must be bucket-partitioned (never a global
+    // sort of the corpus); unpartitioned windows may only run over the
+    // bucket-totals table (model-sized)
+    val docWindows = windows.filter(_.contains("sum(n_tokens"))
+    assert(docWindows.nonEmpty, s"doc-level prefix window missing:\n$plan")
+    docWindows.foreach(l => assert(l.contains("windowspecdefinition(__bkt#"),
+      s"doc-level window not bucket-partitioned (global corpus sort):\n$l"))
+    windows.filterNot(_.contains("windowspecdefinition(__bkt#")).foreach(l =>
+      assert(l.contains("__btok"), s"global window over a data-sized relation:\n$l"))
+  }
+
   test("minhash banding never degenerates to a cross product") {
     // the full query checkpoints candidates before the verify step, so
     // gate the candidate-generation subplan directly
