@@ -132,6 +132,13 @@ object NomadEventOps {
         slackSubject.as("pretext"),
         color.as("color"))).as("attachments")))
 
+  /** D11 — count-aware noun inflection (app.rb:95, app.rb:149: ActiveSupport
+    * `'event'.pluralize(n)` in log lines — "1 event" / "3 events"). Regular
+    * +s inflection only: the reference applies it to "second" and "event",
+    * both regular; irregular-noun tables are out of scope. */
+  def pluralize(noun: Column, n: Column): Column =
+    concat(noun, when(n === 1, lit("")).otherwise(lit("s")))
+
   /** D9 — ns-epoch timestamp codec: seconds + zero-padded 9-digit subsecond
     * part (app.rb:9-23). Integer arithmetic only — int64 ns does not fit a
     * double (SURVEY §7.4.1). */

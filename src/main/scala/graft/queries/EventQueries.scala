@@ -268,6 +268,16 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // D11 — count-aware noun inflection (app.rb:95,149): the reference's
+    // "N events detected" log line, over per-type event counts.
+    "q_pluralize" -> { t =>
+      t.events.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          concat(col("n").cast("string"), lit(" "),
+            pluralize(lit("event"), col("n"))).as("label"))
+        .orderBy("event_type")
+    },
+
     // D8 — Slack payload assembly (app.rb:240-261): the description embeds
     // newlines and the fenced details JSON (double quotes), so this also
     // proves to_json's escaping against DuckDB's.
@@ -385,6 +395,12 @@ object EventQueries {
         |CAST(epoch_ns(ts) // 1000000000 AS VARCHAR) || '.' ||
         |lpad(CAST(epoch_ns(ts) % 1000000000 AS VARCHAR), 9, '0') AS nomad_ts
         |FROM events ORDER BY event_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_pluralize" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(count(*) AS VARCHAR) || ' event' ||
+        |CASE WHEN count(*) = 1 THEN '' ELSE 's' END AS label
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\\s+", " "),
 
     "q_slack_payload" -> {
       val json = s"""'{"exit_code":"' || $EC || '","oom_killed":"' || $OOM || '","restart_reason":"' || $RR || '"}'"""
