@@ -183,6 +183,20 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == (2L, lp(Seq(2L, 1L))))       // b, c
   }
 
+  test("bigramLogProb matches a hand-computed add-one-smoothed model") {
+    // corpus: "a b a b" + "a b c" → bigrams (a,b)×3, (b,a)×1, (b,c)×1
+    // prefix counts a:3 b:2; vocabulary V = 3
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextOps.bigramLogProb(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val ab = math.log((3 + 1) / (3.0 + 3)) // P(b|a) = 4/6
+    val ba = math.log((1 + 1) / (2.0 + 3)) // P(a|b) = 2/5
+    val bc = math.log((1 + 1) / (2.0 + 3)) // P(c|b) = 2/5
+    assert(out(1L) == (3L, r6((ab + ba + ab) / 3)))
+    assert(out(2L) == (2L, r6((ab + bc) / 2)))
+  }
+
   test("rolling hash is order-sensitive; md5 fingerprint is whitespace-robust") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a  b   c")).toDF("doc_id", "text")
     val fp = TextOps.fingerprints(d).collect().map(r =>

@@ -274,6 +274,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Map(1L -> "a1", 3L -> "c3", 9L -> "new"))
   }
 
+  test("selectByTokenBudget equals the naive global greedy cumsum on random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(17)
+    // coarse quality grid (2 decimal places) forces many same-bucket ties at
+    // nBuckets = 100 — exactly the boundary case where the two-level plan
+    // could diverge from the global order
+    val rows = (0 until 400).map(i =>
+      (i.toLong, math.round(rnd.nextDouble() * 100.0) / 100.0, 10L + rnd.nextInt(90)))
+    val df = rows.toDF("doc_id", "quality", "n_tokens")
+    for (budget <- Seq(0L, 500L, 7000L, 1000000L)) {
+      val w = Window.orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = df.withColumn("__cum", sum(col("n_tokens")).over(w))
+        .where(col("__cum") <= budget)
+        .select("doc_id").as[Long].collect().toSet
+      val got = PipelineOps.selectByTokenBudget(df, budget, nBuckets = 100)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == naive,
+        s"budget=$budget:\n spurious ${got diff naive}\n missing ${naive diff got}")
+    }
+  }
+
   test("mergeAggregates equals full recompute on overlapping and disjoint keys") {
     val rows = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0), ("c", 4L, 40.0))
       .toDF("k", "n", "v")
