@@ -208,6 +208,36 @@ object PipelineOps {
       .select(col(idCol), col(classCol), col(lenCol))
   }
 
+  /** Curation filter-cascade report: for an ORDERED list of (name,
+    * predicate) filters, how many documents each stage drops (attributed to
+    * the FIRST failing filter, as a sequential pipeline would) and the
+    * cumulative survivors — the observability step of a FineWeb/RefinedWeb
+    * filter pipeline. ONE corpus scan: each doc maps to its first-failing
+    * stage index and a single conditional aggregation counts the stages; a
+    * per-filter `df.filter(...).count()` loop would rescan the corpus once
+    * per filter. Everything after the scan operates on ≤ |filters| rows. */
+  def filterCascade(docs: DataFrame, filters: Seq[(String, Column)]): DataFrame = {
+    require(filters.nonEmpty, "need at least one filter")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // first failing stage per doc (1-based); 0 = survivor. NULL predicates
+    // fall through to the next stage (three-valued logic, same as SQL CASE).
+    val stage = filters.zipWithIndex.foldRight(lit(0)) { case (((_, p), i), rest) =>
+      when(!p, lit(i + 1)).otherwise(rest)
+    }
+    val counts = docs.select(stage.as("stage")).groupBy("stage").agg(count(lit(1)).as("n"))
+    val dim = filters.zipWithIndex.map { case ((name, _), i) => (i + 1, name) }
+      .toDF("stage", "filter")
+    val total = docs.agg(count(lit(1)).as("total"))
+    val w = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.join(counts, Seq("stage"), "left")
+      .withColumn("dropped", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("remaining", col("total") - sum(col("dropped")).over(w))
+      .select(col("stage").cast("long").as("stage"), col("filter"),
+        col("dropped"), col("remaining"))
+  }
+
   /** Select the highest-quality documents that fit a token budget — the
     * data-mixing step that turns quality scores into a training corpus
     * ("take the best B tokens"). Greedy by (quality desc, id): keep every

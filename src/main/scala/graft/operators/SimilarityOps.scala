@@ -363,6 +363,35 @@ object SimilarityOps {
     books
   }
 
+  /** Deterministic random projection (Achlioptas ±1 signs): reduce `inDim`
+    * → `outDim` before indexing/pre-scoring — the Johnson-Lindenstrauss
+    * step that cuts ANN index size and scan bandwidth (pairwise distances
+    * preserved within ε for outDim = O(log n / ε²)). Matrix entries are
+    * ±1/√outDim from a seeded PRNG, baked into the plan as literals (model
+    * metadata, outDim × inDim doubles — never broadcast state); each output
+    * coordinate is one native `vec_dot` against a literal row, so the whole
+    * map is a narrow codegen'd scan: no shuffle, no state, scan-speed at
+    * 100 TB. With outDim a power of 4 the entries (e.g. ±0.25) are exact in
+    * floating point, so the projection reproduces bitwise on any engine. */
+  def randomProject(emb: DataFrame, inDim: Int, outDim: Int = 16, seed: Long = 42,
+                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(inDim > 0 && outDim > 0, s"need positive dims; got $inDim -> $outDim")
+    val rows = projectionMatrix(inDim, outDim, seed)
+    emb
+      .withColumn("__v", toDouble(col(vecCol)))
+      .select(col(idCol),
+        array(rows.map(r =>
+          round(dot(col("__v"), array(r.map(lit): _*)), 6)): _*).as("proj"))
+  }
+
+  /** The ±1/√outDim projection matrix [[randomProject]] bakes into its plan
+    * — exposed so an oracle can reproduce the identical literals. */
+  def projectionMatrix(inDim: Int, outDim: Int, seed: Long = 42): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val scale = 1.0 / math.sqrt(outDim)
+    Array.fill(outDim, inDim)(if (rnd.nextBoolean()) scale else -scale)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * storage/bandwidth reduction before ANN indexing (4× smaller than f32,
     * 8× smaller than the f64 compute type). Per vector: scale by

@@ -206,6 +206,19 @@ object PipelineQueries {
       PipelineOps.temperatureSample(t.documents, frac = 0.5).orderBy("doc_id")
     },
 
+    // Filter-cascade observability: per-stage drop counts and cumulative
+    // survivors for an ordered curation pipeline, in ONE corpus scan
+    // (first-failing-stage conditional aggregation, never per-filter
+    // rescans).
+    "q_filter_cascade" -> { t =>
+      val nTok = size(graft.functions.TextFunctions.tokens(col("text")))
+      PipelineOps.filterCascade(t.documents, Seq(
+        "min_tokens" -> (nTok >= 30),
+        "max_tokens" -> (nTok <= 2000),
+        "min_chars" -> (col("n_chars") >= 200)
+      )).orderBy("stage")
+    },
+
     // Token-budget corpus selection: the best documents by quality until an
     // 8k-token budget is spent — the data-mixing step after quality scoring.
     // Two-level bucketed prefix sums: the corpus never sees a global window
@@ -470,6 +483,22 @@ object PipelineQueries {
         |END AS cut FROM g)
         |SELECT d.doc_id, d.lang FROM documents d JOIN h USING (lang)
         |WHERE substring(md5(d.text), 1, 8) < h.cut ORDER BY d.doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_filter_cascade" ->
+      """WITH s AS (SELECT len(string_split(text, ' ')) AS n_tok, n_chars FROM documents),
+        |st AS (SELECT CASE WHEN NOT (n_tok >= 30) THEN 1
+        |  WHEN NOT (n_tok <= 2000) THEN 2
+        |  WHEN NOT (n_chars >= 200) THEN 3 ELSE 0 END AS stage FROM s),
+        |c AS (SELECT stage, count(*) AS n FROM st GROUP BY stage),
+        |t AS (SELECT count(*) AS total FROM st),
+        |d AS (SELECT * FROM (VALUES (1, 'min_tokens'), (2, 'max_tokens'),
+        |  (3, 'min_chars')) AS v(stage, filter))
+        |SELECT CAST(d.stage AS BIGINT) AS stage, d.filter,
+        |  coalesce(c.n, 0) AS dropped,
+        |  t.total - sum(coalesce(c.n, 0)) OVER (ORDER BY d.stage
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS remaining
+        |FROM d LEFT JOIN c USING (stage) CROSS JOIN t
+        |ORDER BY stage""".stripMargin.replaceAll("\\s+", " "),
 
     // the oracle IS the naive global greedy cumsum — the operator's bucketed
     // two-level plan must select exactly the same documents

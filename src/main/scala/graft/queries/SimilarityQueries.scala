@@ -112,6 +112,15 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Johnson-Lindenstrauss random projection 64 → 16 dims (±1/√16 = ±0.25
+    // entries: exact in FP, so the projection reproduces bitwise in SQL).
+    // The index-size/bandwidth reduction step before ANN indexing; one
+    // narrow codegen'd scan, matrix rides as literals.
+    "q_random_projection" -> { t =>
+      SimilarityOps.randomProject(t.embeddings, inDim = 64, outDim = 16)
+        .orderBy("vec_id")
+    },
+
     // ADC search over PQ codes — the SEARCH path of IVF-PQ, completing the
     // storage-path oracle of q_pq_codes: corpus vectors exist only as code
     // words; queries score cosine against the RECONSTRUCTION (per-subspace
@@ -247,6 +256,19 @@ object SimilarityQueries {
         |SELECT vec_id, string_agg(CAST(cid AS VARCHAR), ',' ORDER BY sub) AS codes,
         |  round(sqrt(sum(d2)), 4) AS recon_err
         |FROM b GROUP BY vec_id ORDER BY vec_id""".stripMargin.replaceAll("\\s+", " "),
+
+    // the identical ±0.25 literal matrix is injected into both plans; dots
+    // are index-order on both engines, so values agree bitwise
+    "q_random_projection" -> {
+      val rows = SimilarityOps.projectionMatrix(inDim = 64, outDim = 16)
+      val cols = rows.map(r =>
+        s"round(list_dot_product(e, [${r.mkString(",")}]), 6)").mkString(", ")
+      ("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings)
+        |SELECT vec_id, [""" + cols + """] AS proj
+        |FROM v ORDER BY vec_id""").stripMargin.replaceAll("\\s+", " ")
+    },
 
     // ADC scoring against the reconstruction: the code assignment is the
     // q_pq_codes oracle verbatim; then sim = (((d₀+d₁)+d₂)+d₃) /
