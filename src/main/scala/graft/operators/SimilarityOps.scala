@@ -102,6 +102,36 @@ object SimilarityOps {
         round(col("col._1"), 4).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-k most-SIMILAR corpus vectors with a DIFFERENT label — the
+    * near-miss examples that carry the most gradient signal when training
+    * dense retrievers / embedding models (in-batch negatives are too easy;
+    * hard negatives come from a corpus-wide similarity search that excludes
+    * the query's own class). Same plan shape as [[bruteForceTopK]]: the
+    * query side broadcasts, the corpus never shuffles, and the label
+    * exclusion rides the scored join as a codegen'd filter before ranking.
+    * At production scale swap the scoring join for [[lshTopK]]'s banded
+    * candidates — the label filter composes unchanged. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    labelCol: String = "label",
+                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val qs = queries.select(col(idCol).as("query_id"), col(labelCol).as("qlbl"),
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
+    val scored = c.join(broadcast(qs),
+        col("id") =!= col("query_id") && col("lbl") =!= col("qlbl"))
+      .withColumn("sim", cosinePrenormed(col("qv"), col("v"), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("lbl").as("neg_label"), col("rank"), round(col("sim"), 4).as("sim"))
+  }
+
   /** (id, band, bucket) rows: `bands` bands of `nPlanes` hyperplane sign
     * bits each, one row per band. Only ids and two small ints go through the
     * candidate join — vectors are re-fetched for scoring afterwards, so the

@@ -112,6 +112,16 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Hard-negative mining: per query, the top-5 most-similar vectors of a
+    // DIFFERENT label — the contrastive-training data-prep step (near-miss
+    // negatives carry the gradient signal). Broadcast query side, corpus
+    // never shuffles, label exclusion is a codegen'd join filter.
+    "q_hard_negatives" -> { t =>
+      val queries = t.embeddings.where(col("vec_id") < 10)
+      SimilarityOps.hardNegatives(t.embeddings, queries, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // Johnson-Lindenstrauss random projection 64 → 16 dims (±1/√16 = ±0.25
     // entries: exact in FP, so the projection reproduces bitwise in SQL).
     // The index-size/bandwidth reduction step before ANN indexing; one
@@ -256,6 +266,24 @@ object SimilarityQueries {
         |SELECT vec_id, string_agg(CAST(cid AS VARCHAR), ',' ORDER BY sub) AS codes,
         |  round(sqrt(sum(d2)), 4) AS recon_err
         |FROM b GROUP BY vec_id ORDER BY vec_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, x.label AS neg_label,
+        |    list_dot_product(q.e, x.e) / (q.nrm * x.nrm) AS sim
+        |  FROM n q JOIN n x ON x.vec_id <> q.vec_id AND x.label <> q.label
+        |  WHERE q.vec_id < 10),
+        |r AS (
+        |  SELECT query_id, neighbor_id, neg_label, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p)
+        |SELECT query_id, neighbor_id, neg_label, CAST(rn AS BIGINT) AS rank,
+        |  round(sim, 4) AS sim
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\\s+", " "),
 
     // the identical ±0.25 literal matrix is injected into both plans; dots
     // are index-order on both engines, so values agree bitwise
