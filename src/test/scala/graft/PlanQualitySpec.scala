@@ -248,6 +248,21 @@ class PlanQualitySpec extends SparkSpec {
       s"ADC shuffled the corpus for the scoring join:\n$plan")
   }
 
+  test("hard-negative mining broadcasts the query side (corpus never shuffles for the join)") {
+    val plan = executedPlan("q_hard_negatives").toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus shuffled or cross-joined for the scoring join:\n$plan")
+  }
+
+  test("random projection is a narrow codegen'd map (no shuffle beyond the output order)") {
+    import graft.operators.SimilarityOps
+    val op = SimilarityOps.randomProject(t.embeddings, inDim = 64, outDim = 16)
+    val plan = op.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection shuffles:\n$plan")
+  }
+
   test("LSH ann candidate join carries only (id, band, bucket) — vectors rejoin after candidates") {
     val plan = executedPlan("q_ann_lsh").toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -326,6 +326,30 @@ class OpsSpec extends SparkSpec {
     assert(df.select(call_function("vec_dot", col("ad"), col("ad"))).head().getDouble(0) == 14.0)
   }
 
+  test("hard negatives exclude the query's own label and rank by similarity") {
+    val rnd = new scala.util.Random(13)
+    val emb = (0 until 100).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = emb.where(col("vec_id") < 3)
+    val out = SimilarityOps.hardNegatives(emb, queries, k = 5)
+      .select("query_id", "neighbor_id", "neg_label", "rank")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(out.length == 15)
+    out.foreach { case (q, n, lbl, _) =>
+      assert(lbl == (n % 3).toInt, s"label column wrong for ($q,$n)")
+      assert((q % 3) != (n % 3), s"same-label pair ($q,$n) leaked through")
+    }
+    // the mined negatives are exactly brute-force top-k restricted to
+    // different-label corpus vectors
+    val bf = SimilarityOps.bruteForceTopK(emb, queries, k = 99)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+    val expected = bf.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(_._3).map(_._2).filter(n => n % 3 != q % 3).take(5).toSeq.map(n => (q, n))
+    }.toSet
+    assert(out.map(r => (r._1, r._2)).toSet == expected)
+  }
+
   test("IVF top-k recall against brute force on clustered vectors") {
     val rnd = new scala.util.Random(5)
     // 4 well-separated clusters so the coarse quantizer is meaningful
