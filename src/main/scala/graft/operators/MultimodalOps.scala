@@ -6,15 +6,19 @@ import org.apache.spark.sql.functions._
 import java.security.MessageDigest
 
 /** Multimodal-column operators: image/audio/video as opaque `binary` columns
-  * with typed metadata, plus decode / feature-extract / frame-sample stages.
+  * with typed metadata, plus sniff / decode / feature-extract / frame-sample
+  * stages.
   *
-  * The decode step is a clearly-marked deterministic STUB — the real codec
-  * libraries are not in this container — but the Spark-side plumbing is the
-  * production shape: binary columns travel in columnar batches, metadata
-  * extraction is a narrow per-partition pass (one codec context per
-  * partition, not per row), and nothing widens the binary payload through a
-  * shuffle. At 100 TB the binary column stays pruned away unless a stage
-  * actually touches it (nested-schema pruning on the parquet scan).
+  * Container sniffing ([[sniffContainer]]: magic-byte format detection and
+  * PNG IHDR dimensions) is REAL — pure expressions over header bytes, no
+  * codec needed. The pixel/sample decode step is a clearly-marked
+  * deterministic STUB — the codec libraries are not in this container — but
+  * the Spark-side plumbing is the production shape: binary columns travel
+  * in columnar batches, metadata extraction is a narrow per-partition pass
+  * (one codec context per partition, not per row), and nothing widens the
+  * binary payload through a shuffle. At 100 TB the binary column stays
+  * pruned away unless a stage actually touches it (nested-schema pruning on
+  * the parquet scan).
   */
 object MultimodalOps {
 
@@ -90,6 +94,32 @@ object MultimodalOps {
       .select(col(idCol), col("frame_offset"),
         upper(hex(col(binCol).substr(col("frame_offset").cast("int") + 1,
           lit(frameLen)))).as("frame_hex"))
+  }
+
+  /** REAL (stub-free) container sniffing over an opaque binary column —
+    * pure codegen'd expressions, no codec library: magic-byte format
+    * detection (PNG/JPEG/GIF/RIFF/MP4) plus PNG dimensions parsed from the
+    * IHDR chunk (PNG's first chunk is always IHDR, so width/height are
+    * big-endian uint32s at fixed offsets 16/20 — parseable without a
+    * decoder). Narrow per-row map over the first 24 bytes; at 100 TB this
+    * is the "route by container type" dispatch ahead of the per-format
+    * decode stage ([[extractFeatures]]'s mapPartitions pattern), and the
+    * binary column's tail never leaves the scan. */
+  def sniffContainer(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val hdr = upper(hex(substring(col(binCol), 1, 12))) // 24 hex chars
+    val fmt = when(hdr.startsWith("89504E470D0A1A0A"), "png")
+      .when(hdr.startsWith("FFD8FF"), "jpeg")
+      .when(hdr.startsWith("474946383"), "gif") // GIF87a / GIF89a
+      .when(hdr.startsWith("52494646"), "riff") // WAV / AVI / WebP envelope
+      .when(substring(hdr, 9, 8) === "66747970", "mp4") // "ftyp" at byte 4
+      .otherwise("unknown")
+    df.select(
+      col(idCol),
+      fmt.as("format"),
+      when(fmt === "png",
+        conv(hex(substring(col(binCol), 17, 4)), 16, 10).cast("long")).as("png_width"),
+      when(fmt === "png",
+        conv(hex(substring(col(binCol), 21, 4)), 16, 10).cast("long")).as("png_height"))
   }
 
   /** Column-level metadata over any DataFrame with a binary column —

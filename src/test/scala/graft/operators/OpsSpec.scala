@@ -523,6 +523,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("container sniffing parses real magic bytes and PNG IHDR dimensions — no stub") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val png = bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+      0x00, 0x00, 0x00, 0x0D) ++ "IHDR".getBytes ++
+      bytes(0x00, 0x00, 0x01, 0x00) ++ // width 256
+      bytes(0x00, 0x00, 0x00, 0xC0) ++ // height 192
+      bytes(0x08, 0x06, 0x00, 0x00, 0x00)
+    val jpeg = bytes(0xFF, 0xD8, 0xFF, 0xE0) ++ "....JFIF".getBytes
+    val gif = "GIF89a".getBytes ++ bytes(0x10, 0x00, 0x10, 0x00)
+    val wav = "RIFF".getBytes ++ bytes(0x24, 0x08, 0x00, 0x00) ++ "WAVEfmt ".getBytes
+    val mp4 = bytes(0x00, 0x00, 0x00, 0x20) ++ "ftypisom".getBytes ++ bytes(0, 0, 0, 0)
+    val txt = "just some text".getBytes
+    val df = Seq((1L, png), (2L, jpeg), (3L, gif), (4L, wav), (5L, mp4), (6L, txt))
+      .toDF("id", "blob")
+    val out = MultimodalOps.sniffContainer(df, "blob", "id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(1L) == ("png", Some(256L), Some(192L)))
+    assert(out(2L) == ("jpeg", None, None))
+    assert(out(3L) == ("gif", None, None))
+    assert(out(4L) == ("riff", None, None))
+    assert(out(5L) == ("mp4", None, None))
+    assert(out(6L) == ("unknown", None, None))
+  }
+
   test("frame sampling slices deterministic windows") {
     import org.apache.spark.sql.Dataset
     val media: Dataset[MultimodalOps.MediaRow] =
