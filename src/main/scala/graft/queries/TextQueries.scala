@@ -273,8 +273,40 @@ object TextQueries {
           t.documents.withColumn("blob", col("text").cast("binary")),
           binCol = "blob", idCol = "doc_id", frameLen = 16, stride = 2)
         .orderBy("doc_id", "frame_offset")
+    },
+
+    // Container sniffing (REAL, stub-free): magic-byte format routing + PNG
+    // IHDR dimensions. The corpus has no binary column, so each doc gets a
+    // deterministic container envelope by doc_id % 6 — a PNG with a real
+    // IHDR chunk (dims derived from doc_id), JPEG/GIF/RIFF/MP4 headers, or
+    // raw text — built identically in the oracle, which then re-parses the
+    // hex prefix independently (shared construction, independent parse).
+    "q_sniff_container" -> { t =>
+      graft.operators.MultimodalOps.sniffContainer(
+          t.documents.withColumn("blob", syntheticContainer(col("doc_id"), col("text"))),
+          binCol = "blob", idCol = "doc_id")
+        .orderBy("doc_id")
     }
   )
+
+  /** Deterministic container envelope for [[MultimodalOps.sniffContainer]]'s
+    * declared query: doc_id % 6 selects PNG (with a genuine IHDR carrying
+    * width 16 + id%1024, height 16 + 3·id%1024), JPEG, GIF, RIFF, MP4, or
+    * bare text. Mirrored literally by the DuckDB oracle. */
+  private def syntheticContainer(id: org.apache.spark.sql.Column,
+                                 text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def be4(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 8, "0"))
+    val body = text.cast("binary")
+    val png = concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      be4(lit(16) + id % 1024), be4(lit(16) + (id * 3) % 1024),
+      unhex(lit("0806000000")), body)
+    when(id % 6 === 0, png)
+      .when(id % 6 === 1, concat(unhex(lit("FFD8FFE0")), body))
+      .when(id % 6 === 2, concat(lit("GIF89a").cast("binary"), body))
+      .when(id % 6 === 3, concat(lit("RIFF").cast("binary"), body))
+      .when(id % 6 === 4, concat(unhex(lit("00000020")), lit("ftypisom").cast("binary"), body))
+      .otherwise(body)
+  }
 
   val oracles: Map[String, String] = Map(
     "q_text_dedup_exact" ->
@@ -672,6 +704,40 @@ object TextQueries {
         |  FROM b WHERE n >= 16)
         |SELECT doc_id, frame_offset,
         |  substring(h, 2 * frame_offset + 1, 32) AS frame_hex
-        |FROM o ORDER BY doc_id, frame_offset""".stripMargin.replaceAll("\\s+", " ")
+        |FROM o ORDER BY doc_id, frame_offset""".stripMargin.replaceAll("\\s+", " "),
+
+    // Mirrors syntheticContainer literally (shared construction), then
+    // re-parses the 24-byte hex prefix with independent SQL (format
+    // dispatch + big-endian IHDR ints) — the parse, not the plant, is
+    // what the query under test computes.
+    "q_sniff_container" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN unhex('89504E470D0A1A0A0000000D49484452')
+        |        || unhex(lpad(hex(16 + doc_id % 1024), 8, '0'))
+        |        || unhex(lpad(hex(16 + (doc_id * 3) % 1024), 8, '0'))
+        |        || unhex('0806000000') || CAST(text AS BLOB)
+        |      WHEN 1 THEN unhex('FFD8FFE0') || CAST(text AS BLOB)
+        |      WHEN 2 THEN CAST('GIF89a' AS BLOB) || CAST(text AS BLOB)
+        |      WHEN 3 THEN CAST('RIFF' AS BLOB) || CAST(text AS BLOB)
+        |      WHEN 4 THEN unhex('00000020') || CAST('ftypisom' AS BLOB) || CAST(text AS BLOB)
+        |      ELSE CAST(text AS BLOB) END AS blob
+        |  FROM documents),
+        |h AS (SELECT doc_id, left(upper(hex(blob)), 48) AS hx FROM b),
+        |f AS (SELECT doc_id, hx,
+        |  CASE WHEN left(hx, 16) = '89504E470D0A1A0A' THEN 'png'
+        |       WHEN left(hx, 6) = 'FFD8FF' THEN 'jpeg'
+        |       WHEN left(hx, 9) = '474946383' THEN 'gif'
+        |       WHEN left(hx, 8) = '52494646' THEN 'riff'
+        |       WHEN substring(hx, 9, 8) = '66747970' THEN 'mp4'
+        |       ELSE 'unknown' END AS format
+        |  FROM h)
+        |SELECT doc_id, format,
+        |  CASE WHEN format = 'png'
+        |    THEN CAST(concat('0x', substring(hx, 33, 8)) AS BIGINT) END AS png_width,
+        |  CASE WHEN format = 'png'
+        |    THEN CAST(concat('0x', substring(hx, 41, 8)) AS BIGINT) END AS png_height
+        |FROM f ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " ")
   )
 }

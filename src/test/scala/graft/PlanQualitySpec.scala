@@ -161,6 +161,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"frameSlices shuffles:\n$plan")
   }
 
+  test("container sniffing is a narrow per-row map: no shuffle, whole-stage codegen") {
+    import graft.operators.MultimodalOps
+    val df = MultimodalOps.sniffContainer(
+      t.documents.withColumn("blob", col("text").cast("binary")),
+      binCol = "blob", idCol = "doc_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sniffContainer shuffles:\n$plan")
+    assert(plan.contains("*("), s"sniff projection fell out of codegen:\n$plan")
+  }
+
   test("native vec_dot expression participates in codegen (no fallback)") {
     val df = t.embeddings
       .select(graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
