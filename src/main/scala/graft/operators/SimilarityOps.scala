@@ -54,6 +54,52 @@ object SimilarityOps {
       }.toMap
   }
 
+  /** (cid, vector, norm) triples of a fitted coarse quantizer — spherical
+    * k-means with deterministic init (the `nCentroids` lowest-id vectors)
+    * and `kmeansIters` Lloyd steps computed as DataFrame aggregations:
+    * assign each vector to its max-cosine cell, new centroid = per-cell
+    * [[cellMeans]] exact-decimal mean. Each step collects only the
+    * nCentroids centroid rows — model metadata (the k-means fit), not
+    * data; everything data-sized stays distributed. Shared by [[ivfTopK]]
+    * and [[semanticDedup]], which must agree on cell geometry. */
+  private def fitCoarseQuantizer(c: DataFrame, nCentroids: Int,
+                                 kmeansIters: Int): Array[(Int, Seq[Double], Double)] = {
+    var centroids: Array[(Int, Seq[Double], Double)] = c.orderBy(col("id")).limit(nCentroids)
+      .select(col("v")).collect().zipWithIndex
+      .map { case (r, i) =>
+        val v = r.getSeq[Double](0)
+        (i, v, math.sqrt(v.map(x => x * x).sum))
+      }
+    val dim = centroids.head._2.length
+    for (_ <- 1 to kmeansIters) {
+      val means = cellMeans(
+        c.withColumn("cell", element_at(cellsFor(centroids, col("v"), 1), 1)), "cell", "v", dim)
+      // cells that lost all members keep their previous centroid
+      centroids = centroids.map { case (i, prev, _) =>
+        val v = means.getOrElse(i, prev)
+        (i, v, math.sqrt(v.map(x => x * x).sum))
+      }
+    }
+    centroids
+  }
+
+  /** The `n` nearest cells of a fitted quantizer for a vector column, by
+    * cosine: the row's own norm is constant across centroids, so ranking by
+    * -dot/cnorm suffices. Centroids ride as array literals (model
+    * metadata); the whole expression is codegen'd — no shuffle, no state. */
+  private def cellsFor(centroids: Array[(Int, Seq[Double], Double)],
+                       vCol: Column, n: Int): Column = {
+    val centArr = array(centroids.map { case (i, v, nr) =>
+      struct(lit(i).as("cid"), array(v.map(lit): _*).as("cv"), lit(nr).as("cnorm"))
+    }: _*)
+    slice(transform(
+      array_sort(transform(centArr, cent =>
+        struct((lit(-1.0) * call_function("vec_dot", cent.getField("cv"), vCol) /
+          cent.getField("cnorm")).as("negSim"),
+          cent.getField("cid").as("cid")))),
+      s => s.getField("cid")), lit(1), lit(n))
+  }
+
   /** Exact top-k neighbours for each query vector (excluding self).
     * The query side is broadcast — corpus never shuffles. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -197,44 +243,11 @@ object SimilarityOps {
               nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val c = prepared(corpus, vecCol, idCol)
-    // Coarse quantizer fit = spherical k-means: deterministic init (the
-    // lowest-id vectors), then `kmeansIters` Lloyd steps computed as
-    // DataFrame aggregations — assign each vector to its max-cosine cell,
-    // new centroid = per-cell mean. Each step collects only the nCentroids
-    // centroid rows: model metadata (the k-means fit), not data; everything
-    // data-sized stays distributed.
-    var centroids: Array[(Int, Seq[Double], Double)] = c.orderBy(col("id")).limit(nCentroids)
-      .select(col("v")).collect().zipWithIndex
-      .map { case (r, i) =>
-        val v = r.getSeq[Double](0)
-        (i, v, math.sqrt(v.map(x => x * x).sum))
-      }
-    val dim = centroids.head._2.length
-    def centArr = array(centroids.map { case (i, v, n) =>
-      struct(lit(i).as("cid"), array(v.map(lit): _*).as("cv"), lit(n).as("cnorm"))
-    }: _*)
-    // nearest cell(s) by cosine: the row's own norm is constant across
-    // centroids, so ranking by -dot/cnorm suffices
-    def cellsFor(vCol: Column, n: Int): Column =
-      slice(transform(
-        array_sort(transform(centArr, cent =>
-          struct((lit(-1.0) * call_function("vec_dot", cent.getField("cv"), vCol) /
-            cent.getField("cnorm")).as("negSim"),
-            cent.getField("cid").as("cid")))),
-        s => s.getField("cid")), lit(1), lit(n))
-    for (_ <- 1 to kmeansIters) {
-      val means = cellMeans(
-        c.withColumn("cell", element_at(cellsFor(col("v"), 1), 1)), "cell", "v", dim)
-      // cells that lost all members keep their previous centroid
-      centroids = centroids.map { case (i, prev, _) =>
-        val v = means.getOrElse(i, prev)
-        (i, v, math.sqrt(v.map(x => x * x).sum))
-      }
-    }
-    val assigned = c.withColumn("cell", element_at(cellsFor(col("v"), 1), 1))
+    val centroids = fitCoarseQuantizer(c, nCentroids, kmeansIters)
+    val assigned = c.withColumn("cell", element_at(cellsFor(centroids, col("v"), 1), 1))
     val q = prepared(queries, vecCol, idCol)
       .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
-        explode(cellsFor(col("v"), nProbe)).as("cell"))
+        explode(cellsFor(centroids, col("v"), nProbe)).as("cell"))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .where(col("id") =!= col("query_id"))
       .withColumn("sim", cosinePrenormed(col("qv"), col("v"), col("qnrm"), col("nrm")))
@@ -500,5 +513,41 @@ object SimilarityOps {
       .withColumn("sim", cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")))
       .where(col("sim") >= threshold)
       .select(col("ida"), col("idb"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into `nCentroids` coarse
+    * k-means cells, then compare pairs only WITHIN a cell — semantically
+    * redundant documents land in the same cell, so the within-cell pair
+    * set captures them while cross-cell comparisons (the overwhelming bulk
+    * of the n² pair space) are never materialised. Emits (cell, ida, idb,
+    * sim) for every within-cell pair at cosine ≥ threshold; feed the pairs
+    * to [[graft.operators.DedupOps.connectedComponents]] + a keeper rule
+    * for the drop decision, exactly like the text near-dup family.
+    *
+    * Cell geometry is [[fitCoarseQuantizer]]'s — identical to [[ivfTopK]]
+    * (deterministic lowest-id init, exact-decimal Lloyd steps), so the
+    * partition is a constant of the corpus. Plan shape: one narrow
+    * codegen'd assignment pass (centroid literals), then a cell-keyed
+    * self-equi-join — work is Σ_c |cell_c|²/2, n²/nCentroids in
+    * expectation, and each cell's comparisons land in that cell's shuffle
+    * partition. At 100 TB scale nCentroids to ~√n (the paper runs 110k
+    * cells on LAION): per-cell work stays bounded and the cluster scales
+    * the cells out; skewed cells are the AQE skew-join case. */
+  def semanticDedup(emb: DataFrame, nCentroids: Int = 16, threshold: Double = 0.4,
+                    kmeansIters: Int = 0,
+                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = prepared(emb, vecCol, idCol)
+    val centroids = fitCoarseQuantizer(c, nCentroids, kmeansIters)
+    val assigned = c.withColumn("cell", element_at(cellsFor(centroids, col("v"), 1), 1))
+    val a = assigned.select(col("cell"), col("id").as("ida"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("id").as("idb"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .where(col("ida") < col("idb"))
+      .withColumn("sim", cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")))
+      .where(col("sim") >= threshold)
+      .select(col("cell"), col("ida"), col("idb"), round(col("sim"), 4).as("sim"))
   }
 }

@@ -145,6 +145,17 @@ object SimilarityQueries {
       val queries = t.embeddings.where(col("vec_id") < 10)
       SimilarityOps.adcTopK(codes, queries, books, k = 5)
         .orderBy("query_id", "rank")
+    },
+
+    // SemDeDup (Abbas et al. 2023): within-cell-only pair comparison after
+    // coarse k-means cell assignment — the n²/nCentroids semantic-dedup
+    // geometry. kmeansIters = 0 makes the quantizer the 16 lowest-id
+    // vectors, so the oracle recomputes the identical cell partition (and
+    // hence the identical within-cell pair set) from the parquet table
+    // alone; the Lloyd-fitted variant is pinned in ScalaTest.
+    "q_semantic_dedup" -> { t =>
+      SimilarityOps.semanticDedup(t.embeddings, nCentroids = 16, threshold = 0.4)
+        .orderBy("ida", "idb")
     }
   )
 
@@ -335,6 +346,27 @@ object SimilarityQueries {
         |rk AS (SELECT query_id, id AS neighbor_id, sim,
         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn FROM sim)
         |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, round(sim, 4) AS sim
-        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\\s+", " ")
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\\s+", " "),
+
+    // Cell assignment mirrors the deterministic quantizer (centroids = the
+    // 16 lowest-id vectors, cid = vec_id — same contract as the q_pq_codes
+    // oracle), ranking -dot/cnorm with (sim DESC, cid) tie-break exactly as
+    // the Spark expression; dots are index-order on both engines so the
+    // argmax and the >= 0.4 cut agree bitwise. Then within-cell pairs only.
+    "q_semantic_dedup" ->
+      (dotCte + """,
+        |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, e AS ce, nrm AS cnrm
+        |  FROM n WHERE vec_id < 16),
+        |a AS (
+        |  SELECT x.vec_id, x.e, x.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY x.vec_id
+        |      ORDER BY list_dot_product(x.e, c.ce) / c.cnrm DESC, c.cid) AS rn
+        |  FROM n x CROSS JOIN c),
+        |cells AS (SELECT vec_id, e, nrm, cid AS cell FROM a WHERE rn = 1)
+        |SELECT x.cell, x.vec_id AS ida, y.vec_id AS idb,
+        |  round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS sim
+        |FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |WHERE list_dot_product(x.e, y.e) / (x.nrm * y.nrm) >= 0.4
+        |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " ")
   )
 }

@@ -161,6 +161,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"frameSlices shuffles:\n$plan")
   }
 
+  test("semantic dedup compares within cells only: cell-keyed equi-join, never a cartesian") {
+    import graft.operators.SimilarityOps
+    val df = SimilarityOps.semanticDedup(t.embeddings, nCentroids = 16, threshold = 0.4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no equi-join on cell:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"semanticDedup degenerated to all-pairs:\n$plan")
+  }
+
   test("container sniffing is a narrow per-row map: no shuffle, whole-stage codegen") {
     import graft.operators.MultimodalOps
     val df = MultimodalOps.sniffContainer(

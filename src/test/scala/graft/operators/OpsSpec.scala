@@ -138,6 +138,34 @@ class OpsSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed: ${exact diff lsh}")
   }
 
+  test("semantic dedup finds planted same-cluster duplicates and never emits cross-cell pairs") {
+    val rnd = new scala.util.Random(29)
+    // 4 well-separated cluster centers; 15 members each + 5 planted near-dups
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextFloat() * 10 - 5))
+    val base = (0 until 60).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextFloat() * 0.3f))
+    }
+    val dups = (0 until 5).map { i =>
+      val (id, v) = base(i)
+      (1000L + id, v.map(x => x + rnd.nextFloat() * 0.01f))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val out = SimilarityOps.semanticDedup(emb, nCentroids = 4, threshold = 0.999,
+      kmeansIters = 2).collect()
+    // every planted pair survives: duplicates are near-identical, so they
+    // share a cell under any sane quantizer and sit far above the threshold
+    val pairs = out.map(r => (r.getLong(1), r.getLong(2))).toSet
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, 1000L + i)), s"planted pair $i missing: $pairs")
+    }
+    // the pair set is exactly the within-cell restriction of the exact
+    // all-pairs answer (cells from the same fitted quantizer)
+    val exact = SimilarityOps.nearDupPairs(emb, threshold = 0.999)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(exact), s"semanticDedup invented pairs: ${pairs diff exact}")
+  }
+
   test("banded lshTopK with enough cheap bands equals brute force exactly") {
     val rnd = new scala.util.Random(17)
     val emb = (0 until 120).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
