@@ -550,4 +550,30 @@ object SimilarityOps {
       .where(col("sim") >= threshold)
       .select(col("cell"), col("ida"), col("idb"), round(col("sim"), 4).as("sim"))
   }
+
+  /** Rolling-ingestion [[semanticDedup]]: score an INCOMING batch against an
+    * EXISTING corpus through the corpus's cell index — the embedding-side
+    * analog of [[graft.operators.DedupOps.incrementalNearDup]]. The
+    * quantizer is fitted on the corpus (the index that already exists at
+    * ingest time); both sides get cells in one narrow pass each, and the
+    * batch joins only the corpus vectors in ITS cells — cost is
+    * |batch|·|corpus|/nCentroids in expectation, linear in the batch,
+    * never |corpus|². Emits (cell, new_id, old_id, sim ≥ threshold);
+    * aggregate per new_id for the keep/drop decision. */
+  def incrementalSemanticDedup(existing: DataFrame, incoming: DataFrame,
+                               nCentroids: Int = 16, threshold: Double = 0.4,
+                               kmeansIters: Int = 0,
+                               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = prepared(existing, vecCol, idCol)
+    val centroids = fitCoarseQuantizer(c, nCentroids, kmeansIters)
+    val corpus = c.withColumn("cell", element_at(cellsFor(centroids, col("v"), 1), 1))
+      .select(col("cell"), col("id").as("old_id"), col("v").as("vo"), col("nrm").as("no"))
+    val batch = prepared(incoming, vecCol, idCol)
+      .withColumn("cell", element_at(cellsFor(centroids, col("v"), 1), 1))
+      .select(col("cell"), col("id").as("new_id"), col("v").as("vn"), col("nrm").as("nn"))
+    batch.join(corpus, Seq("cell"))
+      .withColumn("sim", cosinePrenormed(col("vn"), col("vo"), col("nn"), col("no")))
+      .where(col("sim") >= threshold)
+      .select(col("cell"), col("new_id"), col("old_id"), round(col("sim"), 4).as("sim"))
+  }
 }

@@ -156,6 +156,19 @@ object SimilarityQueries {
     "q_semantic_dedup" -> { t =>
       SimilarityOps.semanticDedup(t.embeddings, nCentroids = 16, threshold = 0.4)
         .orderBy("ida", "idb")
+    },
+
+    // Rolling-ingestion semantic dedup: a held-out tenth of the corpus
+    // (vec_id ≡ 7 mod 10 — scale-proof split) scores against the rest
+    // through the corpus-fitted cell index; linear in the batch, never
+    // |corpus|². Quantizer = 16 lowest-id EXISTING vectors, so the oracle
+    // re-derives the cells with a rank over the same split.
+    "q_semantic_dedup_incr" -> { t =>
+      val existing = t.embeddings.where(col("vec_id") % 10 =!= 7)
+      val incoming = t.embeddings.where(col("vec_id") % 10 === 7)
+      SimilarityOps.incrementalSemanticDedup(existing, incoming,
+          nCentroids = 16, threshold = 0.4)
+        .orderBy("new_id", "old_id")
     }
   )
 
@@ -367,6 +380,35 @@ object SimilarityQueries {
         |  round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS sim
         |FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
         |WHERE list_dot_product(x.e, y.e) / (x.nrm * y.nrm) >= 0.4
-        |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " ")
+        |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " "),
+
+    // Existing-side quantizer (16 lowest surviving ids, cid = rank not
+    // vec_id — id 7 and 17 are in the incoming split); both splits get
+    // cells by the same (sim DESC, cid) argmax, then batch×corpus pairs
+    // within a cell only.
+    "q_semantic_dedup_incr" ->
+      (dotCte + """,
+        |ex AS (SELECT * FROM n WHERE vec_id % 10 <> 7),
+        |inc AS (SELECT * FROM n WHERE vec_id % 10 = 7),
+        |c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+        |    e AS ce, nrm AS cnrm
+        |  FROM (SELECT * FROM ex ORDER BY vec_id LIMIT 16)),
+        |ae AS (
+        |  SELECT x.vec_id, x.e, x.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY x.vec_id
+        |      ORDER BY list_dot_product(x.e, c.ce) / c.cnrm DESC, c.cid) AS rn
+        |  FROM ex x CROSS JOIN c),
+        |ai AS (
+        |  SELECT x.vec_id, x.e, x.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY x.vec_id
+        |      ORDER BY list_dot_product(x.e, c.ce) / c.cnrm DESC, c.cid) AS rn
+        |  FROM inc x CROSS JOIN c),
+        |ce AS (SELECT vec_id, e, nrm, cid AS cell FROM ae WHERE rn = 1),
+        |ci AS (SELECT vec_id, e, nrm, cid AS cell FROM ai WHERE rn = 1)
+        |SELECT x.cell, x.vec_id AS new_id, y.vec_id AS old_id,
+        |  round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS sim
+        |FROM ci x JOIN ce y ON x.cell = y.cell
+        |WHERE list_dot_product(x.e, y.e) / (x.nrm * y.nrm) >= 0.4
+        |ORDER BY new_id, old_id""".stripMargin).replaceAll("\\s+", " ")
   )
 }

@@ -171,6 +171,19 @@ class PlanQualitySpec extends SparkSpec {
       s"semanticDedup degenerated to all-pairs:\n$plan")
   }
 
+  test("incremental semantic dedup joins batch to corpus on cell only — never a cartesian") {
+    import graft.operators.SimilarityOps
+    val df = SimilarityOps.incrementalSemanticDedup(
+      t.embeddings.where(col("vec_id") % 10 =!= 7),
+      t.embeddings.where(col("vec_id") % 10 === 7),
+      nCentroids = 16, threshold = 0.4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no equi-join on cell:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental semanticDedup degenerated to all-pairs:\n$plan")
+  }
+
   test("container sniffing is a narrow per-row map: no shuffle, whole-stage codegen") {
     import graft.operators.MultimodalOps
     val df = MultimodalOps.sniffContainer(

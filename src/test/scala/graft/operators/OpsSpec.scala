@@ -166,6 +166,29 @@ class OpsSpec extends SparkSpec {
     assert(pairs.subsetOf(exact), s"semanticDedup invented pairs: ${pairs diff exact}")
   }
 
+  test("incremental semantic dedup finds planted batch-vs-corpus duplicates through the cell index") {
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextFloat() * 10 - 5))
+    val existing = (0 until 60).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextFloat() * 0.3f))
+    }
+    // incoming batch: near-copies of corpus members + genuinely new vectors
+    val incoming = (0 until 5).map { i =>
+      val (id, v) = existing(i)
+      (2000L + id, v.map(x => x + rnd.nextFloat() * 0.01f))
+    } ++ (0 until 5).map(i => (3000L + i, Array.fill(16)(rnd.nextFloat() * 10 - 5)))
+    val out = SimilarityOps.incrementalSemanticDedup(
+        existing.toDF("vec_id", "embedding"), incoming.toDF("vec_id", "embedding"),
+        nCentroids = 4, threshold = 0.999, kmeansIters = 2)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    (0 until 5).foreach { i =>
+      assert(out.contains((2000L + i, i.toLong)), s"planted copy $i not matched: $out")
+    }
+    // the corpus side never pairs with itself — only batch×corpus rows
+    assert(out.forall(_._1 >= 2000L), s"corpus-internal pair leaked: $out")
+  }
+
   test("banded lshTopK with enough cheap bands equals brute force exactly") {
     val rnd = new scala.util.Random(17)
     val emb = (0 until 120).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
