@@ -308,6 +308,49 @@ object TextOps {
     * the term after the explode; posting lists are built from the already
     * per-(doc,term)-collapsed tf rows, so the collected arrays carry one
     * entry per document, not per occurrence. */
+  /** Feature-hashed linear quality classifier — the fasttext-style scoring
+    * tier of quality filtering (CCNet / Llama-style pipelines run a learned
+    * linear model over bag-of-words features; heuristics and LM perplexity
+    * are the other two tiers, see [[qualityScore]] / [[unigramLogProb]]).
+    * Each token maps to one of `nFeatures` buckets via the hashing trick
+    * (first 8 hex chars of md5 mod nFeatures — portable across engines,
+    * unlike murmur/xxhash), and the document score is the mean bucket
+    * weight, squashed to a keep decision at `cutoff`.
+    *
+    * Weights are multiples of 1/64 in [-0.5, 0.5) from a seeded PRNG (a
+    * stand-in for trained coefficients — swap in a real model's weights at
+    * production; the plan is identical). Dyadic weights make every partial
+    * sum exactly representable, so the token sum is order-independent and
+    * the score reproduces bitwise on any engine. One narrow pass: the
+    * weight table rides as a constant-folded array literal (model
+    * metadata), the per-token lookup is an `aggregate` HOF over the token
+    * array — no explode, no shuffle, no state; scan-speed at 100 TB. */
+  def linearQualityScore(docs: DataFrame, nFeatures: Int = 1024, seed: Long = 7,
+                         cutoff: Double = 0.0,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val weights = array(classifierWeights(nFeatures, seed).map(lit): _*)
+    val toks = split(col(textCol), " ")
+    def featOf(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % nFeatures).cast("int")
+    docs
+      .withColumn("__toks", toks)
+      .select(
+        col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        round(
+          aggregate(col("__toks"), lit(0.0d),
+            (acc, tok) => acc + element_at(weights, featOf(tok) + 1)) /
+            greatest(size(col("__toks")), lit(1)), 6).as("score"))
+      .withColumn("keep", col("score") >= cutoff)
+  }
+
+  /** The dyadic weight table [[linearQualityScore]] bakes into its plan —
+    * exposed so an oracle can reproduce the identical literals. */
+  def classifierWeights(nFeatures: Int, seed: Long = 7): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nFeatures)((rnd.nextInt(64) - 32) / 64.0)
+  }
+
   def invertedIndex(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     termFreqs(docs, textCol, idCol)
       .groupBy("term")

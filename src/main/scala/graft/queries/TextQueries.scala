@@ -275,6 +275,14 @@ object TextQueries {
         .orderBy("doc_id", "frame_offset")
     },
 
+    // Feature-hashed linear quality classifier (fasttext-style tier):
+    // md5-bucket hashing trick + dyadic weight table → order-independent
+    // exact sums, bitwise-reproducible in SQL. One narrow corpus pass.
+    "q_quality_classifier" -> { t =>
+      TextOps.linearQualityScore(t.documents, nFeatures = 1024)
+        .orderBy("doc_id")
+    },
+
     // Container sniffing (REAL, stub-free): magic-byte format routing + PNG
     // IHDR dimensions. The corpus has no binary column, so each doc gets a
     // deterministic container envelope by doc_id % 6 — a PNG with a real
@@ -705,6 +713,22 @@ object TextQueries {
         |SELECT doc_id, frame_offset,
         |  substring(h, 2 * frame_offset + 1, 32) AS frame_hex
         |FROM o ORDER BY doc_id, frame_offset""".stripMargin.replaceAll("\\s+", " "),
+
+    // Identical dyadic weight literals + the same md5-bucket hash; dyadic
+    // sums are exact hence order-independent, so scores agree bitwise.
+    "q_quality_classifier" -> {
+      val ws = TextOps.classifierWeights(1024).mkString(",")
+      ("""WITH w AS (SELECT [""" + ws + """] AS ws),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(list_sum(list_transform(toks, tok ->
+        |    ws[(CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % 1024) + 1]))
+        |    / greatest(len(toks), 1), 6) AS score,
+        |  round(list_sum(list_transform(toks, tok ->
+        |    ws[(CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % 1024) + 1]))
+        |    / greatest(len(toks), 1), 6) >= 0.0 AS keep
+        |FROM t, w ORDER BY doc_id""").stripMargin.replaceAll("\\s+", " ")
+    },
 
     // Mirrors syntheticContainer literally (shared construction), then
     // re-parses the 24-byte hex prefix with independent SQL (format

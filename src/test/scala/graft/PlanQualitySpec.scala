@@ -184,6 +184,14 @@ class PlanQualitySpec extends SparkSpec {
       s"incremental semanticDedup degenerated to all-pairs:\n$plan")
   }
 
+  test("linear quality classifier is one narrow corpus pass: no shuffle, no explode") {
+    import graft.operators.TextOps
+    val df = TextOps.linearQualityScore(t.documents, nFeatures = 1024)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier shuffles:\n$plan")
+    assert(!plan.contains("Generate"), s"classifier explodes tokens:\n$plan")
+  }
+
   test("container sniffing is a narrow per-row map: no shuffle, whole-stage codegen") {
     import graft.operators.MultimodalOps
     val df = MultimodalOps.sniffContainer(

@@ -248,6 +248,28 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == (2L, r6((ab + bc) / 2)))
   }
 
+  test("linear quality classifier matches a hand-computed hashed-bag score") {
+    val nF = 64
+    val w = TextOps.classifierWeights(nF)
+    // reference scorer: same md5-bucket hash, plain Scala
+    def feat(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % nF).toInt
+    }
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha"), (3L, "zeta"))
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ")
+      id -> BigDecimal(toks.map(t => w(feat(t))).sum / toks.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = TextOps.linearQualityScore(docs.toDF("doc_id", "text"), nFeatures = nF)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    docs.foreach { case (id, _) =>
+      assert(math.abs(got(id) - expected(id)) < 1e-9, s"doc $id: ${got(id)} vs ${expected(id)}")
+    }
+  }
+
   test("rolling hash is order-sensitive; md5 fingerprint is whitespace-robust") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a  b   c")).toDF("doc_id", "text")
     val fp = TextOps.fingerprints(d).collect().map(r =>
