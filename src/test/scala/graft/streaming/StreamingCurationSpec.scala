@@ -40,4 +40,20 @@ class StreamingCurationSpec extends SparkSpec {
       assert(streamedScore == batchScore)
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("linear quality classifier runs unchanged on a stream with identical results") {
+    val input = MemoryStream[Doc](spark)
+    val scored = TextOps.linearQualityScore(input.toDF(), nFeatures = 64)
+    val ckpt = java.nio.file.Files.createTempDirectory("cur-ckpt3").toString
+    val q = scored.writeStream.format("memory").queryName("clf_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clf_out").collect().map(_.toSeq).toSet
+      val batch = TextOps.linearQualityScore(docs.toDF(), nFeatures = 64)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
