@@ -344,28 +344,88 @@ object SimilarityOps {
   def adcTopK(codes: DataFrame, queries: DataFrame, books: Array[Array[Seq[Double]]],
               k: Int,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val nSub = books.length
-    val sd = books(0)(0).length
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qnrm", norm(col("qv")))
     val withCodes = codes.select(col(idCol).as("id"),
       split(col("codes"), ",").as("cs"))
-    // cosine against the RECONSTRUCTION: numerator Σ_s q_s·c_{code_s};
-    // ‖recon‖² = Σ_s ‖c_{code_s}‖² rides as a second literal lookup
     val scored = withCodes
       .join(broadcast(q), col("id") =!= col("query_id"))
-      .withColumn("sim",
-        (0 until nSub).map { s =>
-          val book = array(books(s).map(cv => array(cv.map(lit): _*)): _*)
-          call_function("vec_dot",
-            slice(col("qv"), s * sd + 1, sd),
-            element_at(book, element_at(col("cs"), s + 1).cast("int") + 1))
-        }.reduce(_ + _) /
-          (col("qnrm") * sqrt((0 until nSub).map { s =>
-            val cc = array(books(s).map(cv =>
-              lit(cv.foldLeft(0.0)((a, x) => a + x * x))): _*)
-            element_at(cc, element_at(col("cs"), s + 1).cast("int") + 1)
-          }.reduce(_ + _))))
+      .withColumn("sim", adcSim(books, col("cs"), col("qv"), col("qnrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** ADC cosine-against-the-reconstruction for a code-word column:
+    * numerator Σ_s q_s·c_{code_s} (each dot in index order, subspaces
+    * summed left-to-right), denominator ‖q‖·√Σ_s‖c_{code_s}‖². Codebooks
+    * and their self-dots ride as array literals — two `element_at` lookups
+    * per subspace in codegen, the classic per-query ADC lookup table
+    * expressed as plan constants. Shared by [[adcTopK]] and [[ivfPqTopK]]
+    * so both score with bitwise-identical arithmetic. */
+  private def adcSim(books: Array[Array[Seq[Double]]],
+                     csCol: Column, qvCol: Column, qnrmCol: Column): Column = {
+    val nSub = books.length
+    val sd = books(0)(0).length
+    (0 until nSub).map { s =>
+      val book = array(books(s).map(cv => array(cv.map(lit): _*)): _*)
+      call_function("vec_dot",
+        slice(qvCol, s * sd + 1, sd),
+        element_at(book, element_at(csCol, s + 1).cast("int") + 1))
+    }.reduce(_ + _) /
+      (qnrmCol * sqrt((0 until nSub).map { s =>
+        val cc = array(books(s).map(cv =>
+          lit(cv.foldLeft(0.0)((a, x) => a + x * x))): _*)
+        element_at(cc, element_at(csCol, s + 1).cast("int") + 1)
+      }.reduce(_ + _)))
+  }
+
+  /** IVF-PQ search — the full production ANN composition (Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011): a
+    * coarse quantizer routes each corpus vector into one of `nCentroids`
+    * inverted lists, vectors are stored only as `nSub`-byte PQ code words,
+    * and a query probes its `nProbe` nearest lists, ADC-scoring just the
+    * candidates that live there — candidate volume is nProbe/nCentroids of
+    * the corpus instead of all of it, and each candidate costs nSub lookups
+    * instead of a full-dimension dot.
+    *
+    * Plan shape: ONE narrow codegen'd corpus pass computes both the cell id
+    * and the code word (coarse centroids and codebooks are plan literals —
+    * model metadata, never broadcast state); the probe join is a broadcast
+    * hash join on cell (the query side is tiny), so the corpus never
+    * shuffles and nothing vector-sized crosses the exchange — the scan
+    * carries (id, cell, nSub small ints). At 100 TB this is the
+    * billion-vector index layout: scale nCentroids to ~√n, partition the
+    * corpus BY cell at write time, and the probe join prunes partitions.
+    *
+    * With `kmeansIters = 0` both quantizers are deterministic functions of
+    * the lowest-id vectors, so cell routing AND scoring reproduce exactly
+    * in SQL; partial-probe recall is pinned in ScalaTest, and full probe
+    * (nProbe = nCentroids) degenerates to [[adcTopK]] by construction. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                nSub: Int = 4, nPqCentroids: Int = 16, kmeansIters: Int = 0,
+                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = prepared(corpus, vecCol, idCol)
+    val centroids = fitCoarseQuantizer(c, nCentroids, kmeansIters)
+    val books = pqFitBooks(corpus, nSub, nPqCentroids, kmeansIters, vecCol, idCol)
+    val sd = books(0)(0).length
+    // single narrow pass: inverted-list id + code word; the vector itself
+    // is dropped before the join — only (id, cell, codes) flows on
+    val coded = bindSubspaces(c.select(col("id"), col("v")), nSub, sd)
+      .select(col("id"),
+        element_at(cellsFor(centroids, col("v"), 1), 1).as("cell"),
+        array((0 until nSub).map(s =>
+          nearestEntry(s, books(s)).getField("cid").cast("string")): _*).as("cs"))
+    val q = prepared(queries, vecCol, idCol)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(cellsFor(centroids, col("v"), nProbe)).as("cell"))
+    val scored = coded.join(broadcast(q), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("sim", adcSim(books, col("cs"), col("qv"), col("qnrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

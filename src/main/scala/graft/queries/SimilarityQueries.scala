@@ -147,6 +147,21 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF-PQ — the composed production index (coarse cells + PQ codes +
+    // ADC), searched at a genuinely PARTIAL probe (4 of 16 cells): the
+    // oracle models the approximation itself, re-deriving cell routing,
+    // probe selection, code assignment, and reconstruction-space scoring
+    // from the parquet table alone (deterministic kmeansIters = 0
+    // quantizers; every dot index-order, subspaces summed left-to-right).
+    // Unlike q_ivf_ann (full probe) / q_adc_topk (no IVF), nothing here is
+    // exhaustive — the oracle checks the pruned search path end-to-end.
+    "q_ivf_pq" -> { t =>
+      val queries = t.embeddings.where(col("vec_id") < 10)
+      SimilarityOps.ivfPqTopK(t.embeddings, queries, k = 5,
+          nCentroids = 16, nProbe = 4, nSub = 4, nPqCentroids = 16)
+        .orderBy("query_id", "rank")
+    },
+
     // SemDeDup (Abbas et al. 2023): within-cell-only pair comparison after
     // coarse k-means cell assignment — the n²/nCentroids semantic-dedup
     // geometry. kmeansIters = 0 makes the quantizer the 16 lowest-id
@@ -361,9 +376,61 @@ object SimilarityQueries {
         |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, round(sim, 4) AS sim
         |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\\s+", " "),
 
+    // The pruned IVF-PQ search end-to-end in SQL: `ca` ranks every vector
+    // against the 16 lowest-id coarse centroids ((dot/cnrm) DESC, cid — the
+    // cellsFor tie-break); rn = 1 routes the corpus, rn <= 4 picks each
+    // query's probe set; the PQ-code CTEs are the q_pq_codes oracle
+    // verbatim; candidates are cell-matches only, ADC-scored with the
+    // q_adc_topk association. No exhaustive fallback anywhere.
+    "q_ivf_pq" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |kc AS (SELECT CAST(vec_id AS INTEGER) AS ccid, e AS ce, nrm AS cnrm
+        |  FROM n WHERE vec_id < 16),
+        |ca AS (SELECT x.vec_id, kc.ccid,
+        |  row_number() OVER (PARTITION BY x.vec_id
+        |    ORDER BY list_dot_product(x.e, kc.ce) / kc.cnrm DESC, kc.ccid) AS rn
+        |  FROM n x CROSS JOIN kc),
+        |cells AS (SELECT vec_id, ccid AS cell FROM ca WHERE rn = 1),
+        |qp AS (SELECT vec_id AS query_id, ccid AS cell FROM ca
+        |  WHERE vec_id < 10 AND rn <= 4),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+        |s AS (SELECT vec_id, e, sub FROM v, (SELECT unnest(range(4)) AS sub)),
+        |d AS (SELECT s.vec_id, s.sub, c.cid, c.ce,
+        |  (list_dot_product(e[sub*16+1 : sub*16+16], e[sub*16+1 : sub*16+16])
+        |   - 2 * list_dot_product(e[sub*16+1 : sub*16+16], ce[sub*16+1 : sub*16+16]))
+        |   + list_dot_product(ce[sub*16+1 : sub*16+16], ce[sub*16+1 : sub*16+16]) AS d2
+        |  FROM s, c),
+        |r AS (SELECT vec_id, sub, cid, ce, d2,
+        |  row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM d),
+        |b AS (SELECT vec_id, sub,
+        |  ce[sub*16+1 : sub*16+16] AS cv,
+        |  list_dot_product(ce[sub*16+1 : sub*16+16], ce[sub*16+1 : sub*16+16]) AS cc
+        |  FROM r WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, e AS qe, sqrt(list_dot_product(e, e)) AS qnrm
+        |  FROM v WHERE vec_id < 10),
+        |cand AS (SELECT cells.vec_id AS id, qp.query_id
+        |  FROM cells JOIN qp ON cells.cell = qp.cell
+        |  WHERE cells.vec_id <> qp.query_id),
+        |sc AS (SELECT b.vec_id AS id, q.query_id, q.qnrm,
+        |  list(list_dot_product(q.qe[b.sub*16+1 : b.sub*16+16], b.cv) ORDER BY b.sub) AS ds,
+        |  list(b.cc ORDER BY b.sub) AS ccs
+        |  FROM b JOIN cand ON b.vec_id = cand.id JOIN q ON q.query_id = cand.query_id
+        |  GROUP BY b.vec_id, q.query_id, q.qnrm),
+        |sim AS (SELECT query_id, id,
+        |  (((ds[1] + ds[2]) + ds[3]) + ds[4])
+        |    / (qnrm * sqrt((((ccs[1] + ccs[2]) + ccs[3]) + ccs[4]))) AS sim
+        |  FROM sc),
+        |rk AS (SELECT query_id, id AS neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn FROM sim)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, round(sim, 4) AS sim
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\\s+", " "),
+
     // Cell assignment mirrors the deterministic quantizer (centroids = the
     // 16 lowest-id vectors, cid = vec_id — same contract as the q_pq_codes
-    // oracle), ranking -dot/cnorm with (sim DESC, cid) tie-break exactly as
+    // oracle), ranking -dot/cnrm with (sim DESC, cid) tie-break exactly as
     // the Spark expression; dots are index-order on both engines so the
     // argmax and the >= 0.4 cut agree bitwise. Then within-cell pairs only.
     "q_semantic_dedup" ->

@@ -289,6 +289,17 @@ class PlanQualitySpec extends SparkSpec {
       s"ADC shuffled the corpus for the scoring join:\n$plan")
   }
 
+  test("IVF-PQ probe join broadcasts the query side; the corpus never shuffles or cross-joins") {
+    val plan = executedPlan("q_ivf_pq").toString
+    // the probe join is codes × broadcast(query probes) hash-joined on
+    // cell — corpus-side rows carry (id, cell, codes), never a shuffled or
+    // nested-loop vector join
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ shuffled or cross-joined the corpus for the probe join:\n$plan")
+  }
+
   test("hard-negative mining broadcasts the query side (corpus never shuffles for the join)") {
     val plan = executedPlan("q_hard_negatives").toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),

@@ -539,6 +539,39 @@ class OpsSpec extends SparkSpec {
     adc.foreach { case (q, n) => assert(q % 4 == n % 4, s"cross-cluster hit ($q,$n)") }
   }
 
+  test("IVF-PQ: full probe degenerates to ADC, partial probe stays in-cluster with high recall") {
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextFloat() * 10 - 5))
+    val emb = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 4)
+    val books = SimilarityOps.pqFitBooks(emb, nSub = 4, nCentroids = 8, kmeansIters = 2)
+    val adc = SimilarityOps.adcTopK(
+        SimilarityOps.pqCodesWith(emb, books), queries, books, k = 5)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // probing every cell makes the candidate set the whole corpus, so the
+    // composed search must equal the flat ADC scan bit-for-bit
+    val full = SimilarityOps.ivfPqTopK(emb, queries, k = 5,
+        nCentroids = 8, nProbe = 8, nSub = 4, nPqCentroids = 8, kmeansIters = 2)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(full == adc,
+      s"full-probe IVF-PQ != ADC:\n spurious: ${full diff adc}\n missing: ${adc diff full}")
+    // partial probe: the approximation the production path actually runs —
+    // on well-separated clusters the probe keeps the query's own cell, so
+    // recall vs the flat ADC scan stays high and hits stay in-cluster
+    val part = SimilarityOps.ivfPqTopK(emb, queries, k = 5,
+        nCentroids = 8, nProbe = 3, nSub = 4, nPqCentroids = 8, kmeansIters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adcPairs = adc.map(r => (r._1, r._2))
+    val recall = (adcPairs intersect part).size.toDouble / adcPairs.size
+    assert(recall >= 0.8, s"IVF-PQ partial-probe recall too low: $recall")
+    part.foreach { case (q, n) => assert(q % 4 == n % 4, s"cross-cluster hit ($q,$n)") }
+  }
+
   test("zorderValue interleaves bits (matches a plain-Scala Morton reference)") {
     def morton(x: Long, y: Long): Long =
       (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
