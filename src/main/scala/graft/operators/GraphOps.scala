@@ -83,6 +83,51 @@ object GraphOps {
         round((col("w") * lit(nGroups)) / (col("src_cnt") * col("dst_cnt")), 6).as("lift"))
   }
 
+  /** Per-node triangle counts over an undirected edge DataFrame (src, dst
+    * both directions or either) — the clustering-coefficient / community-
+    * cohesion primitive.
+    *
+    * Scale design: the degree-ordered orientation of the compact-forward
+    * algorithm (Latapy 2008; the same orientation MGT/Cohen's MapReduce
+    * triangle counting uses). Naively joining wedges at every vertex
+    * explodes on hot vertices — a degree-d hub yields d² wedge rows, and
+    * power-law graphs have hubs with d ~ √m or worse. Orienting every edge
+    * from its (degree, id)-smaller endpoint to the larger makes each
+    * triangle countable exactly once at its smallest vertex, and bounds
+    * every out-degree by O(√m): total wedge volume is Σ outdeg² = O(m^1.5)
+    * REGARDLESS of hub structure. All three steps are shuffled equi-joins
+    * on node keys — hash-distributed, AQE-splittable, no driver state. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set (one row per unordered pair)
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient a→b iff (deg(a), a) < (deg(b), b): a total order, so exactly
+    // one direction survives per edge and out-degrees are O(√m)-bounded
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    // wedges (x, y) out of u with x ≺ y in the SAME (deg, id) order, so the
+    // closing edge — if present — is oriented exactly x→y
+    val w1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val w2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val tris = w1.join(w2, Seq("u"))
+      .where(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    tris
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Weighted PageRank by fixed-iteration power iteration.
     *
     * rank₀ = 1/N; rankₖ₊₁(v) = (1-d)/N + d·Σ_{(u,v)∈E} rankₖ(u)·w(u,v)/outw(u).

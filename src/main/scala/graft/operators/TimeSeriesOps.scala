@@ -137,6 +137,32 @@ object TimeSeriesOps {
       lags.map(k => round(corr(col(valCol), col(s"__lag$k")), 6).as(s"corr_lag$k")): _*)
   }
 
+  /** Per-key exponential moving average — the order-pinned sequential fold
+    * s₁ = x₁, sₙ = α·xₙ + (1−α)·sₙ₋₁ over each key's ingestion-ordered
+    * values (`ordCol` must be a total order; ingestion ids avoid the
+    * engine-varying sub-µs timestamp tie problem). The recurrence is
+    * inherently sequential, so it computes as one per-key sort + left fold
+    * (`aggregate` over the collected sequence) instead of a window; with a
+    * dyadic α (0.5, 0.25, …) each step is exact power-of-two FP scaling,
+    * making the fold bitwise-reproducible on any engine. Per-key state is
+    * that key's own history (the same per-entity-sequence contract as
+    * sessionization); the streaming form keeps only the running s per key
+    * — O(1) state, the [[graft.streaming]] parity shape. */
+  def ewma(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
+           alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]; got $alpha")
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(
+        struct(col(ordCol).as("o"), col(valCol).as("x")))).as("__l"))
+      .select(col(keyCol),
+        size(col("__l")).cast("long").as("n_obs"),
+        round(aggregate(
+          slice(col("__l"), lit(2), greatest(size(col("__l")) - 1, lit(0))),
+          element_at(col("__l"), 1).getField("x"),
+          (acc, e) => lit(alpha) * e.getField("x") + lit(1 - alpha) * acc
+        ), 6).as("ewma"))
+  }
+
   def transitionCounts(df: DataFrame, keyCol: String, tsNsCol: String,
                        tieCol: String, stateCol: String): DataFrame = {
     val tsU = col(tsNsCol) - pmod(col(tsNsCol), lit(1000L))

@@ -171,6 +171,26 @@ object AnalyticsQueries {
       TimeSeriesOps.autocorr(daily, ordCol = "day", valCol = "cnt", lags = Seq(1, 7))
     },
 
+    // Per-user EWMA of event values (α = 0.5) — the sequential-recurrence
+    // time-series op: a per-key sort + left fold, dyadic α so every step is
+    // exact FP scaling and the fold reproduces bitwise in the oracle's
+    // list_reduce. Ordered by event_id (ingestion order): a total order
+    // both engines agree on, unlike sub-µs timestamps.
+    "q_ewma" -> { t =>
+      TimeSeriesOps.ewma(t.events, keyCol = "user_id", ordCol = "event_id",
+          valCol = "value", alpha = 0.5)
+        .orderBy("user_id")
+    },
+
+    // Per-part triangle counts over the co-purchase graph — community
+    // cohesion via the degree-ordered (compact-forward) orientation, the
+    // O(m^1.5) wedge bound that survives power-law hubs at scale.
+    "q_triangle_count" -> { t =>
+      GraphOps.triangleCounts(
+          GraphOps.coOccurrenceEdges(t.lineitem, "l_orderkey", "l_partkey"))
+        .orderBy("node")
+    },
+
     // Weighted PageRank over the part co-purchase graph (parts sharing an
     // order), 5 power iterations — the iterative-graph-analytics surface.
     "q_pagerank" -> { t =>
@@ -383,6 +403,44 @@ object AnalyticsQueries {
         |SELECT CAST(count(cnt) AS BIGINT) AS n,
         |  round(corr(cnt, lag1), 6) AS corr_lag1,
         |  round(corr(cnt, lag7), 6) AS corr_lag7
-        |FROM l""".stripMargin.replaceAll("\\s+", " ")
+        |FROM l""".stripMargin.replaceAll("\\s+", " "),
+
+    // Mirrors the degree-ordered orientation step for step: canonical
+    // undirected pairs from shared orders, (deg, id)-ordered orientation,
+    // wedge join in the same order, closure probe, explode-count. Pure
+    // integer counting — no FP anywhere.
+    "q_triangle_count" ->
+      """WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.item AS a, b.item AS b
+        |  FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |  SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0) GROUP BY n),
+        |o AS (SELECT
+        |  CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |    THEN e0.a ELSE e0.b END AS u,
+        |  CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |    THEN e0.b ELSE e0.a END AS v,
+        |  CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |    THEN db.d ELSE da.d END AS dv
+        |  FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b),
+        |t AS (SELECT w1.u, w1.v AS x, w2.v AS y
+        |  FROM o w1 JOIN o w2 ON w1.u = w2.u
+        |    AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))
+        |  JOIN o cl ON cl.u = w1.v AND cl.v = w2.v),
+        |nodes AS (SELECT u AS node FROM t
+        |  UNION ALL SELECT x FROM t UNION ALL SELECT y FROM t)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM nodes GROUP BY node ORDER BY node""".stripMargin.replaceAll("\\s+", " "),
+
+    // list_reduce is a left fold seeded with the first element — the same
+    // seed/association as the Spark aggregate(), and 0.5·x + 0.5·acc is
+    // exact FP scaling at every step, so the folds agree bitwise.
+    "q_ewma" ->
+      """WITH l AS (
+        |  SELECT user_id, list(value ORDER BY event_id) AS vs
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_obs,
+        |  round(list_reduce(vs, (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ewma
+        |FROM l ORDER BY user_id""".stripMargin.replaceAll("\\s+", " ")
   )
 }

@@ -572,6 +572,17 @@ class OpsSpec extends SparkSpec {
     part.foreach { case (q, n) => assert(q % 4 == n % 4, s"cross-cluster hit ($q,$n)") }
   }
 
+  test("triangle counts: K4 plus a pendant edge, each triangle counted once per member") {
+    import graft.operators.GraphOps
+    // K4 on {1,2,3,4}: every member sits in C(3,2) = 3 triangles; the
+    // pendant 5—1 closes nothing
+    val edges = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1))
+      .flatMap { case (a, b) => Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) }
+      .toDF("src", "dst")
+    val out = GraphOps.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), out.toString)
+  }
+
   test("zorderValue interleaves bits (matches a plain-Scala Morton reference)") {
     def morton(x: Long, y: Long): Long =
       (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
