@@ -114,18 +114,29 @@ object GraphOps {
     val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
-      when(aFirst, col("b")).otherwise(col("a")).as("v"),
-      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
-    // wedges (x, y) out of u with x ≺ y in the SAME (deg, id) order, so the
-    // closing edge — if present — is oriented exactly x→y
-    val w1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
-    val w2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
-    val tris = w1.join(w2, Seq("u"))
-      .where(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
-      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
-    tris
-      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      when(aFirst, col("b")).otherwise(col("a")).as("v"))
+    // edge-iterator closure: the triangle u≺v≺w is edge u→v with
+    // w ∈ N⁺(u) ∩ N⁺(v), so attach both endpoints' out-neighbour sets to
+    // every oriented edge and intersect in codegen — the O(m^1.5)
+    // intersection work happens inside array expressions, never as
+    // materialised rows (a wedge self-join would shuffle Σ outdeg² rows;
+    // this shuffles m edge rows carrying O(√m)-bounded arrays)
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("ns"))
+    val closed = oriented.select(col("u"), col("v"))
+      .join(adj, Seq("u"))
+      .join(adj.select(col("u").as("v"), col("ns").as("vs")), Seq("v"))
+      .withColumn("ws", array_intersect(col("ns"), col("vs")))
+      .where(size(col("ws")) > 0)
+    // each triangle credits all three members: u and v get the
+    // intersection size, every w in it gets 1
+    closed
+      .select(explode(concat(
+        array(
+          struct(col("u").as("node"), size(col("ws")).cast("long").as("c")),
+          struct(col("v").as("node"), size(col("ws")).cast("long").as("c"))),
+        transform(col("ws"), w => struct(w.as("node"), lit(1L).as("c"))))).as("e"))
+      .groupBy(col("e.node").as("node")).agg(sum(col("e.c")).as("n_tri"))
   }
 
   /** Weighted PageRank by fixed-iteration power iteration.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import java.security.MessageDigest
@@ -120,6 +121,26 @@ object MultimodalOps {
         conv(hex(substring(col(binCol), 17, 4)), 16, 10).cast("long")).as("png_width"),
       when(fmt === "png",
         conv(hex(substring(col(binCol), 21, 4)), 16, 10).cast("long")).as("png_height"))
+  }
+
+  /** Exact media deduplication over an opaque binary column — the
+    * multimodal analog of [[DedupOps.exact]]: byte-identical payloads
+    * (re-uploads, mirrored assets) collapse to one keeper. Content-hash
+    * equality is BYTE equality, so two containers with the same inner
+    * media but different envelopes (or PNGs differing only in metadata)
+    * correctly stay distinct — exact dedup routes; near-dup lives in
+    * perceptual-hash land. The hash is md5 over the uppercase hex encoding
+    * (not the raw bytes) so any engine without blob hashing can recompute
+    * it. One narrow hash pass, then a hash-partitioned window for keeper
+    * and group size — one shuffle on the digest, the same plan as text
+    * exact-dedup: at 100 TB hashing happens in the scan and only
+    * (id, 32-char digest) rows reach the exchange, never payload bytes. */
+  def exactBinaryDedup(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    df.select(col(idCol), md5(upper(hex(col(binCol)))).as("content_hash"))
+      .withColumn("keeper_id", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("keeper_id"))
   }
 
   /** Column-level metadata over any DataFrame with a binary column —

@@ -182,12 +182,17 @@ object AnalyticsQueries {
         .orderBy("user_id")
     },
 
-    // Per-part triangle counts over the co-purchase graph — community
-    // cohesion via the degree-ordered (compact-forward) orientation, the
-    // O(m^1.5) wedge bound that survives power-law hubs at scale.
+    // Per-part triangle counts over the SUPPORT-THRESHOLDED co-purchase
+    // backbone (pairs co-bought ≥ 2 times — single co-occurrences are
+    // sampling noise whose count grows linearly with data, while repeated
+    // pairs are the stable signal): community cohesion via the
+    // degree-ordered (compact-forward) orientation, whose O(m^1.5) wedge
+    // bound survives power-law hubs at scale.
     "q_triangle_count" -> { t =>
+      import org.apache.spark.sql.functions.col
       GraphOps.triangleCounts(
-          GraphOps.coOccurrenceEdges(t.lineitem, "l_orderkey", "l_partkey"))
+          GraphOps.coOccurrenceEdges(t.lineitem, "l_orderkey", "l_partkey")
+            .where(col("w") >= 2))
         .orderBy("node")
     },
 
@@ -411,8 +416,9 @@ object AnalyticsQueries {
     // integer counting — no FP anywhere.
     "q_triangle_count" ->
       """WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
-        |e0 AS (SELECT DISTINCT a.item AS a, b.item AS b
-        |  FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item),
+        |e0 AS (SELECT a.item AS a, b.item AS b
+        |  FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |deg AS (SELECT n, count(*) AS d FROM (
         |  SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0) GROUP BY n),
         |o AS (SELECT

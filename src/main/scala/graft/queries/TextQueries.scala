@@ -294,6 +294,24 @@ object TextQueries {
           t.documents.withColumn("blob", syntheticContainer(col("doc_id"), col("text"))),
           binCol = "blob", idCol = "doc_id")
         .orderBy("doc_id")
+    },
+
+    // Exact media dedup over binary payloads: each doc carries the
+    // container of its canonical (doc_id % 20) source — the re-uploaded-
+    // asset pattern — and byte-identical blobs collapse to one keeper.
+    // The canonical side is a 20-row broadcast; the envelope is keyed by
+    // the CANONICAL id, so all re-uploads of a body share format too and
+    // groups are exact-byte classes, re-derived independently by the
+    // oracle from the same planted construction.
+    "q_media_dedup" -> { t =>
+      val canon = t.documents.where(col("doc_id") < 20)
+        .select(col("doc_id").as("cid"), col("text").as("ctext"))
+      val media = t.documents.select(col("doc_id"))
+        .join(broadcast(canon), col("doc_id") % 20 === col("cid"))
+        .withColumn("blob", syntheticContainer(col("cid"), col("ctext")))
+      graft.operators.MultimodalOps.exactBinaryDedup(media,
+          binCol = "blob", idCol = "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -762,6 +780,31 @@ object TextQueries {
         |    THEN CAST(concat('0x', substring(hx, 33, 8)) AS BIGINT) END AS png_width,
         |  CASE WHEN format = 'png'
         |    THEN CAST(concat('0x', substring(hx, 41, 8)) AS BIGINT) END AS png_height
-        |FROM f ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+        |FROM f ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    // Same planted construction (canonical-id envelope over canonical
+    // text), hashed as md5-over-uppercase-hex — the engine-portable blob
+    // digest — then byte-identity groups via min/count per digest.
+    "q_media_dedup" ->
+      """WITH c AS (SELECT doc_id AS cid, text AS ctext FROM documents WHERE doc_id < 20),
+        |b AS (
+        |  SELECT d.doc_id,
+        |    CASE c.cid % 6
+        |      WHEN 0 THEN unhex('89504E470D0A1A0A0000000D49484452')
+        |        || unhex(lpad(hex(16 + c.cid % 1024), 8, '0'))
+        |        || unhex(lpad(hex(16 + (c.cid * 3) % 1024), 8, '0'))
+        |        || unhex('0806000000') || CAST(c.ctext AS BLOB)
+        |      WHEN 1 THEN unhex('FFD8FFE0') || CAST(c.ctext AS BLOB)
+        |      WHEN 2 THEN CAST('GIF89a' AS BLOB) || CAST(c.ctext AS BLOB)
+        |      WHEN 3 THEN CAST('RIFF' AS BLOB) || CAST(c.ctext AS BLOB)
+        |      WHEN 4 THEN unhex('00000020') || CAST('ftypisom' AS BLOB) || CAST(c.ctext AS BLOB)
+        |      ELSE CAST(c.ctext AS BLOB) END AS blob
+        |  FROM documents d JOIN c ON d.doc_id % 20 = c.cid),
+        |h AS (SELECT doc_id, md5(upper(hex(blob))) AS content_hash FROM b),
+        |g AS (SELECT content_hash, min(doc_id) AS keeper_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies FROM h GROUP BY 1)
+        |SELECT h.doc_id, h.content_hash, g.keeper_id, g.n_copies,
+        |  h.doc_id <> g.keeper_id AS is_dup
+        |FROM h JOIN g USING (content_hash) ORDER BY h.doc_id""".stripMargin.replaceAll("\\s+", " ")
   )
 }
