@@ -300,6 +300,25 @@ class PlanQualitySpec extends SparkSpec {
       s"IVF-PQ shuffled or cross-joined the corpus for the probe join:\n$plan")
   }
 
+  test("media dedup broadcasts the canonical side and equi-joins — digests, not payloads, group") {
+    val plan = executedPlan("q_media_dedup").toString
+    assert(plan.contains("BroadcastHashJoin"), s"canonical join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"media dedup shuffled or cross-joined payloads:\n$plan")
+  }
+
+  test("EWMA is a single per-key aggregation — no joins anywhere in the plan") {
+    val plan = executedPlan("q_ewma").toString
+    assert(!plan.contains("Join"), s"EWMA plans a join:\n$plan")
+  }
+
+  test("triangle counting is equi-joins only — no cartesian or nested-loop stages") {
+    val plan = executedPlan("q_triangle_count").toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting degenerated to a cross product:\n$plan")
+  }
+
   test("hard-negative mining broadcasts the query side (corpus never shuffles for the join)") {
     val plan = executedPlan("q_hard_negatives").toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
