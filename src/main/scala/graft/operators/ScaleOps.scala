@@ -65,4 +65,26 @@ object ScaleOps {
     * keys) — the first defence at 100 TB. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈bytes / targetFileBytes⌉ files. Streaming sinks and fine-grained
+    * ingest leave thousands of KB-scale files per partition; at 100 TB that
+    * turns every scan into a metadata/open() storm (one task + one footer
+    * read per file) and starves the scheduler. Compaction is the standing
+    * maintenance op every lakehouse runs (OPTIMIZE in Delta/Iceberg): one
+    * read → `coalesce` (no shuffle — files merge within existing
+    * partitions) → write to a fresh directory, swap-on-success by the
+    * caller, so readers never observe a half-written layout. Returns the
+    * output file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+              destPath: String, targetFileBytes: Long = 128L << 20): Long = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hadoopPath).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(srcPath).coalesce(nFiles)
+      .write.mode("overwrite").parquet(destPath)
+    val destHadoop = new org.apache.hadoop.fs.Path(destPath)
+    fs.listStatus(destHadoop).count(_.getPath.getName.endsWith(".parquet")).toLong
+  }
 }

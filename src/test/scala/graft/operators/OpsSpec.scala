@@ -583,6 +583,27 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), out.toString)
   }
 
+  test("triangle counts equal brute-force enumeration on random graphs") {
+    import graft.operators.GraphOps
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 4) {
+      val n = 10 + rnd.nextInt(6)
+      val pairs = for {
+        a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong)
+      val edgeSet = pairs.toSet
+      val expected = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for {
+        a <- 0 until n; b <- a + 1 until n; c <- b + 1 until n
+        if edgeSet((a.toLong, b.toLong)) && edgeSet((a.toLong, c.toLong)) &&
+          edgeSet((b.toLong, c.toLong))
+      } Seq(a, b, c).foreach(v => expected(v.toLong) += 1L)
+      val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+      val got = GraphOps.triangleCounts(edges).as[(Long, Long)].collect().toMap
+      assert(got == expected.toMap, s"graph $pairs:\n got $got\n want $expected")
+    }
+  }
+
   test("zorderValue interleaves bits (matches a plain-Scala Morton reference)") {
     def morton(x: Long, y: Long): Long =
       (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum

@@ -66,6 +66,41 @@ class ScaleOpsSpec extends SparkSpec {
       "predicate handled per-row instead of via partition pruning")
   }
 
+  test("compaction collapses a small-file layout without losing or reordering rows") {
+    val events = Tables(spark, dir).events
+    val src = java.nio.file.Files.createTempDirectory("compact-src").toString
+    val dest = java.nio.file.Files.createTempDirectory("compact-dest").toString
+    // simulate a fine-grained ingest: 64 tiny files
+    events.repartition(64).write.mode("overwrite").parquet(src)
+    val srcFiles = new java.io.File(src).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(srcFiles == 64, s"setup wrote $srcFiles files")
+    val outFiles = ScaleOps.compact(spark, src, dest, targetFileBytes = 1L << 20)
+    assert(outFiles < srcFiles, s"compaction did not reduce files: $srcFiles -> $outFiles")
+    // contents identical as a multiset
+    val before = spark.read.parquet(src).as[(Long, Long, Long, String, Double, String)]
+      .collect().toSeq.sorted
+    val after = spark.read.parquet(dest).as[(Long, Long, Long, String, Double, String)]
+      .collect().toSeq.sorted
+    assert(after == before)
+    // coalesce must not have planned a shuffle
+    val plan = spark.read.parquet(src).coalesce(outFiles.toInt)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction read shuffles:\n$plan")
+  }
+
+  test("schema evolution: mergeSchema unifies batches written with added columns") {
+    val path = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(path)
+    Seq((3L, "c", 9.5), (4L, "d", 7.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    val rows = merged.select("id", "v", "score").as[(Long, String, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(9.5)), (4L, "d", Some(7.5))))
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // At 100 TB the optimizer injects a bloom filter built from the
     // selective (filtered) side into the big side's scan, cutting shuffle
