@@ -61,7 +61,10 @@ object SimilarityOps {
     * [[cellMeans]] exact-decimal mean. Each step collects only the
     * nCentroids centroid rows — model metadata (the k-means fit), not
     * data; everything data-sized stays distributed. Shared by [[ivfTopK]]
-    * and [[semanticDedup]], which must agree on cell geometry. */
+    * and [[semanticDedup]], which must agree on cell geometry; public (like
+    * [[pqFitBooks]]) so an ingest path can code new vectors against the
+    * corpus-fitted model. Expects a [[prepared]]-shaped frame — use
+    * [[fitCoarseQuantizerOf]] from raw embeddings. */
   private def fitCoarseQuantizer(c: DataFrame, nCentroids: Int,
                                  kmeansIters: Int): Array[(Int, Seq[Double], Double)] = {
     var centroids: Array[(Int, Seq[Double], Double)] = c.orderBy(col("id")).limit(nCentroids)
@@ -412,14 +415,8 @@ object SimilarityOps {
     val c = prepared(corpus, vecCol, idCol)
     val centroids = fitCoarseQuantizer(c, nCentroids, kmeansIters)
     val books = pqFitBooks(corpus, nSub, nPqCentroids, kmeansIters, vecCol, idCol)
-    val sd = books(0)(0).length
-    // single narrow pass: inverted-list id + code word; the vector itself
-    // is dropped before the join — only (id, cell, codes) flows on
-    val coded = bindSubspaces(c.select(col("id"), col("v")), nSub, sd)
-      .select(col("id"),
-        element_at(cellsFor(centroids, col("v"), 1), 1).as("cell"),
-        array((0 until nSub).map(s =>
-          nearestEntry(s, books(s)).getField("cid").cast("string")): _*).as("cs"))
+    val coded = ivfPqCode(corpus, centroids, books, vecCol, idCol)
+      .select(col(idCol).as("id"), col("cell"), split(col("codes"), ",").as("cs"))
     val q = prepared(queries, vecCol, idCol)
       .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
         explode(cellsFor(centroids, col("v"), nProbe)).as("cell"))
@@ -432,6 +429,34 @@ object SimilarityOps {
       .where(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
         round(col("sim"), 4).as("sim"))
+  }
+
+  /** [[fitCoarseQuantizer]] from raw embeddings — the public model-fit
+    * entry an ingest pipeline pairs with [[pqFitBooks]]. */
+  def fitCoarseQuantizerOf(emb: DataFrame, nCentroids: Int = 16,
+                           kmeansIters: Int = 0,
+                           vecCol: String = "embedding",
+                           idCol: String = "vec_id"): Array[(Int, Seq[Double], Double)] =
+    fitCoarseQuantizer(prepared(emb, vecCol, idCol), nCentroids, kmeansIters)
+
+  /** The IVF-PQ WRITE path: code vectors against ALREADY-FITTED quantizers
+    * — (id, inverted-list cell, PQ code word) in one narrow codegen'd pass
+    * with both models riding as plan literals. This is what continuous
+    * index maintenance runs on every ingest batch: a STATELESS map, so the
+    * identical plan runs over a streaming DataFrame (stream parity pinned
+    * in `StreamingPqIngestSpec`) and new vectors land in the same cells
+    * with the same codes the batch build would assign. */
+  def ivfPqCode(emb: DataFrame, centroids: Array[(Int, Seq[Double], Double)],
+                books: Array[Array[Seq[Double]]],
+                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val nSub = books.length
+    val sd = books(0)(0).length
+    val p = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    bindSubspaces(p, nSub, sd)
+      .select(col(idCol),
+        element_at(cellsFor(centroids, col("v"), 1), 1).as("cell"),
+        concat_ws(",", (0 until nSub).map(s =>
+          nearestEntry(s, books(s)).getField("cid").cast("string")): _*).as("codes"))
   }
 
   /** The fitted per-subspace codebooks [[pqCodes]] trains — exposed so
