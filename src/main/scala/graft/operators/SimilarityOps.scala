@@ -412,6 +412,8 @@ object SimilarityOps {
                 nCentroids: Int = 16, nProbe: Int = 4,
                 nSub: Int = 4, nPqCentroids: Int = 16, kmeansIters: Int = 0,
                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids,
+      s"nProbe must be in [1, nCentroids=$nCentroids]; got $nProbe")
     val c = prepared(corpus, vecCol, idCol)
     val centroids = fitCoarseQuantizer(c, nCentroids, kmeansIters)
     val books = pqFitBooks(corpus, nSub, nPqCentroids, kmeansIters, vecCol, idCol)
@@ -449,8 +451,13 @@ object SimilarityOps {
   def ivfPqCode(emb: DataFrame, centroids: Array[(Int, Seq[Double], Double)],
                 books: Array[Array[Seq[Double]]],
                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(centroids.nonEmpty, "empty coarse quantizer")
+    require(books.nonEmpty && books.forall(_.nonEmpty),
+      "PQ codebooks must have at least one entry per subspace")
     val nSub = books.length
     val sd = books(0)(0).length
+    require(sd * nSub == centroids.head._2.length,
+      s"codebook geometry ($nSub × $sd) does not cover the quantizer dim ${centroids.head._2.length}")
     val p = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
     bindSubspaces(p, nSub, sd)
       .select(col(idCol),

@@ -583,6 +583,30 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), out.toString)
   }
 
+  test("IVF-PQ guards: probe budget bounded, codebook geometry must cover the quantizer dim") {
+    val emb = (0 until 40).map(i => (i.toLong, Array.fill(16)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.ivfPqTopK(emb, emb.limit(2), k = 3, nCentroids = 8, nProbe = 9)
+    }
+    val centroids = SimilarityOps.fitCoarseQuantizerOf(emb, nCentroids = 4)
+    val wrongBooks = SimilarityOps.pqFitBooks(
+      (0 until 40).map(i => (i.toLong, Array.fill(32)(i.toFloat))).toDF("vec_id", "embedding"),
+      nSub = 4, nCentroids = 4)
+    intercept[IllegalArgumentException] {
+      SimilarityOps.ivfPqCode(emb, centroids, wrongBooks)
+    }
+  }
+
+  test("triangle counts on a triangle-free graph are empty") {
+    import graft.operators.GraphOps
+    // a path and a 4-cycle: no triangles anywhere
+    val edges = Seq((1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 13), (13, 10))
+      .flatMap { case (a, b) => Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) }
+      .toDF("src", "dst")
+    assert(GraphOps.triangleCounts(edges).count() == 0)
+  }
+
   test("triangle counts equal brute-force enumeration on random graphs") {
     import graft.operators.GraphOps
     val rnd = new scala.util.Random(13)
