@@ -163,6 +163,31 @@ object TimeSeriesOps {
         ), 6).as("ewma"))
   }
 
+  /** Per-key one-sided CUSUM drift score (Page 1954 — the classic
+    * changepoint/drift monitor): s₀ = 0, sₙ = max(0, sₙ₋₁ + (xₙ − target −
+    * slack)). Persistent upward shift accumulates; in-control noise resets
+    * toward 0. The data-quality monitoring op for a training pipeline:
+    * run per (source, feature) to flag ingest drift before it poisons a
+    * corpus. Same order-pinned fold contract as [[ewma]] — sequential by
+    * nature, computed as a per-key sort + left fold with an explicit 0
+    * seed, subtraction left-associated, so the fold reproduces bitwise in
+    * a SQL list_reduce; the streaming form carries s per key, O(1) state.
+    * Emits the final score and a `drifted` flag at threshold `h`. */
+  def cusum(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
+            target: Double, slack: Double = 0.25, h: Double = 100.0): DataFrame = {
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(
+        struct(col(ordCol).as("o"), col(valCol).as("x")))).as("__l"))
+      .select(col(keyCol),
+        size(col("__l")).cast("long").as("n_obs"),
+        aggregate(col("__l"), lit(0.0),
+          (acc, e) => greatest(lit(0.0),
+            acc + ((e.getField("x") - lit(target)) - lit(slack)))).as("__s"))
+      .select(col(keyCol), col("n_obs"),
+        round(col("__s"), 6).as("cusum"),
+        (col("__s") > h).as("drifted"))
+  }
+
   def transitionCounts(df: DataFrame, keyCol: String, tsNsCol: String,
                        tieCol: String, stateCol: String): DataFrame = {
     val tsU = col(tsNsCol) - pmod(col(tsNsCol), lit(1000L))

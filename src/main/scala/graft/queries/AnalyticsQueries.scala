@@ -196,6 +196,17 @@ object AnalyticsQueries {
         .orderBy("node")
     },
 
+    // Per-user one-sided CUSUM drift score at target 50 / slack 0.25 —
+    // the changepoint-monitoring op (Page 1954): persistent upward shift
+    // accumulates, in-control noise resets to 0. Same order-pinned fold
+    // contract as q_ewma (explicit 0 seed, left-associated subtraction),
+    // so the score reproduces bitwise in the oracle's list_reduce.
+    "q_cusum" -> { t =>
+      TimeSeriesOps.cusum(t.events, keyCol = "user_id", ordCol = "event_id",
+          valCol = "value", target = 50.0, slack = 0.25, h = 100.0)
+        .orderBy("user_id")
+    },
+
     // Weighted PageRank over the part co-purchase graph (parts sharing an
     // order), 5 power iterations — the iterative-graph-analytics surface.
     "q_pagerank" -> { t =>
@@ -437,6 +448,21 @@ object AnalyticsQueries {
         |  UNION ALL SELECT x FROM t UNION ALL SELECT y FROM t)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
         |FROM nodes GROUP BY node ORDER BY node""".stripMargin.replaceAll("\\s+", " "),
+
+    // Prepending the explicit CAST-double 0 seed makes list_reduce's
+    // first-element seeding equal the Spark aggregate's init; each step is
+    // greatest(0, acc + ((x − 50) − 0.25)) with the same association, so
+    // scores agree bitwise before the round.
+    "q_cusum" ->
+      """WITH l AS (
+        |  SELECT user_id, list(value ORDER BY event_id) AS vs
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT user_id, CAST(len(vs) AS BIGINT) AS n_obs,
+        |  list_reduce([CAST(0.0 AS DOUBLE)] || vs,
+        |    (acc, x) -> greatest(CAST(0.0 AS DOUBLE), acc + ((x - 50.0) - 0.25))) AS sv
+        |  FROM l)
+        |SELECT user_id, n_obs, round(sv, 6) AS cusum, sv > 100.0 AS drifted
+        |FROM s ORDER BY user_id""".stripMargin.replaceAll("\\s+", " "),
 
     // list_reduce is a left fold seeded with the first element — the same
     // seed/association as the Spark aggregate(), and 0.5·x + 0.5·acc is

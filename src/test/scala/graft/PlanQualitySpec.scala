@@ -308,9 +308,11 @@ class PlanQualitySpec extends SparkSpec {
       s"media dedup shuffled or cross-joined payloads:\n$plan")
   }
 
-  test("EWMA is a single per-key aggregation — no joins anywhere in the plan") {
-    val plan = executedPlan("q_ewma").toString
-    assert(!plan.contains("Join"), s"EWMA plans a join:\n$plan")
+  test("EWMA and CUSUM are single per-key aggregations — no joins anywhere in the plan") {
+    for (q <- Seq("q_ewma", "q_cusum")) {
+      val plan = executedPlan(q).toString
+      assert(!plan.contains("Join"), s"$q plans a join:\n$plan")
+    }
   }
 
   test("triangle counting is equi-joins only — no cartesian or nested-loop stages") {
