@@ -40,4 +40,53 @@ object QualityOps {
 
   /** Fraction of rows satisfying `cond` (NULL counts as failing). */
   def rate(cond: Column): Column = avg(when(cond, 1.0d).otherwise(0.0d))
+
+  /** Population Stability Index between a reference and a current sample of
+    * a numeric column — the standard two-sample distribution-drift metric
+    * (credit-scoring monitoring lineage; PSI ≥ 0.2 conventionally flags a
+    * shift). The companion to [[TimeSeriesOps.cusum]]: CUSUM watches a
+    * sequence for sustained level drift, PSI compares whole distributions
+    * between two corpus snapshots (last month's ingest vs this month's).
+    *
+    * Values bin into `nBins` fixed-width buckets on [lo, lo + nBins·width)
+    * with both tails clamped into the edge bins; each side is one
+    * partial-combined count aggregation (a scan), totals ride back as
+    * broadcast 1-row aggregates, and the ≤ nBins-row result is where the
+    * ln() arithmetic happens — model-sized, never data-sized. Zero-count
+    * bins get +0.5 Laplace smoothing (exact-dyadic, so shares stay
+    * bitwise-reproducible): PSI stays finite when a bin empties on one
+    * side, which is exactly the drifted case worth flagging. Returns one
+    * row per bin: counts, smoothed shares, and the additive PSI term
+    * (q − p)·ln(q/p); Σ terms is the index, left to the consumer so
+    * summation order never enters the contract. */
+  def psi(ref: DataFrame, cur: DataFrame, valCol: String,
+          lo: Double, width: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2 && width > 0, s"need nBins >= 2, width > 0; got $nBins, $width")
+    def binned(df: DataFrame, cntName: String): DataFrame = df
+      .select(least(greatest(floor((col(valCol) - lo) / width), lit(0L)),
+        lit((nBins - 1).toLong)).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(cntName))
+    val spine = ref.sparkSession.range(nBins)
+      .select(col("id").cast("int").as("bin"))
+    val r = binned(ref, "ref_cnt")
+    val c = binned(cur, "cur_cnt")
+    val rt = r.agg(sum(col("ref_cnt")).as("ref_total"))
+    val ct = c.agg(sum(col("cur_cnt")).as("cur_total"))
+    val half = lit(0.5)
+    val smooth = lit(nBins * 0.5)
+    spine
+      .join(r, Seq("bin"), "left")
+      .join(c, Seq("bin"), "left")
+      .crossJoin(broadcast(rt)).crossJoin(broadcast(ct))
+      .select(col("bin"),
+        coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+        coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"),
+        col("ref_total"), col("cur_total"))
+      .withColumn("p", (col("ref_cnt") + half) / (col("ref_total") + smooth))
+      .withColumn("q", (col("cur_cnt") + half) / (col("cur_total") + smooth))
+      .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+        round(col("p"), 6).as("ref_share"),
+        round(col("q"), 6).as("cur_share"),
+        round((col("q") - col("p")) * log(col("q") / col("p")), 6).as("psi_term"))
+  }
 }

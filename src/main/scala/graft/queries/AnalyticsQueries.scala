@@ -196,6 +196,21 @@ object AnalyticsQueries {
         .orderBy("node")
     },
 
+    // Distribution drift between corpus snapshots: PSI of the value column,
+    // first ingest half (by event id) vs second, 10 fixed-width bins with
+    // dyadic Laplace smoothing so empty bins stay finite AND shares stay
+    // bitwise-reproducible. The split threshold rides as a broadcast 1-row
+    // aggregate — no driver scalar.
+    "q_psi" -> { t =>
+      import org.apache.spark.sql.functions._
+      val m = broadcast(t.events.agg(max(col("event_id")).as("__m")))
+      val withM = t.events.crossJoin(m)
+      val ref = withM.where(col("event_id") * 2 <= col("__m"))
+      val cur = withM.where(col("event_id") * 2 > col("__m"))
+      QualityOps.psi(ref, cur, "value", lo = 0.0, width = 50.0, nBins = 10)
+        .orderBy("bin")
+    },
+
     // Per-user one-sided CUSUM drift score at target 50 / slack 0.25 —
     // the changepoint-monitoring op (Page 1954): persistent upward shift
     // accumulates, in-control noise resets to 0. Same order-pinned fold
@@ -448,6 +463,33 @@ object AnalyticsQueries {
         |  UNION ALL SELECT x FROM t UNION ALL SELECT y FROM t)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
         |FROM nodes GROUP BY node ORDER BY node""".stripMargin.replaceAll("\\s+", " "),
+
+    // Counts are integers (exact any order); shares and the (q−p)·ln(q/p)
+    // term are computed bin-local with CAST-double smoothing constants
+    // (BIGINT + DECIMAL would silently go decimal in DuckDB), so every
+    // value matches bitwise before the round.
+    "q_psi" ->
+      """WITH m AS (SELECT max(event_id) AS m FROM events),
+        |r AS (SELECT least(greatest(CAST(floor((value - 0.0) / 50.0) AS BIGINT), 0), 9) AS bin
+        |  FROM events, m WHERE event_id * 2 <= m.m),
+        |c AS (SELECT least(greatest(CAST(floor((value - 0.0) / 50.0) AS BIGINT), 0), 9) AS bin
+        |  FROM events, m WHERE event_id * 2 > m.m),
+        |rb AS (SELECT bin, CAST(count(*) AS BIGINT) AS ref_cnt FROM r GROUP BY bin),
+        |cb AS (SELECT bin, CAST(count(*) AS BIGINT) AS cur_cnt FROM c GROUP BY bin),
+        |sp AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+        |rt AS (SELECT CAST(count(*) AS BIGINT) AS rtot FROM r),
+        |ct AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM c),
+        |j AS (SELECT sp.bin,
+        |  coalesce(rb.ref_cnt, 0) AS ref_cnt, coalesce(cb.cur_cnt, 0) AS cur_cnt,
+        |  rt.rtot, ct.ctot
+        |  FROM sp LEFT JOIN rb ON sp.bin = rb.bin LEFT JOIN cb ON sp.bin = cb.bin, rt, ct),
+        |s AS (SELECT bin, ref_cnt, cur_cnt,
+        |  (ref_cnt + CAST(0.5 AS DOUBLE)) / (rtot + CAST(5.0 AS DOUBLE)) AS p,
+        |  (cur_cnt + CAST(0.5 AS DOUBLE)) / (ctot + CAST(5.0 AS DOUBLE)) AS q
+        |  FROM j)
+        |SELECT bin, ref_cnt, cur_cnt, round(p, 6) AS ref_share, round(q, 6) AS cur_share,
+        |  round((q - p) * ln(q / p), 6) AS psi_term
+        |FROM s ORDER BY bin""".stripMargin.replaceAll("\\s+", " "),
 
     // Prepending the explicit CAST-double 0 seed makes list_reduce's
     // first-element seeding equal the Spark aggregate's init; each step is

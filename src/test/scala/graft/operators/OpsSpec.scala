@@ -598,6 +598,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("PSI: identical samples score ~0, a shifted sample scores above the 0.2 alarm") {
+    import graft.operators.QualityOps
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 4000).map(_ => rnd.nextDouble() * 100).toDF("value")
+    val same = QualityOps.psi(base, base, "value", lo = 0.0, width = 10.0, nBins = 10)
+      .agg(sum(col("psi_term"))).as[Double].head()
+    assert(math.abs(same) < 1e-9, s"identical samples scored $same")
+    // shift the distribution up by 30: mass moves across bins → large PSI
+    val shifted = base.select((col("value") + 30.0).as("value"))
+    val drift = QualityOps.psi(base, shifted, "value", lo = 0.0, width = 10.0, nBins = 10)
+      .agg(sum(col("psi_term"))).as[Double].head()
+    assert(drift > 0.2, s"shifted sample scored only $drift")
+    // PSI is non-negative per construction of the sum (Σ (q−p)ln(q/p) ≥ 0)
+    assert(drift >= 0 && same >= -1e-12)
+  }
+
   test("triangle counts on a triangle-free graph are empty") {
     import graft.operators.GraphOps
     // a path and a 4-cycle: no triangles anywhere
