@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** The bit-reproducibility contract, tested directly: a declared query's
+  * result must be IDENTICAL under a different shuffle-partition count —
+  * the perturbation that exposed the round-5 pqFitBooks bug (distributed
+  * avg() summed in partition order, so fitted centroids varied with the
+  * environment). Covers the queries whose arithmetic rides on that
+  * contract: model fits (k-means cells, PQ codebooks), sequential folds,
+  * dyadic-weight scoring, and the composed IVF-PQ search.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val sensitive = Seq(
+    "q_ewma", "q_cusum", "q_pq_codes", "q_ivf_pq", "q_semantic_dedup",
+    "q_quality_classifier", "q_random_projection")
+
+  private def run(name: String): Seq[Row] =
+    SparkEntry.queries(name)(spark, dir).collect().toSeq
+
+  test("partition-order-sensitive queries are bitwise identical under a different shuffle layout") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val baseline = sensitive.map(q => q -> run(q)).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      sensitive.foreach { q =>
+        val perturbed = run(q)
+        assert(perturbed == baseline(q),
+          s"$q differs under shuffle.partitions=7 — partition-order-dependent arithmetic")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
