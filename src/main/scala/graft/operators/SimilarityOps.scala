@@ -29,54 +29,83 @@ object SimilarityOps {
     emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
 
-  /** Per-cell mean vectors for a Lloyd step, computed with EXACT decimal
-    * sums + counts and divided on the driver. A distributed `avg(double)`
-    * accumulates partial sums in partition order, so the fitted centroids —
-    * and everything downstream of them (cell assignments, PQ codes, ADC
-    * scores) — would differ between environments with different core counts
-    * or partitionings. Decimal addition is exact, hence order-independent:
-    * this makes the fit a constant of the corpus, not of the cluster
-    * layout. Collects one row per cell (model metadata, never data);
-    * decimal(38,20) leaves 18 integer digits of headroom, enough for 10¹⁷
-    * unit-scale elements per cell. */
-  private def cellMeans(df: DataFrame, cellCol: String, vecCol: String,
-                        dim: Int): Map[Int, Seq[Double]] = {
-    val sums = (0 until dim).map(i =>
-      sum(element_at(col(vecCol), i + 1).cast("decimal(38,20)")).as(s"__sum$i"))
-    df.groupBy(col(cellCol).cast("int").as("__cell"))
-      .agg(count(lit(1)).as("__n"), sums: _*)
-      .collect()
-      .map { r =>
-        val n = java.math.BigDecimal.valueOf(r.getLong(1))
-        val mean: Seq[Double] = (0 until dim).map(i =>
-          r.getDecimal(i + 2).divide(n, java.math.MathContext.DECIMAL64).doubleValue())
-        r.getInt(0) -> mean
-      }.toMap
+  /** How many sample vectors a quantizer fit trains on, per centroid. */
+  private val FitSamplePerCentroid = 256
+
+  /** cast(x AS decimal(38,20)) replicated driver-side: the engine converts
+    * a double through its shortest decimal form (`BigDecimal.valueOf`)
+    * and rescales HALF_UP — replicating it keeps the driver-side Lloyd
+    * fit bit-identical to the former distributed decimal aggregation. */
+  private def dec20(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(20, java.math.RoundingMode.HALF_UP)
+
+  /** Per-cell mean vectors for one Lloyd step over the collected training
+    * sample, with EXACT decimal arithmetic (sum of decimal(38,20) casts,
+    * MathContext.DECIMAL64 divide). A float mean accumulates in iteration
+    * order, so the fitted centroids — and everything downstream of them
+    * (cell assignments, PQ codes, ADC scores) — would differ between
+    * environments; exact decimal addition is order-independent, making
+    * the fit a pure function of the member SET. decimal(38,20) leaves 18
+    * integer digits of headroom — 10¹⁷ unit-scale elements per cell. */
+  private def lloydMeans(sample: Array[Seq[Double]],
+                         cellOf: Seq[Double] => Int): Map[Int, Seq[Double]] =
+    sample.groupBy(cellOf).map { case (cell, members) =>
+      val n = java.math.BigDecimal.valueOf(members.length.toLong)
+      val mean: Seq[Double] = (0 until members.head.length).map(i =>
+        members.iterator.map(m => dec20(m(i))).reduce(_ add _)
+          .divide(n, java.math.MathContext.DECIMAL64).doubleValue())
+      cell -> mean
+    }
+
+  /** Driver replica of [[cellsFor]] at n = 1 — argmin of (−dot(c,v)/‖c‖,
+    * cid) with the dot in index order, so the sample assignment is bitwise
+    * the engine's assignment. */
+  private def nearestCell(centroids: Array[(Int, Seq[Double], Double)],
+                          v: Seq[Double]): Int = {
+    var bestCid = -1
+    var best = Double.PositiveInfinity
+    centroids.foreach { case (cid, cv, cnorm) =>
+      var d = 0.0
+      var i = 0
+      while (i < cv.length) { d += cv(i) * v(i); i += 1 }
+      val negSim = -1.0 * d / cnorm
+      if (negSim < best) { best = negSim; bestCid = cid }
+    }
+    bestCid
   }
+
+  /** The bounded deterministic training sample every quantizer fit runs
+    * on: the `256·nCentroids` LOWEST-ID vectors — TakeOrdered, never a
+    * global sort — collected once. Training is model work, not a data
+    * pass: at 100 TB the corpus is never rescanned per Lloyd step, and
+    * the sample (4096 × 64 doubles at k = 16) is driver-side model
+    * metadata. Lowest-id selection keeps the fit a constant of the
+    * corpus, reconstructable by an external oracle. */
+  private def fitSample(p: DataFrame, nCentroids: Int): Array[Seq[Double]] =
+    p.orderBy(col("id")).limit(FitSamplePerCentroid * nCentroids)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
 
   /** (cid, vector, norm) triples of a fitted coarse quantizer — spherical
     * k-means with deterministic init (the `nCentroids` lowest-id vectors)
-    * and `kmeansIters` Lloyd steps computed as DataFrame aggregations:
-    * assign each vector to its max-cosine cell, new centroid = per-cell
-    * [[cellMeans]] exact-decimal mean. Each step collects only the
-    * nCentroids centroid rows — model metadata (the k-means fit), not
-    * data; everything data-sized stays distributed. Shared by [[ivfTopK]]
-    * and [[semanticDedup]], which must agree on cell geometry; public (like
-    * [[pqFitBooks]]) so an ingest path can code new vectors against the
-    * corpus-fitted model. Expects a [[prepared]]-shaped frame — use
-    * [[fitCoarseQuantizerOf]] from raw embeddings. */
+    * and `kmeansIters` Lloyd steps over the bounded [[fitSample]]:
+    * assign each sample vector to its max-cosine cell ([[nearestCell]] ≡
+    * the engine's [[cellsFor]]), new centroid = per-cell [[lloydMeans]]
+    * exact-decimal mean. The exact arithmetic makes the fit a constant of
+    * the corpus, not of the cluster layout (pinned by `DeterminismSpec`).
+    * Shared by [[ivfTopK]] and [[semanticDedup]], which must agree on
+    * cell geometry; public (like [[pqFitBooks]]) so an ingest path can
+    * code new vectors against the corpus-fitted model. Expects a
+    * [[prepared]]-shaped frame — use [[fitCoarseQuantizerOf]] from raw
+    * embeddings. */
   private def fitCoarseQuantizer(c: DataFrame, nCentroids: Int,
                                  kmeansIters: Int): Array[(Int, Seq[Double], Double)] = {
-    var centroids: Array[(Int, Seq[Double], Double)] = c.orderBy(col("id")).limit(nCentroids)
-      .select(col("v")).collect().zipWithIndex
-      .map { case (r, i) =>
-        val v = r.getSeq[Double](0)
+    val sample = fitSample(c, nCentroids)
+    var centroids: Array[(Int, Seq[Double], Double)] =
+      sample.take(nCentroids).zipWithIndex.map { case (v, i) =>
         (i, v, math.sqrt(v.map(x => x * x).sum))
       }
-    val dim = centroids.head._2.length
     for (_ <- 1 to kmeansIters) {
-      val means = cellMeans(
-        c.withColumn("cell", element_at(cellsFor(centroids, col("v"), 1), 1)), "cell", "v", dim)
+      val means = lloydMeans(sample, nearestCell(centroids, _))
       // cells that lost all members keep their previous centroid
       centroids = centroids.map { case (i, prev, _) =>
         val v = means.getOrElse(i, prev)

@@ -495,8 +495,8 @@ object PipelineQueries {
         |  (3, 'min_chars')) AS v(stage, filter))
         |SELECT CAST(d.stage AS BIGINT) AS stage, d.filter,
         |  coalesce(c.n, 0) AS dropped,
-        |  t.total - sum(coalesce(c.n, 0)) OVER (ORDER BY d.stage
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS remaining
+        |  CAST(t.total - sum(coalesce(c.n, 0)) OVER (ORDER BY d.stage
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS remaining
         |FROM d LEFT JOIN c USING (stage) CROSS JOIN t
         |ORDER BY stage""".stripMargin.replaceAll("\\s+", " "),
 

@@ -125,9 +125,14 @@ object SimilarityQueries {
     // Johnson-Lindenstrauss random projection 64 → 16 dims (±1/√16 = ±0.25
     // entries: exact in FP, so the projection reproduces bitwise in SQL).
     // The index-size/bandwidth reduction step before ANN indexing; one
-    // narrow codegen'd scan, matrix rides as literals.
+    // narrow codegen'd scan, matrix rides as literals. The projected vector
+    // is serialized to a comma-joined fixed-width string for the oracle
+    // compare (the harness comparer cannot hash array cells); decimal(28,6)
+    // renders identically ("0.250000") on both engines.
     "q_random_projection" -> { t =>
       SimilarityOps.randomProject(t.embeddings, inDim = 64, outDim = 16)
+        .withColumn("proj", concat_ws(",",
+          transform(col("proj"), x => x.cast("decimal(28,6)").cast("string"))))
         .orderBy("vec_id")
     },
 
@@ -325,15 +330,19 @@ object SimilarityQueries {
         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\\s+", " "),
 
     // the identical ±0.25 literal matrix is injected into both plans; dots
-    // are index-order on both engines, so values agree bitwise
+    // are index-order on both engines, so values agree bitwise; each
+    // coordinate renders through DECIMAL(28,6) to the same fixed-width
+    // string the Spark side emits, comma-joined (arrays can't be hashed
+    // by the harness comparer)
     "q_random_projection" -> {
       val rows = SimilarityOps.projectionMatrix(inDim = 64, outDim = 16)
       val cols = rows.map(r =>
-        s"round(list_dot_product(e, [${r.mkString(",")}]), 6)").mkString(", ")
+        "CAST(CAST(round(list_dot_product(e, [" + r.mkString(",") +
+          "]), 6) AS DECIMAL(28,6)) AS VARCHAR)").mkString(", ")
       ("""WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |  FROM embeddings)
-        |SELECT vec_id, [""" + cols + """] AS proj
+        |SELECT vec_id, array_to_string([""" + cols + """], ',') AS proj
         |FROM v ORDER BY vec_id""").stripMargin.replaceAll("\\s+", " ")
     },
 

@@ -21,4 +21,24 @@ class SparkEntrySpec extends SparkSpec {
       assert(n >= 0, s"$name failed")
     }
   }
+
+  test("declared-output contract: every query column is an atomic type") {
+    // The driver's oracle comparer lexsorts columns and hashes cell values
+    // with pandas — array/map/struct cells raise `unhashable numpy.ndarray`
+    // and the query ships unverified. Nested payloads must be serialized
+    // to a string (q_inverted_index postings) or exploded to atomic rows.
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"non-atomic declared output columns (driver comparer cannot hash " +
+        s"these):\n  ${offenders.mkString("\n  ")}")
+  }
 }

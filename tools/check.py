@@ -1,13 +1,24 @@
 #!/usr/bin/env python3
 """Dev-only local mirror of the driver's correctness gate (not product code).
 
+Mirrors the driver's pandas-based comparer semantics so local green implies
+driver green:
+  * results load as pandas DataFrames (duckdb .df()), columns sorted by name
+  * list/array/struct-typed cells are a hard ERR (the driver's comparer
+    raises `unhashable type: numpy.ndarray` when lexsorting/hashing them)
+  * cell rendering is dtype-faithful: int64 394 and float64 394.0 hash
+    DIFFERENTLY (this is how DuckDB HUGEINT -> pandas float64 drift shows
+    up driver-side even when values are numerically equal)
+
 Usage: python3 tools/check.py [sfdir] [outdir]
   1. expects `sbt "runMain graft.Verify <sfdir> <outdir>"` to have run
   2. for each query parquet in outdir, runs the oracle SQL from
      oracle_sql.json in DuckDB over the same sf tables and compares
-     (column names, row count, values both ordered and as multisets).
+     (column names, row count, dtype-faithful values ordered + multiset).
 """
-import json, math, sys
+import json, sys
+import numpy as np
+import pandas as pd
 import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -20,34 +31,58 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return round(v, 9)
-    return v
+
+def cell(v):
+    """Dtype-faithful scalar rendering. Distinct dtypes must render
+    distinctly (int64 394 -> 'i:394', float64 394.0 -> 'f:394.0') and
+    unhashable cells must raise, mirroring the driver comparer."""
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        raise TypeError(
+            f"unhashable cell type {type(v).__name__}: the driver comparer "
+            "cannot sort/hash array cells -- serialize to a string "
+            "(q_inverted_index precedent) or explode to atomic columns")
+    if v is None or v is pd.NaT:
+        return "<null>"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
+        return "<null>" if np.isnan(v) else f"f:{float(v)!r}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, str):
+        return f"s:{v!r}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"y:{bytes(v)!r}"
+    return f"{type(v).__name__}:{v!r}"
+
+
+def rows_of(df):
+    return [tuple(cell(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
+
 
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:
-        mine = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
-        mcols = sorted(mine.columns)
-        mrows = [tuple(norm(v) for v in row) for row in
-                 con.sql("SELECT " + ', '.join(f'"{c}"' for c in mcols) + " FROM mine").fetchall()]
-        ora = con.sql(sql)
-        ocols = sorted(ora.columns)
-        orows = [tuple(norm(v) for v in row) for row in
-                 con.sql("SELECT " + ', '.join(f'"{c}"' for c in ocols) + " FROM ora").fetchall()]
-        if mcols != ocols:
-            print(f"FAIL {name}: cols mine={mcols} oracle={ocols}"); fails += 1; continue
-        if len(mrows) != len(orows):
-            print(f"FAIL {name}: rows mine={len(mrows)} oracle={len(orows)}"); fails += 1; continue
+        mine = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
+        ora = con.sql(sql).df()
+        mine = mine[sorted(mine.columns)]
+        ora = ora[sorted(ora.columns)]
+        if list(mine.columns) != list(ora.columns):
+            print(f"FAIL {name}: cols mine={list(mine.columns)} oracle={list(ora.columns)}")
+            fails += 1; continue
+        if len(mine) != len(ora):
+            print(f"FAIL {name}: rows mine={len(mine)} oracle={len(ora)}")
+            fails += 1; continue
+        mrows, orows = rows_of(mine), rows_of(ora)
         if mrows == orows:
             print(f"OK   {name} ({len(mrows)} rows)")
-        elif sorted(map(repr, mrows)) == sorted(map(repr, orows)):
+        elif sorted(mrows) == sorted(orows):
             print(f"WARN {name}: same multiset, different order ({len(mrows)} rows)")
         else:
-            diff = [(a, b) for a, b in zip(mrows, orows) if a != b][:3]
-            print(f"FAIL {name}: value mismatch, first diffs: {diff}"); fails += 1
+            diff = [(a, b) for a, b in zip(sorted(mrows), sorted(orows)) if a != b][:3]
+            print(f"FAIL {name}: value/dtype mismatch, first diffs: {diff}")
+            fails += 1
     except Exception as e:
         print(f"ERR  {name}: {e}"); fails += 1
 print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
