@@ -495,31 +495,55 @@ object SimilarityOps {
           nearestEntry(s, books(s)).getField("cid").cast("string")): _*).as("codes"))
   }
 
+  /** Driver replica of [[nearestEntry]] — argmin of (d2, cid) with
+    * d2 = (x·x − 2 x·c) + c·c, every dot in index order and the same
+    * parenthesization, ties to the lower cid, so a sample assignment is
+    * bitwise the engine's code assignment. */
+  private def nearestBookEntry(book: Array[Seq[Double]], x: Seq[Double]): Int = {
+    var xx = 0.0
+    var i = 0
+    while (i < x.length) { xx += x(i) * x(i); i += 1 }
+    var bestCid = -1
+    var best = Double.PositiveInfinity
+    var ci = 0
+    while (ci < book.length) {
+      val c = book(ci)
+      var d = 0.0
+      var cc = 0.0
+      var j = 0
+      while (j < c.length) { d += x(j) * c(j); cc += c(j) * c(j); j += 1 }
+      val d2 = (xx - 2.0 * d) + cc
+      if (d2 < best) { best = d2; bestCid = ci }
+      ci += 1
+    }
+    bestCid
+  }
+
   /** The fitted per-subspace codebooks [[pqCodes]] trains — exposed so
     * [[adcTopK]] can score against exactly the books the codes were
-    * assigned under. */
+    * assigned under. Same training-sample contract as
+    * [[fitCoarseQuantizer]]: init = the `nCentroids` lowest-id vectors,
+    * then `kmeansIters` per-subspace Lloyd steps over the bounded
+    * [[fitSample]] — assign via [[nearestBookEntry]] (≡ the engine's
+    * [[nearestEntry]]), new entry = [[lloydMeans]] exact-decimal mean.
+    * Training is model work, not a data pass: at 100 TB the corpus is
+    * never rescanned per Lloyd step, and the exact arithmetic keeps the
+    * fit a constant of the corpus, not of the cluster layout. */
   def pqFitBooks(emb: DataFrame, nSub: Int = 4, nCentroids: Int = 16,
                  kmeansIters: Int = 0,
                  vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Seq[Double]]] = {
     val p = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-    val init = p.orderBy(col("id")).limit(nCentroids)
-      .select(col("v")).collect().map(_.getSeq[Double](0))
+    val sample = fitSample(p, nCentroids)
+    val init = sample.take(nCentroids)
     val dim = init.head.length
     require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
     val sd = dim / nSub
     val books = Array.tabulate(nSub)(s => init.map(_.slice(s * sd, (s + 1) * sd)))
-    // optional per-subspace Lloyd refinement: assign, then per-cell mean
-    // via [[cellMeans]] (exact decimal sums — the fit must be a constant of
-    // the corpus, not of the partitioning, or PQ codes/ADC scores diverge
-    // across environments). Each step collects only nCentroids×sd doubles
-    // per subspace — model metadata, not data; the corpus stays distributed
-    // throughout.
     if (kmeansIters > 0) {
-      val withSubs = bindSubspaces(p, nSub, sd)
+      val subSamples = Array.tabulate(nSub)(s =>
+        sample.map(_.slice(s * sd, (s + 1) * sd)))
       for (_ <- 1 to kmeansIters; s <- 0 until nSub) {
-        val means = cellMeans(
-          withSubs.withColumn("__cell", nearestEntry(s, books(s)).getField("cid")),
-          "__cell", s"__s$s", sd)
+        val means = lloydMeans(subSamples(s), nearestBookEntry(books(s), _))
         // cells that lost all members keep their previous centroid
         books(s) = books(s).zipWithIndex.map { case (prev, ci) => means.getOrElse(ci, prev) }
       }
