@@ -46,7 +46,11 @@ def cell(v):
     if isinstance(v, (bool, np.bool_)):
         return f"b:{bool(v)}"
     if isinstance(v, (float, np.floating)):
-        return "<null>" if np.isnan(v) else f"f:{float(v)!r}"
+        # NaN renders distinctly from None: in float64 columns BOTH engines
+        # surface NULL as NaN (parquet null -> pandas NaN, DuckDB NULL ->
+        # pandas NaN), so they still match; in object columns a NaN-vs-None
+        # divergence is a real engine difference and must fail.
+        return "f:nan" if np.isnan(v) else f"f:{float(v)!r}"
     if isinstance(v, (int, np.integer)):
         return f"i:{int(v)}"
     if isinstance(v, str):
