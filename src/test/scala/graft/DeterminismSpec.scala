@@ -32,4 +32,24 @@ class DeterminismSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("refined quantizer fits are bitwise identical across input partition layouts") {
+    import graft.operators.SimilarityOps
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // The refined (kmeansIters > 0) fits train on the bounded lowest-id
+    // sample with exact-decimal means — the fitted model must be a constant
+    // of the corpus SET, not of how the scan happens to be partitioned.
+    def fits(nParts: Int) = {
+      val e = emb.repartition(nParts)
+      (SimilarityOps.fitCoarseQuantizerOf(e, nCentroids = 8, kmeansIters = 2).toSeq,
+        SimilarityOps.pqFitBooks(e, nSub = 4, nCentroids = 8, kmeansIters = 2)
+          .map(_.toSeq).toSeq)
+    }
+    val (coarse8, books8) = fits(8)
+    val (coarse32, books32) = fits(32)
+    assert(coarse8 == coarse32,
+      "coarse quantizer fit differs between 8- and 32-partition layouts")
+    assert(books8 == books32,
+      "PQ codebook fit differs between 8- and 32-partition layouts")
+  }
 }
