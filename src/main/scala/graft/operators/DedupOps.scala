@@ -377,15 +377,18 @@ object DedupOps {
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    // Hamming test BEFORE the pair distinct: a pair sharing k chunks
+    // surfaces k times, and bit_count is a codegen'd map — filtering in the
+    // join stage shrinks the distinct's shuffle to surviving near-dup pairs
+    // instead of every candidate with both 64-bit signatures in tow.
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("b.id").as("idb"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
       .where(col("hamming") <= maxHamming)
-      .select("ida", "idb", "hamming")
+      .select(col("a.id").as("ida"), col("b.id").as("idb"), col("hamming"))
+      .distinct()
   }
 
   /** Exact-substring duplication stats (the Lee et al. 2021 "Deduplicating

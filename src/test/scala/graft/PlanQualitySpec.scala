@@ -470,6 +470,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("*("), s"morton value not codegen'd:\n$plan")
   }
 
+  test("global-window audit: unpartitioned windows only ever run over bounded tables") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    // An unpartitioned Window funnels its ENTIRE input through one task —
+    // the canonical 100-TB cliff (WindowExec's "No Partition Defined"
+    // warning). Legitimate uses window a provably model-sized relation:
+    // a top-k table, a calendar-span rollup, or per-bucket subtotals.
+    // Every query that plans one must be allowlisted here WITH its
+    // boundedness argument; anything else fails the build.
+    val bounded = Map(
+      "q_hybrid_retrieval" -> "ranks the BM25 top-50 table (k rows)",
+      "q_autocorr"         -> "lag windows over the daily rollup (calendar-sized)",
+      "q_skyline"          -> "cross-bucket prefix max over bucket maxima (≈x-range/bucketWidth rows)",
+      "q_pack_sequences"   -> "offset prefix over per-bucket subtotals (bucket count rows)",
+      "q_token_budget"     -> "budget prefix over per-bucket subtotals (bucket count rows)",
+      "q_filter_cascade"   -> "cumulative survivors over per-stage counts (|filters| rows)"
+    )
+    val withGlobals = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val globals = fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+      }
+      if (globals.nonEmpty) Some(name) else None
+    }.toSet
+    val offenders = withGlobals.diff(bounded.keySet)
+    assert(offenders.isEmpty,
+      s"unallowlisted global windows (one-task bottleneck at scale) in: " +
+        s"${offenders.mkString(", ")} — partition them or justify boundedness here")
+    // two-sided: an allowlist row whose query no longer plans a global
+    // window is stale documentation — prune it
+    val stale = bounded.keySet.diff(withGlobals)
+    assert(stale.isEmpty, s"stale allowlist entries (no global window planned): " +
+      s"${stale.mkString(", ")}")
+  }
+
   test("dq checks compute the whole suite in one scan per table") {
     val plan = executedPlan("q_dq_checks").toString
     // one scan of orders (plus the broadcast customer key probe), one of
