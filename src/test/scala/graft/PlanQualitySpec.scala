@@ -503,6 +503,46 @@ class PlanQualitySpec extends SparkSpec {
       s"${stale.mkString(", ")}")
   }
 
+  test("catalog-wide join audit: no cartesian products; nested-loop joins only against model-sized broadcasts") {
+    // A CartesianProduct pairs two data-sized relations — quadratic at any
+    // scale, never acceptable. A BroadcastNestedLoopJoin is linear in the
+    // stream side and fine IFF the broadcast side is model-sized (a 1-row
+    // scalar aggregate, a k-row query panel); each such query is
+    // allowlisted with its broadcast-side bound. Runs over the whole
+    // catalog so a new query can't quietly ship an all-pairs join.
+    val bnljBounded = Map(
+      "q_filter_cascade"     -> "crossJoin(broadcast(total)) — 1-row corpus count",
+      "q_balance_classes"    -> "broadcast scalar min class count (1 row)",
+      "q_hard_negatives"     -> "broadcast query panel (k query vectors)",
+      "q_stale_index_filter" -> "broadcast max-id/2 threshold (1 row)",
+      "q_key_skew"           -> "broadcast scalar row total (1 row)",
+      "q_tfidf"              -> "broadcast corpus doc count N (1 row)",
+      "q_unigram_logprob"    -> "broadcast vocabulary token total (1 row)",
+      "q_bigram_logprob"     -> "broadcast vocabulary token total (1 row)",
+      "q_bm25"               -> "broadcast corpus N + avgdl scalars (1 row)",
+      "q_collocations"       -> "broadcast total bigram count (1 row)",
+      "q_psi"                -> "broadcast per-snapshot row totals (1 row each)",
+      "q_temperature_sample" -> "broadcast total corpus count (1 row)",
+      "q_similarity_topk"    -> "broadcast query vector (k query rows)",
+      "q_similarity_topk_agg"-> "broadcast query vector (k query rows)",
+      "q_hybrid_retrieval"   -> "broadcast query vector (1 row) via bruteForceTopK",
+      "q_adc_topk"           -> "broadcast PQ lookup tables (k × nsub × 256 model rows)"
+    )
+    val (issues, bnljSeen) = SparkEntry.queries.toSeq.foldLeft(
+        (Seq.empty[String], Set.empty[String])) { case ((is, seen), (name, fn)) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val hasBnlj = plan.contains("BroadcastNestedLoopJoin")
+      val cart = if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      val bnlj = if (hasBnlj && !bnljBounded.contains(name))
+        Seq(s"$name: unallowlisted BroadcastNestedLoopJoin") else Nil
+      (is ++ cart ++ bnlj, if (hasBnlj) seen + name else seen)
+    }
+    assert(issues.isEmpty, s"all-pairs join shapes in the catalog:\n  ${issues.mkString("\n  ")}")
+    val stale = bnljBounded.keySet.diff(bnljSeen)
+    assert(stale.isEmpty,
+      s"stale BNLJ allowlist entries (no nested-loop join planned): ${stale.mkString(", ")}")
+  }
+
   test("dq checks compute the whole suite in one scan per table") {
     val plan = executedPlan("q_dq_checks").toString
     // one scan of orders (plus the broadcast customer key probe), one of
