@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-level scale-safety audit: driver-side materialization
+  * (`collect`/`first`/`head`/`toLocalIterator`) pulls a DataFrame onto one
+  * JVM — at 100 TB that is an OOM, not a slowdown. The only legitimate uses
+  * pull BOUNDED MODEL METADATA (a fit sample capped by construction, a
+  * 1-row scalar aggregate). Every such site must be allowlisted here with
+  * its bound; a new `.collect()` anywhere else fails the build.
+  */
+class SourceAuditSpec extends AnyFunSuite {
+
+  private val root = Paths.get("src/main/scala/graft")
+
+  // file (relative to src/main/scala/graft) -> (expected site count, bound)
+  private val allowed = Map(
+    "operators/SimilarityOps.scala" ->
+      (1, "k-means fit sample — ≤ 256·nCentroids vectors by construction"),
+    "operators/DedupOps.scala" ->
+      (1, "1-row decimal checksum driving the label-propagation fixpoint"),
+    "tools/DiagPlan.scala" ->
+      (1, "dev-only plan-dump utility, never on the query path")
+  )
+
+  test("driver-side materialization only at allowlisted bounded-metadata sites") {
+    val pattern = """\.(collect\(\)|toLocalIterator|collectAsList|first\(\)|head\(\))""".r
+    val found: Map[String, Int] = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .map { p: Path =>
+        val rel = root.relativize(p).toString
+        rel -> pattern.findAllIn(Files.readString(p)).size
+      }
+      .filter(_._2 > 0)
+      .toMap
+
+    val unexpected = found.collect {
+      case (f, n) if !allowed.contains(f) => s"$f: $n site(s)"
+      case (f, n) if allowed(f)._1 != n =>
+        s"$f: $n site(s), allowlist expects ${allowed(f)._1}"
+    }
+    assert(unexpected.isEmpty,
+      s"driver-side materialization outside the allowlist (justify the bound " +
+        s"here or distribute the operator):\n  ${unexpected.mkString("\n  ")}")
+
+    val stale = allowed.keySet.filterNot(found.contains)
+    assert(stale.isEmpty, s"stale allowlist entries: ${stale.mkString(", ")}")
+  }
+}
