@@ -163,11 +163,19 @@ object DedupOps {
     val exI = shingleHashed(incoming, textCol, idCol, n).distinct()
     val szE = exE.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val szI = exI.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val hot = exE.groupBy("s").agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf).select("s")
-    val cand = exI.join(broadcast(hot), Seq("s"), "left_anti")
-      .select(col("id").as("new_id"), col("s"))
-      .join(exE.select(col("id").as("old_id"), col("s")), Seq("s"))
+    // corpus inverted index as BOUNDED posting lists (same saturation
+    // contract as [[ngramJaccard]]): a corpus-hot shingle's aggregation
+    // state caps at maxDf+1 ids instead of buffering its full posting list,
+    // and size > maxDf identifies (and drops) it exactly. The batch then
+    // joins the bounded index and fans out old_ids map-side — the corpus
+    // index is built in ONE pass (szE reuses the same distinct exchange)
+    // instead of the previous df-count + anti-join + index-join trio.
+    val cappedIds = udaf(new graft.functions.CappedSetAggregator(maxDf + 1))
+    val postE = exE.groupBy("s").agg(cappedIds(col("id")).as("old_ids"))
+      .where(size(col("old_ids")) <= maxDf)
+    val cand = exI.select(col("id").as("new_id"), col("s"))
+      .join(postE, Seq("s"))
+      .select(col("new_id"), explode(col("old_ids")).as("old_id"))
       .groupBy("new_id", "old_id")
       .agg(count(lit(1)).as("shared"))
     cand
