@@ -98,12 +98,20 @@ object GraphOps {
     * REGARDLESS of hub structure. All three steps are shuffled equi-joins
     * on node keys — hash-distributed, AQE-splittable, no driver state. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    // canonical undirected edge set (one row per unordered pair)
+    // canonical undirected edge set (one row per unordered pair).
+    // Materialized once (executor-local checkpoint, the connectedComponents
+    // pattern; swap for reliable `checkpoint` on a cluster): it feeds the
+    // degree table TWICE (unionAll) and the orientation join, and without
+    // the barrier each reference re-derives the whole upstream edge
+    // construction — measured 15 upstream scans for one triangle query.
+    // The edge list is orders of magnitude smaller than the data that
+    // produced it (thresholded co-occurrence backbone).
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient a→b iff (deg(a), a) < (deg(b), b): a total order, so exactly
@@ -112,9 +120,13 @@ object GraphOps {
       .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
     val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    // same m rows as `und`, consumed by the closure once directly and twice
+    // through the adjacency aggregation — materialize instead of re-running
+    // the two degree joins per consumer
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(true)
     // edge-iterator closure: the triangle u≺v≺w is edge u→v with
     // w ∈ N⁺(u) ∩ N⁺(v), so attach both endpoints' out-neighbour sets to
     // every oriented edge and intersect in codegen — the O(m^1.5)

@@ -447,9 +447,18 @@ object PipelineOps {
   def applyCdc(base: DataFrame, changes: DataFrame, keyCol: String,
       seqCol: String, opCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+    // Materialize the latest-per-key changelog once (executor-local
+    // checkpoint, the verifyJaccard/connectedComponents pattern): it is
+    // read twice below — as the anti-join filter and as the upsert rows —
+    // and column pruning diverges the two subtrees (the filter side keeps
+    // only the key), so without the barrier the window over the changelog
+    // runs twice. A CDC batch is orders of magnitude smaller than the base
+    // it applies to; materializing it also hands AQE a sized relation it
+    // can broadcast, keeping the base side of the anti-join shuffle-free.
     val latest = changes
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
+      .localCheckpoint(true)
     val upserts = latest.where(col(opCol) =!= "D")
       .drop("__rn", seqCol, opCol)
     base

@@ -62,22 +62,30 @@ object QualityOps {
   def psi(ref: DataFrame, cur: DataFrame, valCol: String,
           lo: Double, width: Double, nBins: Int): DataFrame = {
     require(nBins >= 2 && width > 0, s"need nBins >= 2, width > 0; got $nBins, $width")
-    def binned(df: DataFrame, cntName: String): DataFrame = df
-      .select(least(greatest(floor((col(valCol) - lo) / width), lit(0L)),
-        lit((nBins - 1).toLong)).cast("int").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as(cntName))
+    // ONE pass per input: both histograms come out of a single conditional
+    // aggregation over the flagged union, and every downstream consumer
+    // (spine join, totals) reads the resulting nBins-row table — previously
+    // each histogram AND each total re-derived its own full input scan
+    // (8 scans per PSI). The checkpoint is bounded model metadata: nBins
+    // count rows, never data.
+    def side(df: DataFrame, isRef: Boolean): DataFrame = df
+      .select(col(valCol).as("__v"), lit(isRef).as("__is_ref"))
+    val counts = side(ref, isRef = true).unionByName(side(cur, isRef = false))
+      .select(least(greatest(floor((col("__v") - lo) / width), lit(0L)),
+        lit((nBins - 1).toLong)).cast("int").as("bin"), col("__is_ref"))
+      .groupBy("bin").agg(
+        sum(when(col("__is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(col("__is_ref"), 0L).otherwise(1L)).as("cur_cnt"))
+      .localCheckpoint(true)
     val spine = ref.sparkSession.range(nBins)
       .select(col("id").cast("int").as("bin"))
-    val r = binned(ref, "ref_cnt")
-    val c = binned(cur, "cur_cnt")
-    val rt = r.agg(sum(col("ref_cnt")).as("ref_total"))
-    val ct = c.agg(sum(col("cur_cnt")).as("cur_total"))
+    val totals = counts.agg(sum(col("ref_cnt")).as("ref_total"),
+      sum(col("cur_cnt")).as("cur_total"))
     val half = lit(0.5)
     val smooth = lit(nBins * 0.5)
     spine
-      .join(r, Seq("bin"), "left")
-      .join(c, Seq("bin"), "left")
-      .crossJoin(broadcast(rt)).crossJoin(broadcast(ct))
+      .join(counts, Seq("bin"), "left")
+      .crossJoin(broadcast(totals))
       .select(col("bin"),
         coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
         coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"),

@@ -647,14 +647,27 @@ object SimilarityOps {
                       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val p = prepared(emb, vecCol, idCol)
     val pb = banded(p, nPlanes, bands)
+    // Materialize the candidate pairs once (executor-local checkpoint, the
+    // verifyJaccard pattern): they are read three times below (id semi-join
+    // + two verify joins), and each un-materialized reference re-derives
+    // banding over the full corpus. Candidate pairs are bounded by colliding
+    // bucket volume — orders of magnitude below the corpus under effective
+    // blocking.
     val cands = pb.as("a").join(pb.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
+      .localCheckpoint(true)
+    // only candidate members need their vector for the exact rescore —
+    // semi-join the prepared corpus down ONCE, then both verify joins read
+    // the bounded result instead of re-preparing the corpus each
+    val candIds = cands.select(col("ida").as("id"))
+      .union(cands.select(col("idb").as("id"))).distinct()
+    val needed = p.join(candIds, Seq("id"), "left_semi").localCheckpoint(true)
     cands
-      .join(p.select(col("id").as("ida"), col("v").as("va"), col("nrm").as("na")), Seq("ida"))
-      .join(p.select(col("id").as("idb"), col("v").as("vb"), col("nrm").as("nb")), Seq("idb"))
+      .join(needed.select(col("id").as("ida"), col("v").as("va"), col("nrm").as("na")), Seq("ida"))
+      .join(needed.select(col("id").as("idb"), col("v").as("vb"), col("nrm").as("nb")), Seq("idb"))
       .withColumn("sim", cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")))
       .where(col("sim") >= threshold)
       .select(col("ida"), col("idb"), round(col("sim"), 4).as("sim"))

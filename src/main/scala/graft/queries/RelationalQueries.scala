@@ -241,17 +241,24 @@ object RelationalQueries {
     // view → click → purchase chain and the furthest stage reached. Each
     // stage is one aggregation joined back on the user key — no row-by-row
     // state, so the plan is three partial-aggregated shuffles on user_id
-    // regardless of event volume.
+    // regardless of event volume. The twice-consumed stage tables (s1, s2
+    // feed both the next stage's join and the final assembly; one bounded
+    // row per user) are materialized via executor-local checkpoint — without
+    // the barrier the re-derivation cascades to 7 event scans for a 3-stage
+    // funnel.
     "q_funnel" -> { t =>
       val e = t.events.withColumn("tsn", col("ts") - (col("ts") % 1000))
       val s1 = e.where(col("event_type") === "view")
         .groupBy("user_id").agg(min("tsn").as("t_view"))
+        .localCheckpoint(true)
       val s2 = e.join(s1, "user_id")
         .where(col("event_type") === "click" && col("tsn") > col("t_view"))
         .groupBy("user_id").agg(min("tsn").as("t_click"))
+        .localCheckpoint(true)
       val s3 = e.join(s2, "user_id")
         .where(col("event_type") === "purchase" && col("tsn") > col("t_click"))
         .groupBy("user_id").agg(min("tsn").as("t_purchase"))
+      // (s3 is consumed exactly once — no barrier needed)
       e.select("user_id").distinct()
         .join(s1, Seq("user_id"), "left")
         .join(s2, Seq("user_id"), "left")
