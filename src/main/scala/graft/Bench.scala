@@ -27,28 +27,38 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // A failed run must NOT record its fail-fast wall time as a speed —
+      // r8's broken q_tumbling_window showed up as "0.061 s" and would have
+      // poisoned bench_reference.json on --update. Mark errors as -1.
+      var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name failed: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       // Iterative operators persist intermediates; drop them so later
       // queries aren't measured under another query's cache pressure.
       spark.catalog.clearCache()
-      name -> times.min
+      name -> (if (failed) -1.0 else times.min)
     }.toMap
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jsonMap(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Full per-query map on its own line for human/archival readers...
-    println(s"""{"metric":"all_queries","n":${results.size},"queries":${jsonMap(results.toSeq.sortBy(_._1))}}""")
+    val ok = results.filter(_._2 >= 0)
+    val nFailed = results.size - ok.size
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    // Full per-query map on its own line for human/archival readers
+    // (failed queries carry -1, never a fail-fast duration)...
+    println(s"""{"metric":"all_queries","n":${results.size},"n_failed":$nFailed,"queries":${jsonMap(results.toSeq.sortBy(_._1))}}""")
     // ...then the machine-read summary LAST and compact: the harness keeps
     // only a bounded tail of stdout and json-parses it line by line, so this
     // line must stay well under ~1.8 kB — slowest 50 queries only.
-    val slowest = results.toSeq.sortBy(-_._2).take(50)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(slowest)},"queries_note":"slowest 50 of ${results.size}","sf":"$sfDir"}""")
+    val slowest = ok.toSeq.sortBy(-_._2).take(50)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":${jsonMap(slowest)},"queries_note":"slowest 50 of ${results.size}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
 
 /** Dedup + text-analysis query bindings over the `documents` table
   * (SURVEY.md §2b X1/X2/X4 + driver north-star operators). Hash-based
-  * operators (MinHash-LSH, SimHash, rolling hash) have no portable SQL
-  * oracle — xxhash64/murmur3 are Spark-specific — so they are declared
-  * without oracle entries (driver records a rows-only check) and their
-  * semantics are pinned by ScalaTest instead.
+  * operators (MinHash-LSH, SimHash) DO carry full DuckDB oracles despite
+  * xxhash64/murmur3 being Spark-specific: each candidate generator verifies
+  * candidates with the exact Jaccard, so with full candidate recall (pinned
+  * in ScalaTest; miss probability ~1e-10 at the decision boundary) the
+  * output equals the true pair set, and the oracle is hash-free exact-
+  * Jaccard SQL at the same threshold (see the comment above q_minhash_lsh).
+  * The driver therefore gets the strong rows+schema+hash check on these too.
   */
 object TextQueries {
 

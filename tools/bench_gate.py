@@ -22,37 +22,91 @@ FLOOR_SEC = 1.0
 DEFAULT_REF = Path(__file__).resolve().parent / "bench_reference.json"
 
 
+def _from_metric_text(text):
+    """Scan free text (a log, or the driver's `tail` string) for Bench's JSON
+    lines; prefer the full all_queries map over the slowest-50 summary.
+    Returns (queries, partial): partial=True when only the slowest-50
+    summary survived (the driver keeps a bounded stdout tail that usually
+    truncates the all_queries line), so absence from the map means "fast",
+    not "missing"."""
+    dec = json.JSONDecoder()
+    best = None
+    idx = 0
+    while True:
+        start = text.find('{"metric"', idx)
+        if start < 0:
+            break
+        try:
+            obj, _ = dec.raw_decode(text[start:])
+            q = obj.get("queries")
+            if isinstance(q, dict) and q:
+                if obj.get("metric") == "all_queries":
+                    return q, False
+                best = best or q
+        except ValueError:
+            pass
+        idx = start + 1
+    return best, best is not None
+
+
 def load_queries(path):
+    """Returns (queries, partial) — see _from_metric_text for `partial`."""
     text = Path(path).read_text()
-    # accept either a bare JSON object or a log containing one JSON line
-    for line in text.splitlines():
-        line = line.strip()
-        start = line.find('{"metric"')
-        if start >= 0:
-            obj = json.loads(line[start:])
-            return obj.get("queries", obj)
-    obj = json.loads(text)
-    return obj.get("queries", obj)
+    # 1. driver BENCH_r*.json: a wrapper object whose "tail" string embeds the
+    #    Bench stdout lines (escaped) and whose "parsed" holds the summary
+    try:
+        obj = json.loads(text)
+        if isinstance(obj, dict) and ("tail" in obj or "parsed" in obj):
+            q, partial = _from_metric_text(obj.get("tail") or "")
+            if q is None and isinstance(obj.get("parsed"), dict):
+                q, partial = obj["parsed"].get("queries"), True
+            if q:
+                return q, partial
+            raise SystemExit(f"no bench queries found in driver file {path}")
+        if isinstance(obj, dict) and "metric" in obj:
+            return obj.get("queries", obj), obj.get("metric") != "all_queries"
+        if isinstance(obj, dict):
+            return obj, False  # bare {query: sec} reference map
+    except json.JSONDecodeError:
+        pass
+    # 2. a raw sbt/Bench log containing the JSON lines
+    q, partial = _from_metric_text(text)
+    if q is None:
+        raise SystemExit(f"no bench queries found in {path}")
+    return q, partial
 
 
 def main(argv):
     if argv and argv[0] == "--update":
-        queries = load_queries(argv[1])
+        loaded, partial = load_queries(argv[1])
+        if partial:
+            raise SystemExit("refusing --update from a partial (slowest-50) "
+                             "bench artifact; use the full all_queries line")
+        queries = {q: s for q, s in loaded.items() if s >= 0}
         DEFAULT_REF.write_text(json.dumps(queries, indent=1, sort_keys=True) + "\n")
         print(f"reference updated: {len(queries)} queries -> {DEFAULT_REF}")
         return 0
-    cand = load_queries(argv[0])
-    ref = load_queries(argv[1] if len(argv) > 1 else DEFAULT_REF)
+    cand, cand_partial = load_queries(argv[0])
+    ref, _ = load_queries(argv[1] if len(argv) > 1 else DEFAULT_REF)
+    # Bench marks queries that threw as -1; they must fail the gate, never
+    # read as "fast", and must never enter the reference on --update.
+    errored = sorted(q for q, s in cand.items() if s < 0)
+    cand = {q: s for q, s in cand.items() if s >= 0}
+    ref = {q: s for q, s in ref.items() if s >= 0}
     regressions, missing = [], []
     for q, ref_s in sorted(ref.items()):
         if q not in cand:
-            missing.append(q)
+            # a partial candidate only lists the slowest-50: absence = fast
+            if not cand_partial:
+                missing.append(q)
             continue
         cand_s = cand[q]
         if cand_s > FACTOR * ref_s and cand_s > FLOOR_SEC:
             regressions.append(
                 f"REGRESSION {q}: {cand_s:.2f}s vs {ref_s:.2f}s reference "
                 f"({cand_s / ref_s:.1f}x > {FACTOR}x)")
+    for q in errored:
+        print(f"ERRORED {q}: bench recorded a failure (-1), no timing exists")
     for q in missing:
         print(f"MISSING {q}: in reference but not in candidate bench")
     for r in regressions:
@@ -60,10 +114,11 @@ def main(argv):
     new = sorted(set(cand) - set(ref))
     if new:
         print(f"note: {len(new)} queries not in reference: {', '.join(new)}")
-    ok = not regressions and not missing
+    ok = not regressions and not missing and not errored
     print(("OK" if ok else "FAIL") +
           f": {len(cand)} queries vs {len(ref)} reference, "
-          f"{len(regressions)} regressions, {len(missing)} missing")
+          f"{len(regressions)} regressions, {len(missing)} missing, "
+          f"{len(errored)} errored")
     return 0 if ok else 1
 
 

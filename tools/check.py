@@ -31,6 +31,15 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
+# Verify records per-query exceptions here; a throwing query writes no
+# parquet, and without this check it would silently vanish from the compare
+# (r8: 20 broken queries read as "140/140 green").
+import os
+try:
+    verify_errors = json.load(open(f"{OUT}/verify_errors.json"))
+except FileNotFoundError:
+    verify_errors = {}
+
 
 def cell(v):
     """Dtype-faithful scalar rendering. Distinct dtypes must render
@@ -67,6 +76,11 @@ def rows_of(df):
 
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if not os.path.isdir(f"{OUT}/{name}"):
+        why = verify_errors.get(name, "no result dir (query not run?)")
+        print(f"FAIL {name}: missing result -- {why}")
+        fails += 1
+        continue
     try:
         mine = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
         ora = con.sql(sql).df()
