@@ -40,9 +40,11 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      // Iterative operators persist intermediates; drop them so later
-      // queries aren't measured under another query's cache pressure.
-      spark.catalog.clearCache()
+      // Iterative operators persist/localCheckpoint intermediates; drop BOTH
+      // the catalog cache and RDD-level blocks so later queries aren't
+      // measured under another query's storage pressure (clearCache alone
+      // leaves localCheckpoint blocks resident — r8 regression root cause).
+      GraftSession.releaseMaterialized(spark)
       name -> (if (failed) -1.0 else times.min)
     }.toMap
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

@@ -34,6 +34,21 @@ object GraftSession {
     // small side of star joins on the map side.
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
 
+  /** Release every materialized intermediate: catalog-cached plans AND
+    * RDD-level persisted blocks. Iterative/multi-consumer operators
+    * lineage-truncate bounded intermediates with eager `localCheckpoint`
+    * (DedupOps, SimilarityOps, GraphOps, …); those blocks live outside the
+    * CacheManager, so `catalog.clearCache()` alone leaves them resident and
+    * across a 160-query session the accumulated storage depresses later
+    * queries (observed driver-side in round 8: q_ewma 5.4 s vs 0.33 s solo).
+    * Call ONLY between queries: a locally-checkpointed RDD has truncated
+    * lineage, so its DataFrame must never be re-evaluated after release.
+    */
+  def releaseMaterialized(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   /** Local session for tests / ad-hoc runs. */
   def local(threads: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = configure(

@@ -490,6 +490,10 @@ class PlanQualitySpec extends SparkSpec {
       val globals = fn(spark, dir).queryExecution.optimizedPlan.collect {
         case w: LogicalWindow if w.partitionSpec.isEmpty => w
       }
+      // building a query eagerly materializes its localCheckpoint sites;
+      // release them so the catalog sweep doesn't accumulate 160 queries'
+      // blocks in the shared session (ARCHITECTURE.md §13)
+      GraftSession.releaseMaterialized(spark)
       if (globals.nonEmpty) Some(name) else None
     }.toSet
     val offenders = withGlobals.diff(bounded.keySet)
@@ -531,6 +535,7 @@ class PlanQualitySpec extends SparkSpec {
     val (issues, bnljSeen) = SparkEntry.queries.toSeq.foldLeft(
         (Seq.empty[String], Set.empty[String])) { case ((is, seen), (name, fn)) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      GraftSession.releaseMaterialized(spark) // see the global-window sweep
       val hasBnlj = plan.contains("BroadcastNestedLoopJoin")
       val cart = if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
       val bnlj = if (hasBnlj && !bnljBounded.contains(name))
