@@ -299,7 +299,7 @@ object AnalyticsQueries {
         |  FROM e WINDOW win AS (PARTITION BY event_type ORDER BY ts_us, event_id
         |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, ts_us, event_id, value,
-        |  CASE WHEN pn >= 5 AND ps > 0 THEN round((value - pm) / ps, 4) END AS z,
+        |  CASE WHEN pn >= 5 AND ps > 0 THEN round((value - pm) / ps, 4) + 0 END AS z,
         |  coalesce(CASE WHEN pn >= 5 AND ps > 0
         |    THEN abs(round((value - pm) / ps, 4)) > 2.5 END, false) AS is_anomaly
         |FROM w ORDER BY event_type, ts_us, event_id""".stripMargin.replaceAll("\\s+", " "),
@@ -325,12 +325,12 @@ object AnalyticsQueries {
 
     "q_stat_aggs" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-        |round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qp,
+        |round(covar_samp(l_quantity, l_extendedprice), 2) + 0 AS covar_qp,
         |round(stddev_samp(l_extendedprice), 4) AS std_price,
         |round(var_samp(l_quantity), 4) AS var_qty,
-        |round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-        |round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+        |round(regr_slope(l_extendedprice, l_quantity), 4) + 0 AS slope,
+        |round(regr_intercept(l_extendedprice, l_quantity), 4) + 0 AS intercept
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\\s+", " "),
 
@@ -432,8 +432,8 @@ object AnalyticsQueries {
         |    lag(cnt, 7) OVER (ORDER BY day) AS lag7
         |  FROM daily)
         |SELECT CAST(count(cnt) AS BIGINT) AS n,
-        |  round(corr(cnt, lag1), 6) AS corr_lag1,
-        |  round(corr(cnt, lag7), 6) AS corr_lag7
+        |  round(corr(cnt, lag1), 6) + 0 AS corr_lag1,
+        |  round(corr(cnt, lag7), 6) + 0 AS corr_lag7
         |FROM l""".stripMargin.replaceAll("\\s+", " "),
 
     // Mirrors the degree-ordered orientation step for step: canonical

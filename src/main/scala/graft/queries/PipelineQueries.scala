@@ -388,7 +388,7 @@ object PipelineQueries {
         |  FROM e GROUP BY 1)
         |SELECT event_id, e.event_type,
         |  coalesce(round(value, 6), mean_v) AS value_imp,
-        |  CASE WHEN sd > 0 THEN round((value - mu) / sd, 6) END AS value_z,
+        |  CASE WHEN sd > 0 THEN round((value - mu) / sd, 6) + 0 END AS value_z,
         |  CAST(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END AS BIGINT) AS event_type_click,
         |  CAST(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END AS BIGINT) AS event_type_error,
         |  CAST(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS event_type_purchase,
