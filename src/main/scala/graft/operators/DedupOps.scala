@@ -494,8 +494,15 @@ object DedupOps {
       .persist()
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("cluster").cast("decimal(38,0)"))).first().getDecimal(0)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    // Fused first round: labels₀ = id makes round 1's neighbour-min over
+    // {self} ∪ neighbours exactly least(src, min(dst)) — one aggregation
+    // over the symmetrized edges replaces the node-distinct, its
+    // checkpoint, AND the first loop iteration's join (the loop below then
+    // starts from labels₁; convergence detection is unchanged since labels
+    // only ever decrease).
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster"))
+      .select(col("src").as("id"), col("cluster"))
       .localCheckpoint(true)
     var prevSum = labelSum(labels)
     var iter = 0
