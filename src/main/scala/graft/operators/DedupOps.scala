@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for the training-data pipeline, in
@@ -260,15 +260,36 @@ object DedupOps {
       .union(cands.select(col("idb").as("__cand_id")))
       .distinct()
     val needed = docs.join(candIds, col(idCol) === col("__cand_id"), "left_semi")
-    // sort once per DOCUMENT so the per-PAIR intersection is a primitive
-    // two-pointer merge (native sorted_intersect_count) instead of
-    // size(array_intersect(…))'s per-row hash-set build — the verify step
-    // runs once per candidate pair, which outnumber documents by orders of
-    // magnitude under near-dup-heavy blocking
-    val sets = shingleHashed(needed, textCol, idCol, n)
-      .groupBy("id")
-      .agg(sort_array(collect_set(col("s"))).as("sh"))
+    // Per-doc sorted distinct shingle-hash sets as a PURE MAP (native
+    // ngram_hashes kernel) — no explode, no groupBy, no shuffle; sorted so
+    // the per-PAIR intersection is a primitive two-pointer merge (native
+    // sorted_intersect_count) instead of size(array_intersect(…))'s per-row
+    // hash-set build — the verify step runs once per candidate pair, which
+    // outnumber documents by orders of magnitude under near-dup-heavy
+    // blocking. Empty sets (texts shorter than n) are dropped, matching the
+    // exploded formulation which emitted no rows for them.
+    // The set table is consumed TWICE (ida side, idb side) and a broadcast
+    // build would otherwise re-run scan + semi-join + shingle per side —
+    // materialize once (bounded: candidate docs × ~n_sh longs, the same
+    // boundedness argument as the cands checkpoint above). fanOut spreads
+    // the shingle kernel across cores when the corpus scan is a single
+    // small file (see ScaleOps.fanOut — no-op at production scale).
+    // persist(), NOT localCheckpoint: the set table is consumed TWICE
+    // (ida-side and idb-side joins) and each broadcast build would
+    // otherwise re-run scan + semi-join + shingle kernel — but a checkpoint
+    // replaces the logical plan with an RDD scan whose stats AQE cannot
+    // measure (no shuffle stage), demoting both joins to SMJ (measured
+    // +1.5 s at sf0.1). persist keeps the plan — and AQE's runtime
+    // broadcast — while computing the blocks once. Size is bounded by
+    // candidate docs × ~n_sh longs; released by
+    // GraftSession.releaseMaterialized after the query.
+    val sets = needed
+      .where(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), call_function("ngram_hashes", col("toks"), lit(n)).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
+      .where(col("n_sh") > 0)
+      .persist()
     cands
       .join(sets.select(col("id").as("ida"), col("sh").as("sha"), col("n_sh").as("na")), Seq("ida"))
       .join(sets.select(col("id").as("idb"), col("sh").as("shb"), col("n_sh").as("nb")), Seq("idb"))
@@ -341,10 +362,25 @@ object DedupOps {
       s"probe multiplier $probeMult (chunks=$chunks -> width=$width, probeBits=$probeBits) " +
         "exceeds the 160-rows-per-(doc,chunk) budget; use more chunks or fewer probe bits")
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sigs = simhash(docs, textCol, idCol)
-    // the full signature rides along with every index row, so the Hamming
-    // gate below needs no join-back
-    val chunked = sigs.select(col("id"), col("simhash"),
+    // Signature build also counts each document's distinct hashed shingles
+    // (identical hashes to the verify step's set build — both are the native
+    // `ngram_hashes` kernel — so the length gate below is exact): one extra
+    // linear pass per document at signature time buys a length filter over
+    // the quadratic pair stream.
+    val sigs = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        call_function("simhash64", transform(col("toks"), t => xxhash64(t))).as("simhash"),
+        size(call_function("ngram_hashes", col("toks"), lit(n))).cast("long").as("n_sh"))
+    // Signatures are ~24 B/doc — fan them out when the source is a small
+    // single-row-group file, or the probe explode + bucket join below (a
+    // broadcast join: NO shuffle restores parallelism) runs on one core
+    // (measured 1.85 s single-task vs ~0.3 s spread at sf0.1).
+    val sigsPar = ScaleOps.fanOut(sigs)
+    // the full signature and shingle count ride along with every index row,
+    // so the Hamming + length gates below need no join-back
+    val chunked = sigsPar.select(col("id"), col("simhash"), col("n_sh"),
       posexplode(array((0 until chunks).map(c =>
         shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
@@ -356,7 +392,7 @@ object DedupOps {
       else Seq.empty)
     val probed =
       if (flips.isEmpty) chunked
-      else chunked.select(col("id"), col("simhash"), col("chunk"),
+      else chunked.select(col("id"), col("simhash"), col("n_sh"), col("chunk"),
         explode(array(col("chunk_val") +:
           flips.map(m => col("chunk_val").bitwiseXOR(lit(m))): _*))
           .as("chunk_val"))
@@ -365,15 +401,39 @@ object DedupOps {
     // join the gate is a pure codegen'd filter (xor+bit_count) on the
     // joined stream — so the bulk of bucket-collision noise (measured 5.8M
     // pair rows at sf0.1: correlated simhash bits make probe buckets
-    // collide far more than uniform hashes would) dies before BOTH the
-    // distinct and the expensive set-intersection verify.
+    // collide far more than uniform hashes would) dies before the
+    // expensive set-intersection verify.
     val maxHamming = chunks * (probeBits + 1) - 1
+    // Pair-level dedup WITHOUT a shuffle: a pair (a,b) collides in chunk c
+    // iff the intra-chunk Hamming distance is ≤ probeBits (a's probe set is
+    // exactly the ≤probeBits-bit flips of its chunk value), and within a
+    // chunk at most one probe value matches. So "keep only the FIRST
+    // colliding chunk" — every earlier chunk has intra-chunk Hamming >
+    // probeBits — emits each candidate pair exactly once, as a codegen'd
+    // filter on the two signatures already riding the join. Replaces the
+    // distinct() that shuffled 1.2M pair rows at sf0.1 (2.1× average
+    // bucket multiplicity) with a zero-exchange map-side gate.
+    val xorSig = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    def chunkHamming(c: Int) =
+      bit_count(shiftright(xorSig, c * width).bitwiseAND(lit(mask)))
+    val firstCollidingChunk = (0 until chunks).reverse
+      .foldLeft(lit(chunks): Column) { (acc, c) =>
+        when(chunkHamming(c) <= probeBits, lit(c)).otherwise(acc)
+      }
+    // Length gate (PPJoin-family size filter): Jaccard ≤ min/max of the two
+    // distinct-shingle counts, so `min ≥ t·max` is a NECESSARY condition for
+    // J ≥ t — pairs it drops could never pass the exact verify. Measured at
+    // sf0.1 it kills ~43% of bucket-collision pairs before the expensive
+    // set-intersection step, as a codegen'd comparison on counts already
+    // riding the join.
+    val lengthGate = least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+      lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh")).cast("double")
     val cands = probed.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
         col("a.id") < col("b.id"))
-      .where(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
+      .where(bit_count(xorSig) <= maxHamming &&
+        col("a.chunk") === firstCollidingChunk && lengthGate)
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
-      .distinct()
     verifyJaccard(docs, cands, n, threshold, textCol, idCol)
   }
 

@@ -9,6 +9,27 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Restore map-side parallelism when the SOURCE under-supplies partitions.
+    *
+    * Parquet splits at row-group boundaries, so a small single-row-group
+    * file yields ONE scan partition no matter how many cores exist — and a
+    * broadcast-join-only pipeline (no shuffle anywhere) then runs start to
+    * finish on one core. This repartitions to `defaultParallelism` ONLY when
+    * the plan's estimated size says the scan cannot reach that parallelism
+    * anyway (`sizeInBytes < cores × files.maxPartitionBytes`), which bounds
+    * the repartition shuffle by cores × maxPartitionBytes — trivial — while
+    * making the call a provable NO-OP on production-scale inputs, where the
+    * scan already has thousands of natural splits. Call it on a NARROW
+    * intermediate (signatures, ids), never on wide text/binary columns.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val maxPart = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(maxPart) * target)
+      df.repartition(target)
+    else df
+  }
+
   /** Persist a DataFrame as a bucketed, sorted table. Later joins and
     * aggregations on the bucket key read co-located partitions and skip the
     * exchange entirely — the classic pre-shuffle trade: one write-time

@@ -459,6 +459,32 @@ class OpsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("native ngram_hashes: sorted distinct window hashes, faithful to string n-grams") {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val df = docs.select(col("doc_id").as("id"), tokens(col("text")).as("toks"))
+      .withColumn("sh", call_function("ngram_hashes", col("toks"), lit(3)))
+    // size == distinct string 3-gram count (hash is injective on this corpus)
+    val sizeMismatch = df
+      .where(size(col("sh")) =!= size(shingles(col("toks"), 3))).count()
+    assert(sizeMismatch == 0)
+    // strictly ascending (sorted AND deduplicated)
+    val unsorted = df.where(exists(
+      zip_with(col("sh"), slice(col("sh"), lit(2), size(col("sh"))), (a, b) => b <= a),
+      x => x)).count()
+    assert(unsorted == 0)
+    // pairwise intersect counts equal string-shingle intersect counts, so
+    // Jaccard over hashed sets == Jaccard over string sets (the verify
+    // step's correctness contract)
+    val pairs = df.as("a").join(df.as("b"), col("a.id") < col("b.id")).limit(2000)
+      .where(call_function("sorted_intersect_count", col("a.sh"), col("b.sh")) =!=
+        size(array_intersect(shingles(col("a.toks"), 3), shingles(col("b.toks"), 3))).cast("long"))
+    assert(pairs.count() == 0)
+    // shorter than n -> empty, not null
+    val short = Seq((1L, "a b")).toDF("id", "text")
+      .select(call_function("ngram_hashes", tokens(col("text")), lit(3)).as("sh"))
+    assert(short.head().getSeq[Long](0).isEmpty)
+  }
+
   test("native sorted_intersect_count equals size(array_intersect) on sorted sets") {
     val rnd = new scala.util.Random(3)
     val rows = (0 until 200).map { i =>
