@@ -268,12 +268,6 @@ object DedupOps {
     // outnumber documents by orders of magnitude under near-dup-heavy
     // blocking. Empty sets (texts shorter than n) are dropped, matching the
     // exploded formulation which emitted no rows for them.
-    // The set table is consumed TWICE (ida side, idb side) and a broadcast
-    // build would otherwise re-run scan + semi-join + shingle per side —
-    // materialize once (bounded: candidate docs × ~n_sh longs, the same
-    // boundedness argument as the cands checkpoint above). fanOut spreads
-    // the shingle kernel across cores when the corpus scan is a single
-    // small file (see ScaleOps.fanOut — no-op at production scale).
     // persist(), NOT localCheckpoint: the set table is consumed TWICE
     // (ida-side and idb-side joins) and each broadcast build would
     // otherwise re-run scan + semi-join + shingle kernel — but a checkpoint

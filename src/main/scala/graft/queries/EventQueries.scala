@@ -36,14 +36,27 @@ object EventQueries {
   private def tsUs: Column = col("ts") - (col("ts") % 1000)
 
   /** Shared derived columns (the "details" analog). */
-  private def enriched(t: Tables): DataFrame = {
+  private def enriched(t: Tables): DataFrame = enriched(t.events)
+
+  private def enriched(events: DataFrame): DataFrame = {
     val k = from_json(col("props"), kSchema).getField("k")
-    t.events
+    events
       .withColumn("k", k)
       .withColumn("exit_code", (col("k") % 3).cast("string"))
       .withColumn("oom_killed", when(col("value") > 95, "true").otherwise("false"))
       .withColumn("restart_reason", when(col("k") % 2 === 1, "unhealthy").otherwise("ok"))
   }
+
+  /** Events pre-sorted by event_id for per-row assembly queries whose output
+    * contract is ORDER BY event_id anyway. Sorting FIRST moves only the
+    * narrow input columns through the range exchange, and — because the
+    * events parquet is a small single-row-group file that scans as ONE
+    * partition — the exchange is also what spreads the downstream JSON/
+    * string assembly across cores instead of leaving it on a single task.
+    * Column pruning still narrows the scan below the sort; the computing
+    * projection stays above it, and projection/filter preserve the sort
+    * order, so `.orderBy` at the end becomes unnecessary. */
+  private def eventsSorted(t: Tables): DataFrame = t.events.orderBy("event_id")
 
   private def stateCol: Column =
     classifyState(col("event_type"), "signup", "purchase",
@@ -85,10 +98,9 @@ object EventQueries {
     // S3 — schema-on-read JSON decode with malformed-drop (lib/ndjson.rb:31-33):
     // PERMISSIVE from_json + null filter.
     "q_ndjson_decode" -> { t =>
-      t.events
+      eventsSorted(t)
         .select(col("event_id"), from_json(col("props"), kSchema).getField("k").as("k"))
         .where(col("k").isNotNull)
-        .orderBy("event_id")
     },
 
     // F1 — heartbeat split (app.rb:110-117): partition the stream into
@@ -203,7 +215,7 @@ object EventQueries {
     // D3 — details quote-swap + JSON re-encode + fenced description
     // (app.rb:186-193).
     "q_details_json" -> { t =>
-      val e = enriched(t)
+      val e = enriched(eventsSorted(t))
       val details = map(
         lit("exit_code"), col("exit_code"),
         lit("oom_killed"), col("oom_killed"),
@@ -212,7 +224,6 @@ object EventQueries {
           detailsJson(details).as("details_json"),
           fencedDescription(concat(lit("event "), col("event_id").cast("string")),
             detailsJson(details)).as("description"))
-        .orderBy("event_id")
     },
 
     // D4 — three-valued state classification (app.rb:195-209).
@@ -251,14 +262,13 @@ object EventQueries {
     // D8 — payload assembly; to_json omits the NULL colour key exactly like
     // the reference's conditional embed colour (app.rb:214-234).
     "q_payload_json" -> { t =>
-      enriched(t)
+      enriched(eventsSorted(t))
         .withColumn("state", stateCol)
         .select(col("event_id"),
           discordPayload(
             concat(lit("event "), col("event_id").cast("string")),
             subject(taskIdCol, col("event_type"), nodeCol),
             discordColor(col("state"))).as("payload"))
-        .orderBy("event_id")
     },
 
     // D9 — ns-epoch timestamp codec (app.rb:9-23).
@@ -282,7 +292,7 @@ object EventQueries {
     // newlines and the fenced details JSON (double quotes), so this also
     // proves to_json's escaping against DuckDB's.
     "q_slack_payload" -> { t =>
-      val e = enriched(t)
+      val e = enriched(eventsSorted(t))
       val details = map(
         lit("exit_code"), col("exit_code"),
         lit("oom_killed"), col("oom_killed"),
@@ -294,7 +304,6 @@ object EventQueries {
             fencedDescription(concat(lit("event "), col("event_id").cast("string")),
               detailsJson(details)),
             slackColor(col("state"))).as("payload"))
-        .orderBy("event_id")
     }
   )
 

@@ -44,8 +44,12 @@ object FunctionQueries {
     },
 
     // Math functions over lineitem.
+    // sort FIRST (output contract is this ORDER BY anyway): the range
+    // exchange spreads the per-row math + the wide result materialization
+    // across cores — the 600k-row lineitem parquet scans as ONE partition
+    // (single row group), so projection-then-sort runs the map single-task.
     "q_math_funcs" -> { t =>
-      t.lineitem.select(
+      t.lineitem.orderBy("l_orderkey", "l_linenumber").select(
         col("l_orderkey"), col("l_linenumber"),
         round(abs(col("l_discount") - 0.05), 6).as("absd"),
         ceil(col("l_quantity")).as("ceilq"),
@@ -54,7 +58,6 @@ object FunctionQueries {
         round(ln(col("l_extendedprice") + 1), 6).as("lnp"),
         round(pow(col("l_tax") + 1, 2), 6).as("powt"),
         signum(col("l_discount") - 0.04).cast("double").as("sgn"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
 
     // Pivot: per-user event-type counts as columns.

@@ -37,8 +37,12 @@ object PipelineQueries {
     // Deterministic MLM corruption: mask tokens where md5("doc:pos")'s
     // first 4 hex digits fall under the 15% threshold — reproducible across
     // engines and retries, no RNG state.
+    // sort FIRST: the output contract is ORDER BY doc_id anyway, maskTokens
+    // is a pure (order-preserving) projection, and the range exchange is
+    // what spreads the per-token md5 work across cores when the documents
+    // parquet scans as a single partition (small single-row-group file).
     "q_mask_tokens" -> { t =>
-      PipelineOps.maskTokens(t.documents, rate = 0.15).orderBy("doc_id")
+      PipelineOps.maskTokens(t.documents.orderBy("doc_id"), rate = 0.15)
     },
 
     // Chained regex redaction (PII-scrub shape) over customer names.
@@ -140,14 +144,20 @@ object PipelineQueries {
 
     // Winsorization: prices clamped into the per-flag [p05, p95] band —
     // robust-stats outlier treatment preserving row count.
+    // sort FIRST (the output contract is this ORDER BY anyway): winsorize's
+    // only joins are explicit broadcast()s, which stream the probe side and
+    // preserve its per-partition order and range partitioning — so the
+    // 600k-row range sort moves the narrow input instead of the widened
+    // output, and the exchange is what parallelizes the clamp when the
+    // lineitem parquet scans as one partition (single row group).
     "q_winsorize" -> { t =>
       graft.operators.QuantileOps.winsorize(
-          t.lineitem.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+          t.lineitem.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+            .orderBy("l_orderkey", "l_linenumber"),
           groupCol = "l_returnflag", valCol = "l_extendedprice",
           pLo = 0.05, pHi = 0.95)
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
           col("l_returnflag"), col("l_extendedprice_w"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
 
     // Data profiling: one summary row per inspected column.
