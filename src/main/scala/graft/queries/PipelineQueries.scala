@@ -144,20 +144,17 @@ object PipelineQueries {
 
     // Winsorization: prices clamped into the per-flag [p05, p95] band —
     // robust-stats outlier treatment preserving row count.
-    // sort FIRST (the output contract is this ORDER BY anyway): winsorize's
-    // only joins are explicit broadcast()s, which stream the probe side and
-    // preserve its per-partition order and range partitioning — so the
-    // 600k-row range sort moves the narrow input instead of the widened
-    // output, and the exchange is what parallelizes the clamp when the
-    // lineitem parquet scans as one partition (single row group).
+    // NOTE: sort must stay LAST here — a sort below a join is removed by
+    // Catalyst's EliminateSorts (join inputs are order-free), unlike the
+    // pure-projection queries where sort-first parallelizes the map work.
     "q_winsorize" -> { t =>
       graft.operators.QuantileOps.winsorize(
-          t.lineitem.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
-            .orderBy("l_orderkey", "l_linenumber"),
+          t.lineitem.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
           groupCol = "l_returnflag", valCol = "l_extendedprice",
           pLo = 0.05, pHi = 0.95)
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
           col("l_returnflag"), col("l_extendedprice_w"))
+        .orderBy("l_orderkey", "l_linenumber")
     },
 
     // Data profiling: one summary row per inspected column.
