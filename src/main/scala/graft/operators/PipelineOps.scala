@@ -484,4 +484,49 @@ object PipelineOps {
       .groupBy(keyCols.map(col): _*)
       .agg(sum(sumCols.head).as(sumCols.head),
         sumCols.tail.map(c => sum(c).as(c)): _*)
+
+  /** Cross-document boilerplate stripping: remove every token covered by a
+    * word n-gram that appears in at least `minDf` DISTINCT documents — the
+    * repeated-span removal step of web-corpus curation (shared headers,
+    * navigation, license blocks), distinct from document-level dedup in
+    * that it rewrites surviving documents instead of dropping them.
+    *
+    * Plan shape: positional n-grams exploded once (corpus-linear), document
+    * frequency via one partial-aggregated groupBy on the gram hash, then a
+    * shuffle JOIN of positions against the frequent-gram set — never a
+    * broadcast, because at `minDf` = 2 the frequent set is as large as the
+    * duplicated text itself. Covered positions aggregate per document
+    * (state bounded by document length) and the rebuild is a codegen'd
+    * array filter per document. Output: (idCol, clean_text, n_removed,
+    * n_tokens); documents shorter than n tokens pass through unchanged.
+    *
+    * Positions are 1-based so the SQL oracle's list slicing maps 1:1.
+    */
+  def stripBoilerplate(docs: DataFrame, n: Int = 8, minDf: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toked = docs.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+    val grams = toked
+      .where(size(col("toks")) >= n)
+      .select(col("id"), col("toks"), explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
+      .select(col("id"), col("i"),
+        xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("g"))
+    val freq = grams
+      .groupBy("g").agg(count_distinct(col("id")).as("df"))
+      .where(col("df") >= minDf)
+      .select("g")
+    val covered = grams.join(freq, Seq("g"))
+      .select(col("id"), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .groupBy("id")
+      .agg(sort_array(collect_set(col("p"))).as("cov"))
+    val positions = sequence(lit(1), size(col("toks")))
+    val kept = filter(
+      zip_with(col("toks"), positions, (t, p) => struct(t.as("t"), p.as("p"))),
+      s => not(array_contains(col("cov"), s.getField("p"))))
+    toked.join(covered, Seq("id"), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .select(col("id").as(idCol),
+        concat_ws(" ", transform(kept, s => s.getField("t"))).as("clean_text"),
+        size(col("cov")).cast("long").as("n_removed"),
+        size(col("toks")).cast("long").as("n_tokens"))
+  }
 }

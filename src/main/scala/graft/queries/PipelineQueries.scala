@@ -63,6 +63,14 @@ object PipelineQueries {
       PipelineOps.topNgrams(t.documents, n = 2, k = 20)
     },
 
+    // Cross-document boilerplate stripping: tokens covered by any 8-gram
+    // shared across ≥2 documents are removed from the surviving text (the
+    // repeated-span curation step; document-level dedup handles whole-doc
+    // copies, this rewrites partial copies).
+    "q_boilerplate_strip" -> { t =>
+      PipelineOps.stripBoilerplate(t.documents, n = 8, minDf = 2).orderBy("doc_id")
+    },
+
     // SHA-256 pseudonymization of the user key, referentially stable.
     "q_anonymize" -> { t =>
       PipelineOps.pseudonymize(t.events, "user_id", "pseudonym")
@@ -358,6 +366,24 @@ object PipelineQueries {
         |SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS ngram
         |FROM (SELECT string_split(text, ' ') AS t FROM documents))
         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_boilerplate_strip" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(t[i:i+7],' ') AS gram
+        |      FROM tok, unnest(range(1, len(t)-6)) AS u(i) WHERE len(t) >= 8),
+        |freq AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, g.i + d AS p
+        |        FROM g JOIN freq USING (gram), unnest(range(0, 8)) AS w(d)),
+        |tp AS (SELECT doc_id, t[i] AS tk, i FROM tok, unnest(range(1, len(t)+1)) AS u(i)),
+        |kept AS (SELECT tp.doc_id,
+        |  coalesce(string_agg(CASE WHEN cov.p IS NULL THEN tp.tk END, ' ' ORDER BY tp.i), '') AS clean_text
+        |  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.i
+        |  GROUP BY tp.doc_id),
+        |nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT tok.doc_id, kept.clean_text, coalesce(nrem.n_removed, 0) AS n_removed,
+        |CAST(len(tok.t) AS BIGINT) AS n_tokens
+        |FROM tok JOIN kept USING (doc_id) LEFT JOIN nrem USING (doc_id)
+        |ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_anonymize" ->
       """SELECT event_id, sha256(CAST(user_id AS VARCHAR)) AS pseudonym, event_type

@@ -135,6 +135,27 @@ object TextQueries {
       TextOps.tokenCounts(t.documents).orderBy("doc_id")
     },
 
+    // Heavy hitters: the exact top-20 tokens (count desc, token asc) each
+    // checked for membership in a 200-counter Misra–Gries sketch built in
+    // one corpus pass with O(k) state per partial. The sketch guarantees
+    // membership for any token with count > N/(k+1) ≈ 0.5% of tokens; the
+    // top-20 sit at ~3% each, so `in_sketch` is deterministically true
+    // regardless of merge order — the same pin-the-guarantee pattern as
+    // q_approx_quantile / q_approx_distinct.
+    "q_heavy_hitters" -> { t =>
+      import graft.functions.TextFunctions.tokens
+      val mg = udaf(new graft.functions.MisraGriesAggregator(200))
+      val sketch = t.documents.agg(mg(tokens(col("text"))).as("mg"))
+      val exact = t.documents
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("token")).limit(20)
+      exact.crossJoin(broadcast(sketch)) // 20 × 1-row sketch
+        .select(col("token"), col("cnt"),
+          map_contains_key(col("mg"), col("token")).as("in_sketch"))
+        .orderBy(desc("cnt"), asc("token"))
+    },
+
     // Fingerprinting: md5 fingerprint is oracle-checked; the rolling hash is
     // engine-specific so it is excluded here and covered by ScalaTest.
     "q_doc_fingerprint" -> { t =>
@@ -563,6 +584,12 @@ object TextQueries {
         |len(string_split(text, ' ')) AS ws_tokens,
         |len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token)
+        |SELECT token, cnt, true AS in_sketch FROM cnt
+        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin.replaceAll("\\s+", " "),
 
     "q_doc_fingerprint" ->
       """SELECT doc_id,

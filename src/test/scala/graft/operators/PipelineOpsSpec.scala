@@ -28,6 +28,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.values.forall(Set("train", "valid", "test")))
   }
 
+  test("stripBoilerplate removes only cross-doc shared n-gram spans") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8" // one 8-gram, shared by docs 1+2
+    val d = docs(
+      1L -> s"a b c $shared d e",
+      2L -> s"x y $shared z",
+      3L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10") // unique: untouched
+    val out = PipelineOps.stripBoilerplate(d, n = 8, minDf = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "a b c d e", 8L, 13L)))
+    assert(out(1) == ((2L, "x y z", 8L, 11L)))
+    assert(out(2) == ((3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", 0L, 10L)))
+    // shorter than n passes through (no window exists)
+    val short = PipelineOps.stripBoilerplate(docs(9L -> "a b c", 10L -> "a b c"), n = 8)
+      .orderBy("doc_id").collect()
+    assert(short.map(_.getString(1)).toSeq == Seq("a b c", "a b c"))
+    assert(short.map(_.getLong(2)).toSeq == Seq(0L, 0L))
+  }
+
+  test("Misra-Gries sketch: bounded state and the N/(k+1) membership guarantee") {
+    val k = 5
+    val agg = new graft.functions.MisraGriesAggregator(k)
+    // adversarial order: heavy item arrives FIRST, then distinct noise tries
+    // to evict it; 30 occurrences of "hot" in N=130 > N/(k+1) ≈ 21.7
+    val stream: Seq[Seq[String]] =
+      Seq.fill(30)(Seq("hot")) ++ (0 until 100).map(i => Seq(s"noise$i"))
+    val direct = stream.foldLeft(agg.zero)(agg.reduce)
+    assert(direct.size <= k)
+    assert(direct.contains("hot"))
+    // arbitrary merge tree preserves the guarantee
+    val (l, r) = stream.splitAt(37)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.size <= k)
+    assert(merged.contains("hot"))
+    // estimated count never exceeds the true count
+    assert(direct("hot") <= 30L && merged("hot") <= 30L)
+  }
+
   test("chunk produces overlapping windows and a short tail") {
     // 7 tokens, size 3, stride 2 → starts 0,2,4,6: tails shorten
     val out = PipelineOps.chunk(docs(1L -> "t0 t1 t2 t3 t4 t5 t6"), size = 3, stride = 2)
