@@ -17,9 +17,41 @@ import org.apache.spark.sql.functions._
 object QuantileOps {
 
   /** One row per group: one `label` column per requested probability with
-    * the round(·, scale) quantile of `valCol`. */
+    * the round(·, scale) quantile of `valCol`.
+    *
+    * ADAPTIVE: two formulations with identical results (pinned in
+    * ScalaTest), chosen from the plan's size estimate the same way
+    * [[ScaleOps.fanOut]] decides — the crossover is "would the whole input
+    * fit the executors comfortably" (cores × files.maxPartitionBytes):
+    *
+    *  - small inputs → [[windowQuantiles]]: one shuffle + per-group window.
+    *    Parallelism is capped at the group count, but below the threshold
+    *    the whole input is a few hundred MB and the window costs less than
+    *    the selection path's extra jobs.
+    *  - large inputs → [[selectionQuantiles]]: distributed selection with
+    *    partition-count metadata — parallelism independent of group count
+    *    and NO task ever buffers a whole group, which is what matters when
+    *    one group is 30 TB of a 100 TB table.
+    */
   def exactQuantiles(df: DataFrame, groupCol: String, valCol: String,
                      ps: Seq[(String, Double)], scale: Int = 4): DataFrame = {
+    require(ps.nonEmpty, "need at least one quantile")
+    val spark = df.sparkSession
+    val threads = spark.sparkContext.defaultParallelism
+    val maxPart = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(maxPart) * threads)
+      windowQuantiles(df, groupCol, valCol, ps, scale)
+    else
+      selectionQuantiles(df, groupCol, valCol, ps, scale)
+  }
+
+  /** Per-group window formulation: `row_number` over partitionBy(group) +
+    * boundary-row aggregation. Each group lands on ONE window partition —
+    * parallelism = group count, task memory ∝ largest group — so this is
+    * only planned when the whole input is executor-comfortable (see
+    * [[exactQuantiles]]). */
+  private[operators] def windowQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                     ps: Seq[(String, Double)], scale: Int): DataFrame = {
     val byVal = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
     val whole = Window.partitionBy(col(groupCol))
     val ranked = df
@@ -49,6 +81,130 @@ object QuantileOps {
       .where(needed)
       .groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DISTRIBUTED SELECTION — the 100 TB path:
+    *
+    *  1. range-repartition + in-partition sort on (group, value); both
+    *     spread one group across MANY partitions,
+    *  2. one pass counts rows per (partition, group) — driver receives
+    *     only partitions × groups count rows (metadata-sized: the final
+    *     answer is already `groups` rows, and partitions is a config),
+    *  3. the driver converts each target rank `(n−1)·p` into (partition,
+    *     local index) pairs, broadcast back,
+    *  4. one selection pass emits exactly the ≤ 2·|ps| boundary rows per
+    *     group (the second job reuses the first's shuffle files — same RDD
+    *     lineage, the map stage is skipped),
+    *  5. interpolation happens in Catalyst on the ORIGINAL value type with
+    *     the same expression as the window formulation (decimal-exact until
+    *     the double fraction enters), so results are bit-identical to it.
+    */
+  private[operators] def selectionQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                     ps: Seq[(String, Double)], scale: Int): DataFrame = {
+    val spark = df.sparkSession
+    // quantile_cont/percentile semantics ignore NULLs
+    val slim = df.select(col(groupCol), col(valCol)).where(col(valCol).isNotNull)
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val rdf = slim.repartitionByRange(nPart, col(groupCol), col(valCol))
+      .sortWithinPartitions(groupCol, valCol)
+    val schema = rdf.schema
+    val groupType = schema(0).dataType
+    val valType = schema(1).dataType
+    // Catalyst-internal → external (UTF8String is buffer-backed and reused
+    // by the sort iterator; Decimal/Double box into fresh objects)
+    def ext(x: Any): Any = x match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+      case other => other
+    }
+    val rdd = rdf.queryExecution.toRdd // shared lineage: one shuffle, two jobs
+    // job 1 — per-(partition, group) counts; driver traffic = nPart × groups
+    val partCounts: Array[(Int, Any, Long)] = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { row =>
+        val g = ext(row.get(0, groupType))
+        m.update(g, m.getOrElse(g, 0L) + 1L)
+      }
+      m.iterator.map { case (g, c) => (pid, g, c) }
+    }.collect()
+    val totals: Map[Any, Long] =
+      partCounts.groupBy(_._2).map { case (g, xs) => g -> xs.map(_._3).sum }
+    // per group: global offset of each partition (ranks are 1-based)
+    val offsets: Map[Any, Seq[(Int, Long, Long)]] = partCounts.groupBy(_._2).map {
+      case (g, xs) =>
+        val sorted = xs.sortBy(_._1)
+        val offs = sorted.scanLeft(0L)(_ + _._3).init
+        g -> sorted.zip(offs).map { case ((pid, _, c), off) => (pid, off, c) }
+    }
+    // target ranks per group — identical double arithmetic to the window
+    // formulation: target = (n-1)·p, lo = floor(target)+1, hi = min(lo+1, n)
+    case class Target(label: String, lo: Long, hi: Long, frac: Double)
+    val targets: Map[Any, Seq[Target]] = totals.map { case (g, n) =>
+      g -> ps.map { case (label, p) =>
+        val target = (n - 1).toDouble * p
+        val lo = math.floor(target).toLong + 1
+        Target(label, lo, math.min(lo + 1, n), target - math.floor(target))
+      }
+    }
+    // ranks → (partition, local index), broadcast for the selection pass
+    val wantedByPid: Map[Int, Map[Any, Seq[Long]]] = {
+      val triples = for {
+        (g, ts) <- targets.toSeq
+        rank <- ts.flatMap(t => Seq(t.lo, t.hi)).distinct
+        (pid, off, c) <- offsets(g)
+        if rank > off && rank <= off + c
+      } yield (pid, g, rank - off)
+      triples.groupBy(_._1).map { case (pid, xs) =>
+        pid -> xs.groupBy(_._2).map { case (g, ys) => g -> ys.map(_._3).distinct.sorted }
+      }
+    }
+    val bc = spark.sparkContext.broadcast(wantedByPid)
+    // job 2 — selection: per partition walk the (group, value)-sorted rows
+    // with a per-group counter, emitting only the wanted local ranks
+    val picked: Array[(Int, Any, Long, Any)] = rdd.mapPartitionsWithIndex { (pid, it) =>
+      bc.value.get(pid) match {
+        case None => Iterator.empty
+        case Some(wanted) =>
+          val seen = scala.collection.mutable.HashMap.empty[Any, Long]
+          it.flatMap { row =>
+            val g = ext(row.get(0, groupType))
+            val c = seen.getOrElse(g, 0L) + 1L
+            seen.update(g, c)
+            if (wanted.getOrElse(g, Nil).contains(c))
+              Iterator.single((pid, g, c, ext(row.get(1, valType))))
+            else Iterator.empty
+          }
+      }
+    }.collect()
+    // local rank → global rank via the partition offset it was selected from
+    val offsetOf: Map[(Any, Int), Long] = offsets.flatMap { case (g, xs) =>
+      xs.map { case (pid, off, _) => (g, pid) -> off }
+    }
+    val valueAt: Map[(Any, Long), Any] =
+      picked.map { case (pid, g, local, v) => (g, offsetOf((g, pid)) + local) -> v }.toMap
+    // rebuild result rows on the driver (groups × (2 values + frac) per
+    // quantile — output-sized), interpolate in Catalyst exactly as before
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(
+      StructField(groupCol, groupType) +:
+        ps.flatMap { case (label, _) => Seq(
+          StructField(s"__${label}_lo", valType),
+          StructField(s"__${label}_hi", valType),
+          StructField(s"__${label}_fr", DoubleType))
+        })
+    val rows: Seq[Row] = targets.toSeq.map { case (g, ts) =>
+      Row.fromSeq(g +: ts.flatMap(t =>
+        Seq(valueAt((g, t.lo)), valueAt((g, t.hi)), t.frac)))
+    }
+    val base = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      outSchema)
+    val cols = col(groupCol) +: ps.map { case (label, _) =>
+      val (vLo, vHi, fr) = (col(s"__${label}_lo"), col(s"__${label}_hi"), col(s"__${label}_fr"))
+      round(vLo + fr * (vHi - vLo), scale).as(label)
+    }
+    base.select(cols: _*)
   }
 
   /** Fixed-width histogram of `valCol`: bin index, count, and the bin's

@@ -21,6 +21,10 @@ class SourceAuditSpec extends AnyFunSuite {
       (1, "k-means fit sample — ≤ 256·nCentroids vectors by construction"),
     "operators/DedupOps.scala" ->
       (1, "1-row decimal checksum driving the label-propagation fixpoint"),
+    "operators/QuantileOps.scala" ->
+      (2, "distributed selection metadata: (partitions × groups) count rows, " +
+        "then ≤ 2·quantiles boundary rows per group — both output-sized, " +
+        "never data-sized (the result itself is one row per group)"),
     "tools/DiagPlan.scala" ->
       (1, "dev-only plan-dump utility, never on the query path")
   )

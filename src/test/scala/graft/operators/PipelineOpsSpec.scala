@@ -28,6 +28,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.values.forall(Set("train", "valid", "test")))
   }
 
+  test("selection quantiles are bit-identical to the window formulation") {
+    val rnd = new scala.util.Random(7)
+    // groups of very different sizes, duplicated values, decimals included
+    val rows = (0 until 5000).map { i =>
+      val g = if (i % 10 < 6) "big" else if (i % 10 < 9) "mid" else "small"
+      (g, BigDecimal(rnd.nextInt(1000)) / 4)
+    }
+    val df = rows.toDF("g", "v")
+    val ps = Seq("q10" -> 0.1, "q50" -> 0.5, "q90" -> 0.9, "q100" -> 1.0)
+    val w = QuantileOps.windowQuantiles(df, "g", "v", ps, scale = 6)
+      .orderBy("g").collect().map(_.toSeq)
+    val s = QuantileOps.selectionQuantiles(df, "g", "v", ps, scale = 6)
+      .orderBy("g").collect().map(_.toSeq)
+    assert(w.toSeq == s.toSeq)
+  }
+
   test("stripBoilerplate removes only cross-doc shared n-gram spans") {
     val shared = "s1 s2 s3 s4 s5 s6 s7 s8" // one 8-gram, shared by docs 1+2
     val d = docs(
