@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Corpus with normalised vector + precomputed norm. */
+  /** Corpus with normalised vector + precomputed norm. Fanned out when the
+    * source under-supplies partitions (small single-row-group parquet scans
+    * as ONE partition, and the block/band explodes downstream then run
+    * single-task until the first shuffle) — a provable no-op at production
+    * scale, see [[ScaleOps.fanOut]]. */
   private def prepared(emb: DataFrame, vecCol: String, idCol: String): DataFrame =
-    emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v")))
+    ScaleOps.fanOut(
+      emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", norm(col("v"))))
 
   /** How many sample vectors a quantizer fit trains on, per centroid. */
   private val FitSamplePerCentroid = 256
