@@ -23,6 +23,10 @@ object ScaleOps {
     * intermediate (signatures, ids), never on wide text/binary columns.
     */
   def fanOut(df: DataFrame): DataFrame = {
+    // pass streams through untouched: forcing queryExecution on a streaming
+    // DataFrame is a batch-analysis error, and micro-batch sources manage
+    // their own partitioning
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     val maxPart = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(maxPart) * target)
