@@ -34,6 +34,36 @@ object ScaleOps {
     else df
   }
 
+  /** Bloom-prefiltered left-semi join: keep `big` rows whose `bigKey`
+    * appears in `small`'s `smallKey` set — the exact semi-join result —
+    * but prune the big side MAP-SIDE first with a broadcast Bloom filter
+    * built over the small side's keys.
+    *
+    * This is the runtime-filter pattern as a reusable operator: at 100 TB
+    * the semi join must shuffle whatever survives its filters, and when
+    * the match rate is low the Bloom probe (a codegen'd bit test against
+    * an 8 KB broadcast blob) discards most of the big side before ANY
+    * exchange. The result is EXACTLY the plain semi join — the Bloom has
+    * no false negatives by construction, and its false positives are
+    * removed by the exact join that follows — so the operator is
+    * oracle-checkable with plain SQL while the plan carries the pruning.
+    * Build cost: one partial-aggregated pass over the small side; the
+    * shuffle carries one m-bit blob per partition (bitwise-OR merge),
+    * never the key set.
+    */
+  def bloomSemiJoin(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
+                    numBits: Int = 1 << 16): DataFrame = {
+    val k = graft.plans.BloomMightContain.NumHashes
+    val bloomAgg = udaf(new graft.functions.BloomFilterAggregator(numBits, k))
+    val blob = small.agg(bloomAgg(col(smallKey).cast("long")).as("__bloom"))
+    big
+      .crossJoin(broadcast(blob)) // 1-row m-bit blob
+      .where(call_function("bloom_might_contain", col("__bloom"), col(bigKey).cast("long")))
+      .drop("__bloom")
+      .join(small.select(col(smallKey).as("__sk")).distinct(),
+        col(bigKey) === col("__sk"), "left_semi")
+  }
+
   /** Persist a DataFrame as a bucketed, sorted table. Later joins and
     * aggregations on the bucket key read co-located partitions and skip the
     * exchange entirely — the classic pre-shuffle trade: one write-time

@@ -343,6 +343,47 @@ object NgramHashes {
   }
 }
 
+/** `bloom_might_contain(array<long> words, long key) → boolean` — probe of
+  * the Bloom bit array built by
+  * [[graft.functions.BloomFilterAggregator]] (same
+  * [[graft.functions.BloomHash]] double-hashing, so build and probe agree
+  * by construction). A codegen'd primitive loop per row: the pre-shuffle
+  * semi-join filter evaluates this against a BROADCAST blob for every
+  * big-side row, so it must stay inside whole-stage codegen. NO FALSE
+  * NEGATIVES: a true member always probes true; false positives are
+  * removed by the exact join that follows (see ScaleOps.bloomSemiJoin).
+  */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  // see VecDotProduct: wrong-typed SQL input must fail at analysis time
+  override def inputTypes = Seq(ArrayType(LongType), LongType)
+
+  // numHashes rides in the blob? No — kept protocol-simple: the probe count
+  // is fixed at BloomMightContain.NumHashes for the engine (build side must
+  // use the same k; ScaleOps.bloomSemiJoin passes it for both).
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData].toLongArray()
+    graft.functions.BloomHash.mightContain(arr, b.asInstanceOf[Long], BloomMightContain.NumHashes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.BloomHash.mightContain(" +
+        s"$a.toLongArray(), $b, ${BloomMightContain.NumHashes});")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomMightContain {
+  /** Engine-wide probe count k. 7 probes at 10 bits/key ≈ 0.8% FP — the
+    * classic design point; build side must use the same k. */
+  val NumHashes = 7
+}
+
 /** Session extensions registering graft's native functions. Enabled via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (set by
   * [[graft.GraftSession]]), so `call_function("vec_dot", a, b)` and SQL
@@ -369,5 +410,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("ngram_hashes"),
       new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
       (children: Seq[Expression]) => NgramHashes(children(0), children(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
   }
 }

@@ -47,6 +47,18 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
 
+    // Bloom-prefiltered semi join (the runtime-filter pattern as an
+    // operator): lineitem rows of high-value orders, with the big side
+    // pruned map-side by a broadcast Bloom blob over the qualifying order
+    // keys BEFORE the exact semi join. No false negatives + exact verify
+    // ⇒ the result equals the plain semi join the oracle recomputes.
+    "q_bloom_prefilter" -> { t =>
+      graft.operators.ScaleOps.bloomSemiJoin(
+          t.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice"), "l_orderkey",
+          t.orders.where(col("o_totalprice") > 400000).select("o_orderkey"), "o_orderkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // X9b — left-anti join: customers with no finished order.
     "q_anti_join" -> { t =>
       t.customer
@@ -506,6 +518,11 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer WHERE EXISTS (
         |SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_bloom_prefilter" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin.replaceAll("\\s+", " "),
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (

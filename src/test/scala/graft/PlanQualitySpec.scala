@@ -531,7 +531,8 @@ class PlanQualitySpec extends SparkSpec {
       "q_similarity_topk_agg"-> "broadcast query vector (k query rows)",
       "q_hybrid_retrieval"   -> "broadcast query vector (1 row) via bruteForceTopK",
       "q_adc_topk"           -> "broadcast PQ lookup tables (k × nsub × 256 model rows)",
-      "q_heavy_hitters"      -> "broadcast Misra–Gries sketch (1 row, ≤k-entry map)"
+      "q_heavy_hitters"      -> "broadcast Misra–Gries sketch (1 row, ≤k-entry map)",
+      "q_bloom_prefilter"    -> "broadcast Bloom blob (1 row, m-bit array)"
     )
     val (issues, bnljSeen) = SparkEntry.queries.toSeq.foldLeft(
         (Seq.empty[String], Set.empty[String])) { case ((is, seen), (name, fn)) =>

@@ -63,6 +63,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(short.map(_.getLong(2)).toSeq == Seq(0L, 0L))
   }
 
+  test("Bloom filter: no false negatives, real pruning, semi-join equality") {
+    import graft.functions.{BloomFilterAggregator, BloomHash}
+    val k = graft.plans.BloomMightContain.NumHashes
+    val agg = new BloomFilterAggregator(1 << 13, k)
+    val members = (0L until 500L).map(_ * 7 + 3)
+    val words = members.foldLeft(agg.zero)(agg.reduce)
+    // no false negatives — every inserted key probes true
+    assert(members.forall(BloomHash.mightContain(words, _, k)))
+    // merge = OR: split build agrees with sequential build
+    val (l, r) = members.splitAt(123)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.toSeq == words.toSeq)
+    // pruning: on a disjoint probe set, most keys are rejected
+    // (8192 bits / 500 keys ≈ 16 bits/key with k=7 → FP well under 1%)
+    val disjoint = (100000L until 102000L)
+    val fp = disjoint.count(BloomHash.mightContain(words, _, k))
+    assert(fp < disjoint.size / 20, s"false-positive count $fp of ${disjoint.size}")
+    // operator equality with the plain semi join on real tables
+    val big = (0L until 2000L).map(i => (i, s"v$i")).toDF("id", "payload")
+    val small = (0L until 2000L by 13).map(Tuple1(_)).toDF("k")
+    val viaBloom = ScaleOps.bloomSemiJoin(big, "id", small, "k")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val plain = big.join(small, col("id") === col("k"), "left_semi")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(viaBloom == plain)
+  }
+
   test("Misra-Gries sketch: bounded state and the N/(k+1) membership guarantee") {
     val k = 5
     val agg = new graft.functions.MisraGriesAggregator(k)
