@@ -485,6 +485,38 @@ object PipelineOps {
       .agg(sum(sumCols.head).as(sumCols.head),
         sumCols.tail.map(c => sum(c).as(c)): _*)
 
+  /** Deterministic weighted sampling WITHOUT replacement, k per group —
+    * Efraimidis–Spirakis A-Res: each row draws u ∈ [0,1) and the k largest
+    * u^(1/w) win, which samples exactly proportional-to-weight without
+    * replacement. Two scale properties: (1) u is HASH-DERIVED (md5 of the
+    * id), so the sample is reproducible across retries and engines — the
+    * same reason hashSplit avoids rand(); (2) selection runs on the
+    * bounded-state [[graft.functions.TopKAggregator]], so per-group state
+    * is O(k) and the shuffle carries ≤ k rows per (partition, group) —
+    * never a whole-group sort. Rows with non-positive weight are excluded
+    * (zero-weight rows have sampling probability 0 anyway). */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"need k>0, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // first 8 md5 hex chars as a uniform in [0,1): cross-engine exact
+    // (conv/cast on the same 32-bit integer), granularity 2^-32
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val key = pow(u, lit(1.0) / col(weightCol))
+    df.where(col(weightCol) > 0)
+      .select(col(groupCol).cast("string"), key, col(idCol).cast("long"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("top"))
+      .toDF(groupCol, "top")
+      .select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rk"),
+        col("col._2").as(idCol))
+  }
+
   /** Cross-document boilerplate stripping: remove every token covered by a
     * word n-gram that appears in at least `minDf` DISTINCT documents — the
     * repeated-span removal step of web-corpus curation (shared headers,

@@ -221,6 +221,14 @@ object PipelineQueries {
       PipelineOps.temperatureSample(t.documents, frac = 0.5).orderBy("doc_id")
     },
 
+    // Weighted sampling without replacement (A-Res reservoir), 10 events
+    // per type weighted by value — hash-derived uniforms so the sample is
+    // retry- and engine-reproducible; O(k) state per group.
+    "q_weighted_sample" -> { t =>
+      PipelineOps.weightedSample(t.events, "event_type", "event_id", "value", k = 10)
+        .orderBy("event_type", "rk")
+    },
+
     // Filter-cascade observability: per-stage drop counts and cumulative
     // survivors for an ordered curation pipeline, in ONE corpus scan
     // (first-failing-stage conditional aggregation, never per-filter
@@ -516,6 +524,16 @@ object PipelineQueries {
         |END AS cut FROM g)
         |SELECT d.doc_id, d.lang FROM documents d JOIN h USING (lang)
         |WHERE substring(md5(d.text), 1, 8) < h.cut ORDER BY d.doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_weighted_sample" ->
+      """WITH w AS (SELECT event_type, event_id,
+        |pow((('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT) / 4294967296.0,
+        |1.0 / value) AS k
+        |FROM events WHERE value > 0),
+        |r AS (SELECT event_type, event_id,
+        |row_number() OVER (PARTITION BY event_type ORDER BY k DESC, event_id) AS rk FROM w)
+        |SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id FROM r
+        |WHERE rk <= 10 ORDER BY event_type, rk""".stripMargin.replaceAll("\\s+", " "),
 
     "q_filter_cascade" ->
       """WITH s AS (SELECT len(string_split(text, ' ')) AS n_tok, n_chars FROM documents),
