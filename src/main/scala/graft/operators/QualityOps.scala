@@ -97,4 +97,30 @@ object QualityOps {
         round(col("q"), 6).as("cur_share"),
         round((col("q") - col("p")) * log(col("q") / col("p")), 6).as("psi_term"))
   }
+
+  /** Embedding-space drift between two snapshots: the per-dimension shift
+    * of the mean vector — the vector-space counterpart of [[psi]], which
+    * watches scalar distributions. A retrained embedder, upstream
+    * content-mix change, or corrupt ingest shows up as per-dimension mean
+    * shift long before downstream task metrics move.
+    *
+    * One pass over the flagged union: posexplode to (dim, value) and a
+    * partial-aggregated conditional average per dimension — shuffle
+    * payload is dims × partitions partial sums, never the vectors.
+    * Output: one row per dimension (dim, mean_ref, mean_cur, shift).
+    */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    def side(df: DataFrame, isRef: Boolean): DataFrame = df
+      .select(col(vecCol).as("__v"), lit(isRef).as("__is_ref"))
+    side(ref, isRef = true).unionByName(side(cur, isRef = false))
+      .select(col("__is_ref"), posexplode(col("__v")))
+      .groupBy(col("pos").cast("long").as("dim"))
+      .agg(avg(when(col("__is_ref"), col("col"))).as("mr"),
+        avg(when(!col("__is_ref"), col("col"))).as("mc"))
+      .select(col("dim"),
+        round(col("mr"), 6).as("mean_ref"),
+        round(col("mc"), 6).as("mean_cur"),
+        round(abs(col("mr") - col("mc")), 6).as("shift"))
+  }
 }

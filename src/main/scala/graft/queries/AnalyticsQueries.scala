@@ -211,6 +211,15 @@ object AnalyticsQueries {
         .orderBy("bin")
     },
 
+    // Embedding-space drift between ingest halves (by vec_id parity):
+    // per-dimension mean shift — the vector-space counterpart of q_psi.
+    "q_embedding_drift" -> { t =>
+      import org.apache.spark.sql.functions._
+      val ref = t.embeddings.where(col("vec_id") % 2 === 0)
+      val cur = t.embeddings.where(col("vec_id") % 2 =!= 0)
+      QualityOps.embeddingDrift(ref, cur).orderBy("dim")
+    },
+
     // Per-user one-sided CUSUM drift score at target 50 / slack 0.25 —
     // the changepoint-monitoring op (Page 1954): persistent upward shift
     // accumulates, in-control noise resets to 0. Same order-pinned fold
@@ -468,6 +477,18 @@ object AnalyticsQueries {
     // term are computed bin-local with CAST-double smoothing constants
     // (BIGINT + DECIMAL would silently go decimal in DuckDB), so every
     // value matches bitwise before the round.
+    "q_embedding_drift" ->
+      // round(x,6)+0 normalizes DuckDB's signed zero (Spark's round never
+      // emits -0.0 — see the z-score/correlation oracles)
+      """WITH e AS (SELECT vec_id % 2 = 0 AS is_ref, unnest(embedding) AS v,
+        |generate_subscripts(embedding, 1) AS d FROM embeddings),
+        |m AS (SELECT CAST(d - 1 AS BIGINT) AS dim,
+        |avg(CASE WHEN is_ref THEN v END) AS mr,
+        |avg(CASE WHEN NOT is_ref THEN v END) AS mc
+        |FROM e GROUP BY 1)
+        |SELECT dim, round(mr, 6) + 0 AS mean_ref, round(mc, 6) + 0 AS mean_cur,
+        |round(abs(mr - mc), 6) + 0 AS shift FROM m ORDER BY dim""".stripMargin.replaceAll("\\s+", " "),
+
     "q_psi" ->
       """WITH m AS (SELECT max(event_id) AS m FROM events),
         |r AS (SELECT least(greatest(CAST(floor((value - 0.0) / 50.0) AS BIGINT), 0), 9) AS bin
