@@ -157,7 +157,7 @@ object EventQueries {
     // P1 — nested projection through constructed structs (app.rb:130-135,
     // 152-155): build the frame→payload→allocation shape, then dig.
     "q_nested_project" -> { t =>
-      t.events
+      eventsSorted(t)
         .select(col("event_id"),
           struct(
             struct(
@@ -168,7 +168,6 @@ object EventQueries {
           col("frame.alloc.k").as("k"),
           col("frame.alloc.uid").as("uid"),
           col("frame.topic").as("topic"))
-        .orderBy("event_id")
     },
 
     // P2/P4 — explode array (app.rb:126, 151): array round-trip per key.
@@ -192,9 +191,8 @@ object EventQueries {
 
     // D1 — conditional key construction (app.rb:143-144).
     "q_task_identifier" -> { t =>
-      t.events
+      eventsSorted(t)
         .select(col("event_id"), taskIdCol.as("task_identifier"))
-        .orderBy("event_id")
     },
 
     // D2 — latest timestamp per key (app.rb:156-160, 270-273).
@@ -228,35 +226,31 @@ object EventQueries {
 
     // D4 — three-valued state classification (app.rb:195-209).
     "q_state_classify" -> { t =>
-      enriched(t)
+      enriched(eventsSorted(t))
         .select(col("event_id"), col("event_type"), stateCol.as("state"))
-        .orderBy("event_id")
     },
 
     // D5 — subject formatting (app.rb:183).
     "q_subject_format" -> { t =>
-      t.events
+      eventsSorted(t)
         .select(col("event_id"),
           subject(taskIdCol, col("event_type"), nodeCol).as("subject"))
-        .orderBy("event_id")
     },
 
     // D6 — markdown dialect transform (app.rb:245).
     "q_slack_markdown" -> { t =>
-      t.events
+      eventsSorted(t)
         .select(col("event_id"),
           slackMarkdown(subject(taskIdCol, col("event_type"), nodeCol)).as("slack_subject"))
-        .orderBy("event_id")
     },
 
     // D7 — colour mapping, NULL-preserving (app.rb:218-227, 248-256).
     "q_color_map" -> { t =>
-      enriched(t)
+      enriched(eventsSorted(t))
         .withColumn("state", stateCol)
         .select(col("event_id"), col("state"),
           discordColor(col("state")).as("discord_color"),
           slackColor(col("state")).as("slack_color"))
-        .orderBy("event_id")
     },
 
     // D8 — payload assembly; to_json omits the NULL colour key exactly like
@@ -273,9 +267,8 @@ object EventQueries {
 
     // D9 — ns-epoch timestamp codec (app.rb:9-23).
     "q_ns_timestamp" -> { t =>
-      t.events
+      eventsSorted(t)
         .select(col("event_id"), nomadTimestamp(tsUs).as("nomad_ts"))
-        .orderBy("event_id")
     },
 
     // D11 — count-aware noun inflection (app.rb:95,149): the reference's
