@@ -102,19 +102,21 @@ object FunctionQueries {
     },
 
     // Regex function surface over event props.
+    // sort-first (see EventQueries.eventsSorted): the ORDER BY contract is
+    // satisfied before the projection, whose work then spreads across the
+    // range exchange instead of running on the single scan partition.
     "q_regex_funcs" -> { t =>
-      t.events.select(
+      t.events.orderBy("event_id").select(
         col("event_id"),
         regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).as("k_str"),
         col("props").rlike("[0-9]{2}").as("two_digits"),
         regexp_replace(col("event_type"), "[aeiou]", "_").as("devoweled"),
         size(regexp_extract_all(col("props"), lit("[0-9]"), lit(0))).cast("long").as("n_digits"))
-        .orderBy("event_id")
     },
 
     // Conditional/null-handling surface.
     "q_conditional_funcs" -> { t =>
-      t.events
+      t.events.orderBy("event_id")
         .withColumn("maybe", when(col("value") > 50, col("value")))
         .select(
           col("event_id"),
@@ -123,7 +125,6 @@ object FunctionQueries {
           greatest(col("value"), col("user_id").cast("double")).as("hi"),
           least(col("value"), col("user_id").cast("double")).as("lo"),
           isnull(col("maybe")).as("was_null"))
-        .orderBy("event_id")
     },
 
     // Date truncation + aggregation by calendar month.
@@ -156,14 +157,13 @@ object FunctionQueries {
 
     // ANSI-safe try_* arithmetic: NULL instead of error on overflow / ÷0.
     "q_try_funcs" -> { t =>
-      t.events.select(
+      t.events.orderBy("event_id").select(
         col("event_id"),
         try_divide(col("value"), (col("user_id") % 3).cast("double")).as("t_div"),
         try_add(col("event_id"), col("user_id")).as("t_add"),
         try_multiply(col("event_id"), lit(2L)).as("t_mul"),
         try_element_at(split(col("props"), " "),
           (col("user_id") % 4 + 1).cast("int")).as("t_elem"))
-        .orderBy("event_id")
     },
 
     // Lambda higher-order-function surface (transform/filter/exists/
@@ -208,7 +208,7 @@ object FunctionQueries {
       val url = concat(lit("https://ex.example/"), col("event_type"),
         lit("/"), col("event_id").cast("string"),
         lit("?u="), col("user_id").cast("string"), lit("&v=2"))
-      t.events
+      t.events.orderBy("event_id")
         .withColumn("url", url)
         .select(
           col("event_id"),
@@ -217,7 +217,6 @@ object FunctionQueries {
           parse_url(col("url"), lit("PATH")).as("path"),
           parse_url(col("url"), lit("QUERY")).as("query"),
           parse_url(col("url"), lit("QUERY"), lit("u")).as("q_u"))
-        .orderBy("event_id")
     }
   )
 

@@ -303,7 +303,7 @@ object PipelineQueries {
 
     // Bitwise function surface over event ids.
     "q_bitwise_funcs" -> { t =>
-      t.events.select(
+      t.events.orderBy("event_id").select(
         col("event_id"),
         col("event_id").bitwiseAND(lit(255L)).as("b_and"),
         col("event_id").bitwiseOR(lit(4096L)).as("b_or"),
@@ -311,7 +311,6 @@ object PipelineQueries {
         shiftleft(col("event_id"), 2).cast("long").as("b_shl"),
         shiftright(col("event_id"), 1).cast("long").as("b_shr"),
         bit_count(col("event_id")).cast("long").as("b_pop"))
-        .orderBy("event_id")
     }
   )
 

@@ -203,14 +203,13 @@ object RelationalQueries {
     // Map-function surface (constructed map, scalar-equivalent oracle).
     "q_map_funcs" -> { t =>
       val m = map(lit("uid"), col("user_id"), lit("eid"), col("event_id"))
-      t.events.select(
+      t.events.orderBy("event_id").select(
         col("event_id"),
         element_at(m, "uid").as("uid"),
         size(m).cast("long").as("m_size"),
         concat_ws("|", array_sort(map_keys(m))).as("keys_sorted"),
         aggregate(map_values(m), lit(0L), _ + _).as("vals_sum"),
         map_contains_key(m, "uid").as("has_uid"))
-        .orderBy("event_id")
     },
 
     // Analytic running sum per key in event-time order.
