@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hypothesis-testing surface for experiment analysis (A/B readouts) over
+  * event streams: Welch's unequal-variance t statistic and the chi-square
+  * independence statistic. Both are pure aggregate algebra — the shuffle
+  * carries moment sketches (count/mean/M2 per group) or an integer
+  * contingency table, never raw values, so the plans are single-exchange
+  * and scale-invariant: 100 TB of events reduce to the same handful of
+  * per-segment rows as the sf0.01 fixture.
+  */
+object StatsOps {
+
+  /** Welch's two-sample t statistic per segment.
+    *
+    * For each `segmentCol` group, compares `valCol` between rows matching
+    * `condA` (treatment) and `condB` (control): emits per-arm counts/means,
+    * the mean difference, the t statistic
+    * `t = (m_a - m_b) / sqrt(s²_a/n_a + s²_b/n_b)` and the
+    * Welch–Satterthwaite degrees of freedom. One conditional aggregation —
+    * both arms come out of a single scan (no per-arm subqueries), the same
+    * one-scan discipline as [[QualityOps.dqChecks]]. Spark's var_samp is a
+    * merge of numerically-stable central-moment sketches, so partial
+    * aggregation order only wobbles the last bits; outputs are rounded at
+    * reporting precision.
+    */
+  def welchTTest(df: DataFrame, segmentCol: Column, condA: Column, condB: Column,
+                 valCol: Column): DataFrame = {
+    val g = df.where(condA || condB)
+      .groupBy(segmentCol.as("segment"))
+      .agg(
+        count(when(condA, 1)).as("n_a"),
+        count(when(condB, 1)).as("n_b"),
+        avg(when(condA, valCol)).as("m_a"),
+        avg(when(condB, valCol)).as("m_b"),
+        var_samp(when(condA, valCol)).as("v_a"),
+        var_samp(when(condB, valCol)).as("v_b"))
+    val sa = col("v_a") / col("n_a")
+    val sb = col("v_b") / col("n_b")
+    val se2 = sa + sb
+    g.select(
+      col("segment"),
+      col("n_a"), col("n_b"),
+      round(col("m_a") - col("m_b"), 4).as("mean_diff"),
+      round((col("m_a") - col("m_b")) / sqrt(se2), 4).as("t_stat"),
+      round(se2 * se2 / (sa * sa / (col("n_a") - 1) + sb * sb / (col("n_b") - 1)), 2)
+        .as("welch_df"))
+  }
+
+  /** Pearson chi-square independence statistic for `rowCol` × `colCol`.
+    *
+    * Observed counts are the exact integer contingency table (one groupBy);
+    * marginals ride partitioned windows over that tiny table; the grand
+    * total is a 1-row aggregate broadcast back (model-sized BNLJ — the
+    * allowlisted scalar-broadcast pattern). Emits the statistic, the
+    * degrees of freedom, and the table size.
+    */
+  def chiSquare(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val cells = df.groupBy(rowCol.as("r"), colCol.as("c"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val total = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col("r")).as("nr"), count_distinct(col("c")).as("nc"))
+    val e = col("rt") * col("ct") / col("n")
+    cells
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("r"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("c"))))
+      .crossJoin(broadcast(total))
+      .select(((col("o") - e) * (col("o") - e) / e).as("contrib"),
+        col("n"), col("nr"), col("nc"))
+      .groupBy(col("n"), col("nr"), col("nc"))
+      .agg(round(sum(col("contrib")), 6).as("chi2"))
+      .select(
+        round(col("chi2"), 6).as("chi2"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        col("n").cast("long").as("n"))
+  }
+}

@@ -68,6 +68,32 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     },
 
+    // A/B experiment readout: Welch's unequal-variance t statistic per user
+    // segment, treatment = purchase events, control = view events. One
+    // conditional aggregation — both arms from a single scan; the shuffle
+    // carries moment sketches, never values (StatsOps).
+    "q_ab_test" -> { t =>
+      import org.apache.spark.sql.functions._
+      graft.operators.StatsOps.welchTTest(
+          t.events,
+          segmentCol = col("user_id") % 4,
+          condA = col("event_type") === "purchase",
+          condB = col("event_type") === "view",
+          valCol = col("value"))
+        .orderBy("segment")
+    },
+
+    // Chi-square independence of event type × value band (100-wide bands,
+    // clamped at 4): exact integer contingency table, marginals on
+    // partitioned windows, grand total broadcast back (1-row BNLJ).
+    "q_chi_square" -> { t =>
+      import org.apache.spark.sql.functions._
+      graft.operators.StatsOps.chiSquare(
+        t.events,
+        rowCol = col("event_type"),
+        colCol = least(floor(col("value") / 100), lit(4L)))
+    },
+
     // Data-quality constraint suite: uniqueness, completeness, referential
     // integrity, range and domain checks — the whole orders-side suite is a
     // single scan (FK probe rides a broadcast join), lineitem adds one more.
@@ -271,6 +297,41 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_ab_test" ->
+      """WITH f AS (
+        |  SELECT user_id % 4 AS segment, event_type, value FROM events
+        |  WHERE event_type IN ('purchase', 'view')),
+        |g AS (
+        |  SELECT segment,
+        |    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_b,
+        |    avg(value) FILTER (WHERE event_type = 'purchase') AS m_a,
+        |    avg(value) FILTER (WHERE event_type = 'view') AS m_b,
+        |    var_samp(value) FILTER (WHERE event_type = 'purchase') AS v_a,
+        |    var_samp(value) FILTER (WHERE event_type = 'view') AS v_b
+        |  FROM f GROUP BY segment)
+        |SELECT segment, n_a, n_b,
+        |  round(m_a - m_b, 4) + 0 AS mean_diff,
+        |  round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) + 0 AS t_stat,
+        |  round(pow(v_a / n_a + v_b / n_b, 2) /
+        |    (pow(v_a / n_a, 2) / (n_a - 1) + pow(v_b / n_b, 2) / (n_b - 1)), 2) + 0 AS welch_df
+        |FROM g ORDER BY segment""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type AS r, least(CAST(floor(value / 100) AS BIGINT), 4) AS c,
+        |    CAST(count(*) AS DOUBLE) AS o
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT o, sum(o) OVER (PARTITION BY r) AS rt, sum(o) OVER (PARTITION BY c) AS ct
+        |  FROM cells),
+        |t AS (
+        |  SELECT sum(o) AS n, count(DISTINCT r) AS nr, count(DISTINCT c) AS nc FROM cells)
+        |SELECT round(sum((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n)), 6) + 0 AS chi2,
+        |  CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM m, t""".stripMargin.replaceAll("\\s+", " "),
+
     "q_scd2" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) AS ts_us, event_id, event_type AS state

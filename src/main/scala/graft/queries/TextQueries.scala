@@ -156,6 +156,39 @@ object TextQueries {
         .orderBy(desc("cnt"), asc("token"))
     },
 
+    // Count-Min point-frequency sketch — the complementary sketch to
+    // q_heavy_hitters' Misra–Gries: constant `depth*width` state answering
+    // "how often does token x occur" with one-sided error. The oracle-checked
+    // contract is the sketch GUARANTEE on the exact top-20 tokens: the
+    // estimate never undercounts (deterministic — counters only add), and
+    // overcounts by at most 3N/width (the realized collision mass; verified
+    // with wide margin at sf0.001/0.01/0.1, min over 4 independent rows).
+    // The probe runs on 20 rows driver-broadcast-joined to the 1-row sketch —
+    // cold path, so a Scala UDF sharing CountMinAggregator.bucket is fine;
+    // the hot path (the sketch build) is the typed aggregator.
+    "q_cms_counts" -> { t =>
+      import graft.functions.TextFunctions.tokens
+      import graft.functions.CountMinAggregator
+      val depth = 4; val width = 2048
+      val cms = udaf(new CountMinAggregator(depth, width))
+      val probe = udf((sk: Seq[Long], tok: String) =>
+        CountMinAggregator.estimate(sk, tok, depth, width))
+      val sketch = t.documents.agg(
+        cms(tokens(col("text"))).as("cms"),
+        sum(size(tokens(col("text")))).as("n_tokens"))
+      val exact = t.documents
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("token")).limit(20)
+      exact.crossJoin(broadcast(sketch)) // 20 × 1-row sketch
+        .withColumn("est", probe(col("cms"), col("token")))
+        .select(col("token"), col("cnt"),
+          (col("est") >= col("cnt")).as("est_ge_true"),
+          (col("est") <= col("cnt") + ceil(lit(3.0) * col("n_tokens") / width))
+            .as("within_bound"))
+        .orderBy(desc("cnt"), asc("token"))
+    },
+
     // Fingerprinting: md5 fingerprint is oracle-checked; the rolling hash is
     // engine-specific so it is excluded here and covered by ScalaTest.
     "q_doc_fingerprint" -> { t =>
@@ -589,6 +622,12 @@ object TextQueries {
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token)
         |SELECT token, cnt, true AS in_sketch FROM cnt
+        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_cms_counts" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token)
+        |SELECT token, cnt, true AS est_ge_true, true AS within_bound FROM cnt
         |ORDER BY cnt DESC, token LIMIT 20""".stripMargin.replaceAll("\\s+", " "),
 
     "q_doc_fingerprint" ->

@@ -532,6 +532,8 @@ class PlanQualitySpec extends SparkSpec {
       "q_hybrid_retrieval"   -> "broadcast query vector (1 row) via bruteForceTopK",
       "q_adc_topk"           -> "broadcast PQ lookup tables (k × nsub × 256 model rows)",
       "q_heavy_hitters"      -> "broadcast Misra–Gries sketch (1 row, ≤k-entry map)",
+      "q_cms_counts"         -> "broadcast Count-Min sketch (1 row, depth×width array)",
+      "q_chi_square"         -> "broadcast grand total + table dims (1 row)",
       "q_bloom_prefilter"    -> "broadcast Bloom blob (1 row, m-bit array)"
     )
     val (issues, bnljSeen) = SparkEntry.queries.toSeq.foldLeft(

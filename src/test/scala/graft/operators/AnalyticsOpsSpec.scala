@@ -26,6 +26,35 @@ class AnalyticsOpsSpec extends SparkSpec {
       (2L, 1L, "x", 15_000L, None, 1L)))
   }
 
+  test("welchTTest matches the hand-computed statistic on a known two-sample case") {
+    // arm a: 1,2,3,4 (mean 2.5, var 5/3); arm b: 2,4,6 (mean 4, var 4)
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0)).toDF("arm", "v")
+      .withColumn("seg", lit(0L))
+    val out = StatsOps.welchTTest(d, col("seg"),
+        col("arm") === "a", col("arm") === "b", col("v"))
+      .collect().head
+    assert(out.getAs[Long]("n_a") == 4L && out.getAs[Long]("n_b") == 3L)
+    assert(out.getAs[Double]("mean_diff") == -1.5)
+    // se2 = (5/3)/4 + 4/3 = 1.75; t = -1.5/sqrt(1.75) = -1.1339
+    assert(out.getAs[Double]("t_stat") == -1.1339)
+    // df = 1.75^2 / ((5/12)^2/3 + (4/3)^2/2) = 3.0625/0.946759 = 3.2347 → 3.23
+    assert(out.getAs[Double]("welch_df") == 3.23)
+  }
+
+  test("chiSquare recovers the textbook 2x2 statistic") {
+    // classic 2×2: rows s/n, cols y/x with counts 20/30 | 30/20
+    // chi2 = sum (o-e)^2/e with all e = 25 → 4 * 25/25 = 4.0
+    val rows =
+      Seq.fill(20)(("s", "y")) ++ Seq.fill(30)(("s", "x")) ++
+      Seq.fill(30)(("n", "y")) ++ Seq.fill(20)(("n", "x"))
+    val out = StatsOps.chiSquare(rows.toDF("r", "c"), col("r"), col("c"))
+      .collect().head
+    assert(out.getAs[Double]("chi2") == 4.0)
+    assert(out.getAs[Long]("dof") == 1L)
+    assert(out.getAs[Long]("n") == 100L)
+  }
+
   test("rollingDistinctActives counts trailing-window distinct keys") {
     val day = 86_400_000_000_000L
     // user 1 active day 0; user 2 active days 0 and 2; window = 3 days

@@ -109,6 +109,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(direct("hot") <= 30L && merged("hot") <= 30L)
   }
 
+  test("Count-Min sketch: never undercounts, merge-order invariant, bounded error") {
+    val depth = 4; val width = 64
+    val agg = new graft.functions.CountMinAggregator(depth, width)
+    // 40 occurrences of "hot" in a stream of 240 tokens with 200 distinct
+    // noise tokens hammering the 64-wide rows
+    val stream: Seq[Seq[String]] =
+      Seq.fill(40)(Seq("hot")) ++ (0 until 200).map(i => Seq(s"noise$i"))
+    val direct = stream.foldLeft(agg.zero)(agg.reduce)
+    def est(sk: Array[Long], t: String) =
+      graft.functions.CountMinAggregator.estimate(sk, t, depth, width)
+    assert(est(direct, "hot") >= 40L)                       // one-sided error
+    assert(est(direct, "hot") <= 40L + 3 * 240 / width)     // collision bound
+    // elementwise-sum merge is exactly order-invariant (long addition):
+    // any split point yields the identical counter array
+    val (l, r) = stream.splitAt(97)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(java.util.Arrays.equals(merged, direct))
+    // an unseen token estimates only collision mass, never negative
+    assert(est(direct, "absent-token") >= 0L)
+  }
+
   test("chunk produces overlapping windows and a short tail") {
     // 7 tokens, size 3, stride 2 → starts 0,2,4,6: tails shorten
     val out = PipelineOps.chunk(docs(1L -> "t0 t1 t2 t3 t4 t5 t6"), size = 3, stride = 2)
