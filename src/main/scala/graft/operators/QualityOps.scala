@@ -41,6 +41,24 @@ object QualityOps {
   /** Fraction of rows satisfying `cond` (NULL counts as failing). */
   def rate(cond: Column): Column = avg(when(cond, 1.0d).otherwise(0.0d))
 
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala 2007):
+    * for each quasi-identifier combination, the equivalence-class size
+    * (k-anonymity) and the number of distinct sensitive values it contains
+    * (l-diversity), plus the keep/suppress verdict at thresholds (k, l).
+    * The release-gating step of a privacy-aware curation pipeline: classes
+    * below k are re-identifiable by an attacker who knows the quasi-
+    * identifiers; classes whose sensitive attribute is near-constant leak
+    * it even at k. One groupBy over the quasi-identifier key — the shuffle
+    * carries one row per equivalence class (count + distinct-count partials,
+    * never raw rows), so the audit is a single exchange at any scale. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[Column], sensitiveCol: Column,
+                      k: Long, l: Long): DataFrame =
+    df.groupBy(quasiCols: _*)
+      .agg(
+        count(lit(1)).as("class_size"),
+        count_distinct(sensitiveCol).as("l_div"))
+      .withColumn("keep", col("class_size") >= k && col("l_div") >= l)
+
   /** Population Stability Index between a reference and a current sample of
     * a numeric column — the standard two-sample distribution-drift metric
     * (credit-scoring monitoring lineage; PSI ≥ 0.2 conventionally flags a

@@ -174,6 +174,35 @@ object TextOps {
       .limit(k)
   }
 
+  /** Apply a TRAINED byte-pair-encoding merge table to text — the
+    * production tokenization step ([[bpePairCounts]] is the training-side
+    * statistic; this is inference with the resulting model artifact). Each
+    * word becomes a `sep`-delimited symbol sequence (every character a
+    * symbol), then the merge list applies in rank order, each merge a
+    * global leftmost-nonoverlapping literal replace — the rank-greedy
+    * application order of the BPE literature (Sennrich 2016; GPT-2's
+    * per-word loop realizes the same rank precedence). Everything is a
+    * chain of codegen'd string expressions: a narrow per-row map with no
+    * shuffle, no UDF, and the merge table folded into the plan as
+    * literals — the broadcast-a-model-artifact shape at any scale.
+    * Emits the symbolized text and the post-merge symbol count.
+    */
+  def bpeApply(docs: DataFrame, merges: Seq[(String, String)], sep: String = "·",
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // "join hash" → "j·o·i·n· h·a·s·h·" → trim word-final separators
+    val chars = regexp_replace(
+      regexp_replace(col(textCol), "(\\S)", "$1" + sep),
+      sep + " ", " ")
+    val symbolized = rtrim(chars, sep)
+    val merged = merges.foldLeft(symbolized) { case (acc, (a, b)) =>
+      call_function("replace", acc, lit(a + sep + b), lit(a + b))
+    }
+    docs.select(
+      col(idCol),
+      merged.as("bpe_text"),
+      size(split(merged, "[ " + sep + "]")).cast("long").as("n_symbols"))
+  }
+
   /** PMI collocation mining — pointwise mutual information of adjacent
     * token pairs, log(p(ab) / (p(a)·p(b))): the phrase-mining /
     * vocabulary-construction statistic that separates true collocations

@@ -78,6 +78,22 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // k-anonymity / l-diversity release audit: equivalence classes over the
+    // quasi-identifiers (event type, value band, hour-of-day), sensitive
+    // attribute = user identity. One exchange — the shuffle carries one row
+    // per class (QualityOps.kAnonymityAudit).
+    "q_k_anonymity" -> { t =>
+      graft.operators.QualityOps.kAnonymityAudit(
+          t.events,
+          quasiCols = Seq(
+            col("event_type"),
+            least(floor(col("value") / 25), lit(4L)).as("band"),
+            expr("ts div 3600000000000 % 24").as("hour")),
+          sensitiveCol = col("user_id"),
+          k = 5L, l = 3L)
+        .orderBy("event_type", "band", "hour")
+    },
+
     // Explicit GROUPING SETS (finer than cube/rollup: a chosen lattice).
     "q_grouping_sets" -> { t =>
       t.lineitem
@@ -395,6 +411,15 @@ object PipelineQueries {
     "q_anonymize" ->
       """SELECT event_id, sha256(CAST(user_id AS VARCHAR)) AS pseudonym, event_type
         |FROM events ORDER BY event_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_k_anonymity" ->
+      """SELECT event_type, least(CAST(floor(value / 25) AS BIGINT), 4) AS band,
+        |epoch_ns(ts) // 3600000000000 % 24 AS hour,
+        |CAST(count(*) AS BIGINT) AS class_size,
+        |CAST(count(DISTINCT user_id) AS BIGINT) AS l_div,
+        |(count(*) >= 5 AND count(DISTINCT user_id) >= 3) AS keep
+        |FROM events GROUP BY 1, 2, 3 ORDER BY event_type, band, hour""".stripMargin
+        .replaceAll("\\s+", " "),
 
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,

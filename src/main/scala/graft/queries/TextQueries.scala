@@ -37,7 +37,23 @@ object TextQueries {
       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)""".stripMargin
 
+  /** Trained BPE merge table applied by q_bpe_apply — rank-ordered, chosen
+    * to fire across the corpus vocabulary (th/the/er/in/ine/at/ata/st/ow/ar
+    * cover the/batch/data/line/window/stream/spark/...). A model artifact:
+    * the same list is folded into the Spark plan as literals and into the
+    * oracle as nested replace() calls. */
+  private val bpeMerges = Seq(
+    "t" -> "h", "th" -> "e", "e" -> "r", "i" -> "n", "in" -> "e",
+    "a" -> "t", "at" -> "a", "s" -> "t", "o" -> "w", "a" -> "r")
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    // Tokenizer inference: apply the trained BPE merge table (bpeMerges) in
+    // rank order — pure narrow codegen'd string chain, no shuffle, no UDF
+    // (TextOps.bpeApply; q_bpe_pairs is the training-side statistic).
+    "q_bpe_apply" -> { t =>
+      TextOps.bpeApply(t.documents, bpeMerges).orderBy("doc_id")
+    },
+
     // X1 — exact dedup by content digest.
     "q_text_dedup_exact" -> { t =>
       DedupOps.exact(t.documents).orderBy("h")
@@ -391,7 +407,22 @@ object TextQueries {
       .otherwise(body)
   }
 
+  /** q_bpe_apply oracle, generated from the same bpeMerges artifact: char
+    * symbolization via RE2 ('g' flag — DuckDB replaces first-only by
+    * default), then the merge chain as nested literal replace() calls. */
+  private val bpeApplyOracle: String = {
+    val base =
+      "rtrim(regexp_replace(regexp_replace(text, '(\\S)', '\\1·', 'g'), '· ', ' ', 'g'), '·')"
+    val merged = bpeMerges.foldLeft(base) { case (acc, (a, b)) =>
+      s"replace($acc, '${a}·${b}', '$a$b')"
+    }
+    s"SELECT doc_id, bpe_text, CAST(len(string_split_regex(bpe_text, '[ ·]')) AS BIGINT)" +
+      s" AS n_symbols FROM (SELECT doc_id, $merged AS bpe_text FROM documents)" +
+      " ORDER BY doc_id"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_apply" -> bpeApplyOracle,
     "q_text_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_dupes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\\s+", " "),

@@ -26,6 +26,30 @@ class AnalyticsOpsSpec extends SparkSpec {
       (2L, 1L, "x", 15_000L, None, 1L)))
   }
 
+  test("bpeApply merges in rank order and counts post-merge symbols") {
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "t", "at" -> "a")
+    val d = Seq((1L, "the data")).toDF("doc_id", "text")
+    val out = TextOps.bpeApply(d, merges).collect().head
+    // "the" → t·h·e → th·e → the (1 symbol); "data" → d·a·t·a → d·at·a →
+    // d·ata (2 symbols): earlier merges feed later ones
+    assert(out.getString(1) == "the d·ata")
+    assert(out.getLong(2) == 3L)
+  }
+
+  test("kAnonymityAudit flags classes under k or with low sensitive diversity") {
+    // class A: 3 rows, 3 distinct users (k ok at 3, diverse); class B: 3
+    // rows but ONE user (diversity fails); class C: 1 row (size fails)
+    val d = Seq(
+      ("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 7L), ("B", 7L), ("B", 7L),
+      ("C", 9L)).toDF("qi", "uid")
+    val out = QualityOps.kAnonymityAudit(d, Seq(col("qi")), col("uid"), k = 3L, l = 2L)
+      .orderBy("qi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("A", 3L, 3L, true), ("B", 3L, 1L, false), ("C", 1L, 1L, false)))
+  }
+
   test("welchTTest matches the hand-computed statistic on a known two-sample case") {
     // arm a: 1,2,3,4 (mean 2.5, var 5/3); arm b: 2,4,6 (mean 4, var 4)
     val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
