@@ -561,4 +561,60 @@ object PipelineOps {
         size(col("cov")).cast("long").as("n_removed"),
         size(col("toks")).cast("long").as("n_tokens"))
   }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every raw document by how
+    * much it resembles a target distribution under hashed bag-of-words
+    * models, then Gumbel-top-k sample by the importance weight. The
+    * target/raw models are bucket-count vectors over `nBuckets` hashed
+    * unigrams (the hashing trick — first 8 md5 hex chars mod nBuckets,
+    * portable to the SQL oracle like [[TextOps.linearQualityScore]]);
+    * log importance of a doc = Σ_tokens (ln p_target(b) − ln p_raw(b)),
+    * add-one smoothed.
+    *
+    * Scale shape: pass 1 fits BOTH models in one conditional aggregation
+    * over the token stream (the shuffle carries nBuckets rows, not
+    * tokens); the 1-row totals cross-join and the nBuckets-row ratio
+    * table are model-sized broadcasts; pass 2 re-derives the token stream
+    * and scores it with a broadcast hash join + per-doc sum (partial
+    * map-side); selection is TakeOrderedAndProject — no global sort, no
+    * unpartitioned window. Exactness: per-bucket log-ratios are scaled to
+    * int64 (×1e6) BEFORE the per-doc sum, so document scores are exact
+    * long sums — order-invariant under any partitioning, unlike a
+    * floating sum whose low bits depend on partial-agg order. Gumbel
+    * noise is hash-derived from doc_id (reproducible across retries, no
+    * RNG state), also ×1e6-quantized, so the selection key is a long and
+    * the top-k frontier is engine-independent.
+    */
+  def dsirResample(docs: DataFrame, isTarget: Column, k: Int, nBuckets: Int = 256,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val scale = 1000000L
+    def bucketOf(w: Column): Column =
+      (conv(substring(md5(w), 1, 8), 16, 10).cast("long") % nBuckets).cast("int")
+    val tok = docs.select(col(idCol).as("doc_id"), isTarget.as("is_tgt"),
+        explode(split(col(textCol), " ")).as("w"))
+      .select(col("doc_id"), col("is_tgt"), bucketOf(col("w")).as("b"))
+    val counts = tok.groupBy("b").agg(
+      count(lit(1)).as("raw_n"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_n"))
+    val totals = counts.agg(sum("raw_n").as("raw_tot"), sum("tgt_n").as("tgt_tot"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round((log((col("tgt_n") + 1).cast("double") / (col("tgt_tot") + nBuckets)) -
+               log((col("raw_n") + 1).cast("double") / (col("raw_tot") + nBuckets))) * scale)
+          .cast("long").as("lr_l"))
+    val scored = tok.join(broadcast(ratios), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"), sum("lr_l").as("logw_l"))
+    // standard Gumbel from a hash-derived uniform in (0,1): the +0.5 offset
+    // keeps u strictly inside the open interval
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5d)) / lit(4294967296.0d)
+    scored
+      .withColumn("key_l", col("logw_l") + round(-log(-log(u)) * scale).cast("long"))
+      .orderBy(col("key_l").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("logw_l").cast("double") / scale).as("logw"), col("key_l"))
+  }
 }

@@ -269,6 +269,16 @@ object PipelineQueries {
       PipelineOps.selectByTokenBudget(scored, budget = 8000).orderBy("doc_id")
     },
 
+    // DSIR importance resampling (Xie et al. 2023): select the 100 raw docs
+    // most resembling the English subset under hashed-unigram target/raw
+    // models — one conditional-agg fit pass (shuffle carries 256 bucket
+    // rows), broadcast ratio scoring, Gumbel-top-k with hash-derived noise.
+    // Scores sum ×1e6-scaled int64 log-ratios, so ranking is exact and
+    // order-invariant (no floating partial-agg drift at any partitioning).
+    "q_dsir_sample" -> { t =>
+      PipelineOps.dsirResample(t.documents, isTarget = col("lang") === "en", k = 100)
+    },
+
     // SCD-1 upsert: updates for keys %3, inserts above the key space
     // (offset far past any scale factor's key range so synthetic inserts
     // never collide with real keys or the update set).
@@ -591,6 +601,29 @@ object PipelineQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s)
         |SELECT doc_id, n_tokens, quality FROM c WHERE cum <= 8000
         |ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    // re-derives the full DSIR pipeline: hashed-unigram fit over the token
+    // stream, add-one-smoothed log-ratios quantized to int64 (the exactness
+    // contract the Spark side also honors), hash-Gumbel key, top-100
+    "q_dsir_sample" ->
+      """WITH tok AS (SELECT doc_id, lang = 'en' AS is_tgt,
+        |  CAST(concat('0x', substring(md5(w), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)),
+        |counts AS (SELECT b, count(*) AS raw_n,
+        |  sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_n FROM tok GROUP BY b),
+        |tot AS (SELECT sum(raw_n) AS raw_tot, sum(tgt_n) AS tgt_tot FROM counts),
+        |ratios AS (SELECT b, CAST(round((ln((tgt_n + 1) / (tgt_tot + 256))
+        |  - ln((raw_n + 1) / (raw_tot + 256))) * 1000000) AS BIGINT) AS lr_l
+        |  FROM counts, tot),
+        |scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(lr_l) AS BIGINT) AS logw_l
+        |  FROM tok JOIN ratios USING (b) GROUP BY doc_id),
+        |keyed AS (SELECT doc_id, n_tokens, logw_l / 1000000.0 AS logw,
+        |  logw_l + CAST(round(-ln(-ln((CAST(concat('0x',
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+        |    / 4294967296.0)) * 1000000) AS BIGINT) AS key_l FROM scored)
+        |SELECT doc_id, n_tokens, logw, key_l FROM keyed
+        |ORDER BY key_l DESC, doc_id LIMIT 100""".stripMargin.replaceAll("\\s+", " "),
 
     "q_upsert" ->
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),

@@ -412,4 +412,27 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(merged == full)
   }
+
+  test("dsirResample ranks target-like documents above off-target ones") {
+    // target docs (is_tgt) speak "alpha beta"; off-target docs speak
+    // "gamma delta". The raw doc made of target vocabulary must carry a
+    // higher importance weight than the raw doc of off-target vocabulary.
+    val d = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta beta alpha", true),
+      (3L, "gamma delta gamma delta", false),
+      (4L, "gamma delta delta gamma", false),
+      (10L, "alpha beta alpha beta", false), // target-like raw doc
+      (11L, "gamma delta gamma delta", false) // off-target raw doc
+    ).toDF("doc_id", "text", "is_tgt")
+    val out = PipelineOps.dsirResample(d, isTarget = col("is_tgt"), k = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(10L) > out(11L), s"target-like doc not upweighted: $out")
+    // identical text → identical logw (scoring is content-pure)
+    assert(out(10L) == out(1L) && out(11L) == out(3L))
+    // deterministic across runs (hash-derived Gumbel, no RNG state)
+    val again = PipelineOps.dsirResample(d, isTarget = col("is_tgt"), k = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == again)
+  }
 }
