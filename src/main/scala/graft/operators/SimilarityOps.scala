@@ -739,4 +739,49 @@ object SimilarityOps {
       .where(col("sim") >= threshold)
       .select(col("cell"), col("new_id"), col("old_id"), round(col("sim"), 4).as("sim"))
   }
+
+  /** Prototype-distance data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): assign each vector to its nearest coarse-quantizer
+    * cell, score prototypicality as the cosine to the cell centroid, and
+    * keep only the `keepFrac` hardest (least prototypical) examples per
+    * cell — the easy, redundant core of each cluster is what data pruning
+    * discards at scale. Shares [[fitCoarseQuantizer]]'s deterministic fit
+    * with the IVF/SemDeDup family, so the pruned set is a constant of the
+    * corpus.
+    *
+    * Scale shape: the quantizer is model metadata (bounded fit sample,
+    * centroids ride as array literals), assignment + scoring is ONE narrow
+    * codegen'd pass — the cosine to the chosen prototype falls out of the
+    * same argmin expression, no second dot product, no join. The only
+    * shuffle is the per-cell ranking window (partitioned by cell —
+    * nCentroids-way parallelism; at production scale nCentroids is sized
+    * to the cluster, e.g. √N cells, so no cell outgrows a task). Emits
+    * the kept rows: (cell, id, proto_sim, rk) with rk 1 = hardest.
+    */
+  def protoPrune(emb: DataFrame, keepFrac: Double, nCentroids: Int = 16,
+                 kmeansIters: Int = 0,
+                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0, 1]")
+    val c = prepared(emb, vecCol, idCol)
+    val centroids = fitCoarseQuantizer(c, nCentroids, kmeansIters)
+    // argmin of (−dot/cnorm, cid) — cellsFor's ordering — but keeping the
+    // winning negSim so the prototype cosine needs no second pass:
+    // cos(v, c) = dot/(cnorm·nrm) = −negSim/nrm
+    val centArr = array(centroids.map { case (i, v, nr) =>
+      struct(lit(i).as("cid"), array(v.map(lit): _*).as("cv"), lit(nr).as("cnorm"))
+    }: _*)
+    val best = element_at(array_sort(transform(centArr, cent =>
+      struct((lit(-1.0) * call_function("vec_dot", cent.getField("cv"), col("v")) /
+        cent.getField("cnorm")).as("negSim"), cent.getField("cid").as("cid")))), 1)
+    val assigned = c.select(col("id"), col("nrm"), best.as("bc"))
+      .select(col("id"), col("bc").getField("cid").as("cell"),
+        (lit(-1.0) * col("bc").getField("negSim") / col("nrm")).as("sim"))
+    val byCell = Window.partitionBy("cell")
+    assigned
+      .withColumn("rk", row_number().over(byCell.orderBy(col("sim").asc, col("id"))))
+      .withColumn("n_cell", count(lit(1)).over(byCell))
+      .where(col("rk") <= ceil(col("n_cell") * keepFrac))
+      .select(col("cell"), col("id").as(idCol),
+        round(col("sim"), 4).as("proto_sim"), col("rk").cast("long").as("rk"))
+  }
 }

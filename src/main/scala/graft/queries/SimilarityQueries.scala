@@ -189,6 +189,16 @@ object SimilarityQueries {
       SimilarityOps.incrementalSemanticDedup(existing, incoming,
           nCentroids = 16, threshold = 0.4)
         .orderBy("new_id", "old_id")
+    },
+
+    // Prototype-distance pruning (Sorscher et al. 2022): keep the hardest
+    // half of each quantizer cell by cosine-to-centroid — the redundant
+    // cluster cores are dropped. One narrow assignment/scoring pass (the
+    // prototype cosine falls out of the argmin expression); the only
+    // shuffle is the cell-partitioned ranking window.
+    "q_proto_prune" -> { t =>
+      SimilarityOps.protoPrune(t.embeddings, keepFrac = 0.5, nCentroids = 16)
+        .orderBy("vec_id")
     }
   )
 
@@ -485,6 +495,28 @@ object SimilarityQueries {
         |  round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS sim
         |FROM ci x JOIN ce y ON x.cell = y.cell
         |WHERE list_dot_product(x.e, y.e) / (x.nrm * y.nrm) >= 0.4
-        |ORDER BY new_id, old_id""".stripMargin).replaceAll("\\s+", " ")
+        |ORDER BY new_id, old_id""".stripMargin).replaceAll("\\s+", " "),
+
+    // Same cell routing as q_semantic_dedup (argmax of dot/cnorm, cid
+    // tie-break), prototype cosine carries both norms; `+ 0` normalizes
+    // DuckDB's signed-zero round (proto_sim can straddle 0 here, unlike
+    // the thresholded dedup sims)
+    "q_proto_prune" ->
+      (dotCte + """,
+        |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, e AS ce, nrm AS cnrm
+        |  FROM n WHERE vec_id < 16),
+        |a AS (
+        |  SELECT x.vec_id, c.cid,
+        |    list_dot_product(x.e, c.ce) / (c.cnrm * x.nrm) AS sim,
+        |    row_number() OVER (PARTITION BY x.vec_id
+        |      ORDER BY list_dot_product(x.e, c.ce) / c.cnrm DESC, c.cid) AS rn
+        |  FROM n x CROSS JOIN c),
+        |cells AS (SELECT vec_id, cid AS cell, sim FROM a WHERE rn = 1),
+        |r AS (SELECT cell, vec_id, sim,
+        |  row_number() OVER (PARTITION BY cell ORDER BY sim ASC, vec_id) AS rk,
+        |  count(*) OVER (PARTITION BY cell) AS n_cell FROM cells)
+        |SELECT cell, vec_id, round(sim, 4) + 0 AS proto_sim, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= ceil(n_cell * 0.5) ORDER BY vec_id""".stripMargin)
+        .replaceAll("\\s+", " ")
   )
 }

@@ -166,6 +166,31 @@ class OpsSpec extends SparkSpec {
     assert(pairs.subsetOf(exact), s"semanticDedup invented pairs: ${pairs diff exact}")
   }
 
+  test("protoPrune keeps per-cell outliers ahead of cluster cores and honors the keep fraction") {
+    val rnd = new scala.util.Random(37)
+    // 2 tight clusters of 10 around well-separated centers, plus one
+    // planted outlier per cluster (same cell, large angular offset)
+    val centers = Array(Array.fill(16)(5.0f), Array.fill(16)(-5.0f))
+    val tight = (0 until 20).map { i =>
+      val c = centers(i % 2)
+      (i.toLong, c.map(x => x + rnd.nextFloat() * 0.1f))
+    }
+    val outliers = Seq(
+      (100L, centers(0).zipWithIndex.map { case (x, j) => if (j < 8) x else 0.2f }),
+      (101L, centers(1).zipWithIndex.map { case (x, j) => if (j < 8) x else 0.2f }))
+    val emb = (tight ++ outliers).toDF("vec_id", "embedding")
+    val kept = SimilarityOps.protoPrune(emb, keepFrac = 0.3, nCentroids = 2,
+      kmeansIters = 2).collect()
+    val byCell = kept.groupBy(_.getInt(0))
+    // ceil(11 * 0.3) = 4 kept per 11-member cell
+    byCell.foreach { case (cell, rows) =>
+      assert(rows.length == 4, s"cell $cell kept ${rows.length}, expected 4")
+    }
+    // the planted outliers are the least prototypical → rank 1 in their cells
+    val rank1 = kept.filter(_.getLong(3) == 1L).map(_.getLong(1)).toSet
+    assert(rank1 == Set(100L, 101L), s"outliers not ranked hardest: $rank1")
+  }
+
   test("incremental semantic dedup finds planted batch-vs-corpus duplicates through the cell index") {
     val rnd = new scala.util.Random(31)
     val centers = Array.fill(4)(Array.fill(16)(rnd.nextFloat() * 10 - 5))
