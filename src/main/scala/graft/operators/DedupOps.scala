@@ -115,8 +115,19 @@ object DedupOps {
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 100,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // distinct (id, shingle-hash) rows: set semantics for the Jaccard
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    sharedShinglePairs(docs, n, maxDf, textCol, idCol)
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .where(col("jaccard") >= threshold)
+      .select("ida", "idb", "jaccard")
+
+  /** Candidate pairs (ida, idb, shared, na, nb) from the capped-posting
+    * shingle index — the shared core of [[ngramJaccard]] and [[containment]]
+    * (the two differ only in the final similarity formula). */
+  private def sharedShinglePairs(docs: DataFrame, n: Int, maxDf: Int,
+                                 textCol: String, idCol: String): DataFrame = {
+    // distinct (id, shingle-hash) rows: set semantics for the measures
     val ex = shingleHashed(docs, textCol, idCol, n).distinct()
     val sz = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val cappedIds = udaf(new graft.functions.CappedSetAggregator(maxDf + 1))
@@ -137,10 +148,53 @@ object DedupOps {
     cand
       .join(sz.select(col("id").as("ida"), col("n_sh").as("na")), Seq("ida"))
       .join(sz.select(col("id").as("idb"), col("n_sh").as("nb")), Seq("idb"))
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-      .where(col("jaccard") >= threshold)
-      .select("ida", "idb", "jaccard")
+  }
+
+  /** Asymmetric shingle containment: C(A,B) = |S_A ∩ S_B| / min(|S_A|,|S_B|)
+    * ≥ threshold (Broder 1997, "On the resemblance and containment of
+    * documents"). Catches PARTIAL copies — a short document quoted or
+    * embedded whole inside a much longer one has Jaccard ≈ |S_A|/|S_B| ≈ 0
+    * but containment ≈ 1 — the curation case symmetric near-dup misses
+    * (reference analogue: none; this is the training-data-pipeline tier).
+    * Same index, cap contract, and cost shape as [[ngramJaccard]]: one
+    * corpus pass for the capped posting lists, map-side pair fan-out
+    * bounded by maxDf² per shingle, sizes joined after pair aggregation. */
+  def containment(docs: DataFrame, n: Int = 4, threshold: Double = 0.8,
+                  maxDf: Int = 100,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    sharedShinglePairs(docs, n, maxDf, textCol, idCol)
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("na"), col("nb")))
+      .where(col("containment") >= threshold)
+      .select("ida", "idb", "containment")
+
+  /** Span-overlap candidate pairs over winnowing fingerprints
+    * ([[TextOps.winnow]], MOSS): documents sharing ≥ `minShared`
+    * fingerprints. Winnowing guarantees every shared run of ≥ w+k-1 tokens
+    * surfaces at least one shared fingerprint, so this finds partial-copy /
+    * quoted-span pairs like [[containment]] — but the inverted index it
+    * joins is ~w× smaller than the full shingle index (only window-minimum
+    * grams are kept), which at 100 TB is the difference between indexing
+    * every 4-gram of the corpus and indexing a 2/(w+1) sample with the same
+    * detection floor. Same capped-posting contract as [[ngramJaccard]]:
+    * a boilerplate fingerprint's posting state saturates at maxDf+1 and is
+    * dropped from pair generation, bounding fan-out at maxDf² per
+    * fingerprint. Returns (ida, idb, shared_fps). */
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 5, minShared: Long = 2,
+                  maxDf: Int = 100,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fps = TextOps.winnow(docs, k, w, textCol, idCol)
+    val cappedIds = udaf(new graft.functions.CappedSetAggregator(maxDf + 1))
+    val postings = fps.groupBy("fp").agg(cappedIds(col("doc_id")).as("ids"))
+      .where(size(col("ids")) <= maxDf)
+    postings
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b => b > a), b =>
+          struct(a.as("ida"), b.as("idb")))))).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
   }
 
   /** Incremental near-dup check: which INCOMING documents are near-

@@ -32,6 +32,46 @@ object PipelineOps {
         .otherwise("train").as("split"))
   }
 
+  /** Length-bucketed batch packing with padding-waste accounting: documents
+    * go to power-of-two token-length buckets (bucket = ⌈log2(len)⌉), each
+    * bucket packs into fixed-size batches in doc-id order, and every batch
+    * reports the pad-token waste it pays (docs padded to the batch max).
+    * The dynamic-batching step that sizes training batches — batching
+    * similar-length sequences bounds pad waste at ≤ (2^b − 2^(b−1))·size
+    * per batch instead of maxLen·size under random batching.
+    *
+    * Plan: one narrow projection (token count + bucket), a ranking window
+    * partitioned by bucket, one aggregation. Scale: the window key has only
+    * ~log2(maxLen) values, so at 100 TB you shard it — pack per
+    * (bucket, hash(id) % S) instead; waste accounting is unchanged (each
+    * shard's batches are still length-homogeneous) and parallelism is S×
+    * with no cross-shard order requirement. The single-key form here keeps
+    * the batch numbering globally deterministic for the oracle. */
+  def lengthBuckets(docs: DataFrame, batchSize: Int = 8,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val n = size(split(col(textCol), " ")).cast("long")
+    // bucket = ⌈log2(n)⌉ computed INTEGER-exactly as the bit length of n−1
+    // (len(bin(n−1)) = ⌊log2(n−1)⌋+1 = ⌈log2(n)⌉ for n ≥ 2): floating log2
+    // at power-of-two boundaries is one ulp from flipping the ceil between
+    // engines, binary-string length never is
+    val d = docs.select(
+      col(idCol).as("doc_id"),
+      n.as("n_tokens"),
+      when(n <= 1, lit(0L))
+        .otherwise(length(bin(n - 1)).cast("long")).as("bucket"))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    d.withColumn("batch_id",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy("bucket", "batch_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max("n_tokens").as("max_len"),
+        sum("n_tokens").as("sum_len"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("max_len") - col("sum_len"))
+  }
+
   /** Sliding-window token chunking (size/stride in tokens) — the standard
     * pre-tokenization step that turns documents into fixed-length training
     * sequences with overlap. One output row per (doc, window start). */

@@ -81,6 +81,44 @@ object TextOps {
       fingerprint(col(textCol)).as("fp_md5"),
       rollingHash(tokens(normalized(col(textCol)))).as("fp_rolling"))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every k-token gram, slide a window of w
+    * consecutive gram hashes, keep the minimum per window, distinct per
+    * document. GUARANTEE: any token run of ≥ w+k-1 tokens shared between
+    * two documents contributes at least one shared fingerprint, while only
+    * ~2/(w+1) of gram hashes are kept — the index a downstream overlap
+    * join probes is w× smaller than the full shingle index at the same
+    * detection floor ([[graft.operators.DedupOps.winnowPairs]]).
+    *
+    * The gram hash is the md5 hex of the gram text with LEXICOGRAPHIC min —
+    * engine-independent (same md5-hex contract as maskTokens/hashSplit), so
+    * the selected fingerprints are bit-identical in any engine. Plan shape:
+    * position-explode + codegen'd scalar md5 per gram (the measured-fast
+    * shingle idiom — HOF lambdas re-evaluate non-attribute children per
+    * reference), then the window min as a bounded w-row frame over the
+    * per-document position order, then one distinct. The only exchange is
+    * the doc_id hash partitioning the window and distinct share. */
+  def winnow(docs: DataFrame, k: Int = 4, w: Int = 5,
+             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = docs
+      .where(size(toks) >= k + w - 1) // at least one full window
+      .select(col(idCol).as("doc_id"), toks.as("t"))
+      .select(col("doc_id"), (size(col("t")) - k).as("last_i"), col("t"))
+      .select(col("doc_id"), col("last_i"),
+        explode(sequence(lit(0), col("last_i"))).as("i"), col("t"))
+      .select(col("doc_id"), col("last_i"), col("i"),
+        md5(concat_ws(" ", slice(col("t"), col("i") + 1, lit(k)))
+          .cast("binary")).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      .where(col("i") <= col("last_i") - (w - 1)) // full windows only
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
   /** (doc_id, term, tf) term frequencies — the shared base of the IR
     * operators below. One explode + one (doc, term) aggregation; partial
     * (map-side) combine absorbs most of the explode fan-out before the

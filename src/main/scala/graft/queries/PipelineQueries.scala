@@ -18,6 +18,14 @@ object PipelineQueries {
       PipelineOps.hashSplit(t.documents).orderBy("doc_id")
     },
 
+    // Length-bucketed batch packing: pow-2 token-length buckets, fixed-size
+    // batches within each bucket, pad-waste accounting per batch (docs pad
+    // to the batch max) — the dynamic-batching efficiency report.
+    "q_length_buckets" -> { t =>
+      PipelineOps.lengthBuckets(t.documents, batchSize = 8)
+        .orderBy("bucket", "batch_id")
+    },
+
     // Sliding-window token chunking into training sequences (32-token
     // windows, stride 24 → 8-token overlap).
     "q_doc_chunks" -> { t =>
@@ -347,6 +355,19 @@ object PipelineQueries {
         |     WHEN substring(md5(text), 1, 1) IN ('e','f') THEN 'test'
         |     ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_length_buckets" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |b AS (SELECT doc_id, n,
+        |  CASE WHEN n <= 1 THEN 0 ELSE CAST(len(bin(n - 1)) AS BIGINT) END AS bucket
+        |  FROM d),
+        |r AS (SELECT doc_id, n, bucket,
+        |  row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM b)
+        |SELECT bucket, CAST((rn - 1) // 8 AS BIGINT) AS batch_id,
+        |  count(*) AS n_docs, max(n) AS max_len, CAST(sum(n) AS BIGINT) AS sum_len,
+        |  CAST(count(*) * max(n) - sum(n) AS BIGINT) AS padding_waste
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\\s+", " "),
 
     "q_doc_chunks" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

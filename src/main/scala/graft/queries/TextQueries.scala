@@ -37,6 +37,18 @@ object TextQueries {
       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)""".stripMargin
 
+  /** Winnowing oracle CTE (k=4, w=5): gram md5s positionally, min-hex per
+    * 5-gram window, distinct per doc — mirrors [[graft.operators.TextOps
+    * .winnow]] bit-for-bit (md5-hex min is engine-independent). */
+  private val winnowCte =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id,
+      |  [md5(array_to_string(t[i:i+3], ' ')) for i in range(1, len(t) - 2)] AS g
+      |  FROM tok WHERE len(t) >= 8),
+      |fps AS (SELECT doc_id,
+      |  list_distinct([list_min(g[j:j+4]) for j in range(1, len(g) - 3)]) AS fps
+      |  FROM g)""".stripMargin.replaceAll("\\s+", " ")
+
   /** Trained BPE merge table applied by q_bpe_apply — rank-ordered, chosen
     * to fire across the corpus vocabulary (th/the/er/in/ine/at/ata/st/ow/ar
     * cover the/batch/data/line/window/stream/spark/...). A model artifact:
@@ -64,6 +76,28 @@ object TextQueries {
     "q_text_dedup_near" -> { t =>
       DedupOps.ngramJaccard(t.documents, n = 4, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("ida", "idb")
+    },
+
+    // Asymmetric shingle containment (Broder 1997): shared/min instead of
+    // shared/union — flags partial copies (short doc embedded in a long
+    // one) that symmetric Jaccard scores near zero.
+    "q_containment_dedup" -> { t =>
+      DedupOps.containment(t.documents, n = 4, threshold = 0.8)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("ida", "idb")
+    },
+
+    // Winnowing fingerprints (Schleimer et al. 2003, MOSS): min gram-hash
+    // per w-window — a ~2/(w+1) sample of the gram index that still
+    // guarantees every shared run of ≥ w+k-1 tokens a shared fingerprint.
+    "q_winnow" -> { t =>
+      TextOps.winnow(t.documents, k = 4, w = 5).orderBy("doc_id", "fp")
+    },
+
+    // Span-overlap candidate pairs over the winnowed (w×-smaller) index.
+    "q_winnow_pairs" -> { t =>
+      DedupOps.winnowPairs(t.documents, k = 4, w = 5, minShared = 2)
         .orderBy("ida", "idb")
     },
 
@@ -439,6 +473,32 @@ object TextQueries {
         |JOIN sz na ON na.doc_id = ida
         |JOIN sz nb ON nb.doc_id = idb
         |WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.5
+        |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " "),
+
+    "q_containment_dedup" ->
+      (shingleCte + """,
+        |cand AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ida, idb,
+        |  round(shared * 1.0 / least(na.n, nb.n), 6) AS containment
+        |FROM cand
+        |JOIN sz na ON na.doc_id = ida
+        |JOIN sz nb ON nb.doc_id = idb
+        |WHERE shared * 1.0 / least(na.n, nb.n) >= 0.8
+        |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " "),
+
+    "q_winnow" ->
+      (winnowCte +
+        " SELECT doc_id, unnest(fps) AS fp FROM fps ORDER BY doc_id, fp"),
+
+    "q_winnow_pairs" ->
+      (winnowCte + """,
+        |wex AS (SELECT doc_id, unnest(fps) AS fp FROM fps)
+        |SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared_fps
+        |FROM wex a JOIN wex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " "),
 
     // The LSH/blocked candidate generators verify candidates with the EXACT

@@ -50,6 +50,58 @@ class OpsSpec extends SparkSpec {
     assert(sh == exact, s"chunk candidates missed true pairs: ${exact diff sh}")
   }
 
+  test("containment flags a partial copy that symmetric Jaccard misses") {
+    // short doc = a 12-token span lifted verbatim from the long doc: its
+    // shingle set is fully contained (containment 1.0) but tiny relative to
+    // the union (Jaccard << 0.5)
+    val long = (0 until 80).map(i => s"w$i").mkString(" ")
+    val short = (30 until 42).map(i => s"w$i").mkString(" ")
+    val pc = Seq((1L, long), (2L, short), (3L, "completely different text entirely")).toDF("doc_id", "text")
+    val cont = DedupOps.containment(pc, n = 4, threshold = 0.8)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(cont == Set((1L, 2L)))
+    val jac = DedupOps.ngramJaccard(pc, n = 4, threshold = 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(jac.isEmpty, "the partial copy must be invisible to symmetric Jaccard at 0.5")
+  }
+
+  test("winnow keeps a subset of gram hashes and guarantees shared-run detection") {
+    val k = 4; val w = 5
+    val shared = (100 until 120).map(i => s"s$i").mkString(" ") // 20-token run ≥ w+k-1
+    val a = ((0 until 40).map(i => s"a$i") :+ shared).mkString(" ")
+    val b = (shared +: (0 until 40).map(i => s"b$i")).mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val fps = TextOps.winnow(df, k, w).as[(Long, String)].collect()
+    // every fingerprint is the md5 of one of the doc's k-grams
+    val gramHashes = df.as[(Long, String)].collect().map { case (id, t) =>
+      val toks = t.split(" ")
+      id -> toks.sliding(k).map { g =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(g.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.toSet
+    }.toMap
+    fps.foreach { case (id, fp) => assert(gramHashes(id).contains(fp)) }
+    // winnowing samples: strictly fewer fingerprints than grams
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.length)
+    byDoc.foreach { case (id, n) => assert(n < gramHashes(id).size) }
+    // the ≥ w+k-1-token shared run must yield at least one shared fingerprint
+    val fpsA = fps.collect { case (1L, fp) => fp }.toSet
+    val fpsB = fps.collect { case (2L, fp) => fp }.toSet
+    assert((fpsA intersect fpsB).nonEmpty, "shared 20-token run lost by winnowing")
+  }
+
+  test("winnowPairs pairs span-sharing docs and skips unrelated ones") {
+    val shared = (200 until 220).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, ((0 until 30).map(i => s"x$i") :+ shared).mkString(" ")),
+      (2L, (shared +: (0 until 30).map(i => s"y$i")).mkString(" ")),
+      (3L, (0 until 60).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = DedupOps.winnowPairs(df, k = 4, w = 5, minShared = 1)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("simhashNearDup rejects explosive probe configurations") {
     // width 32 with 2-bit probes = 529 index rows per (doc, chunk) — the
     // guard must reject it before any plan is built
@@ -64,11 +116,13 @@ class OpsSpec extends SparkSpec {
 
   test("graded ngram-Jaccard corpora stay below the df-cap (oracles compute uncapped Jaccard)") {
     // q_text_dedup_near / q_dedup_clusters / q_dedup_drop / q_dedup_keep_best
-    // run ngramJaccard(n = 4) with the default maxDf = 100, but their DuckDB
-    // oracles compute the UNCAPPED Jaccard — the two agree only while no
-    // shingle's document frequency reaches the cap. Pin that precondition at
-    // the graded scale factors so a corpus change fails here, not in the
-    // correctness gate.
+    // / q_containment_dedup run on the n=4 shingle index with the default
+    // maxDf = 100, but their DuckDB oracles compute the UNCAPPED measure —
+    // the two agree only while no shingle's document frequency reaches the
+    // cap. Pin that precondition at the graded scale factors so a corpus
+    // change fails here, not in the correctness gate. (q_winnow_pairs is
+    // covered by the same bound: a winnow fingerprint's posting list is a
+    // subset of its gram's posting list, so fingerprint df ≤ shingle df.)
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val d = graft.Tables(spark, s"/root/testdata/$sf").documents
       val maxDf = d

@@ -130,6 +130,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(est(direct, "absent-token") >= 0L)
   }
 
+  test("lengthBuckets packs pow-2 buckets into bounded batches with exact waste") {
+    // lengths 1,2,3,4,5,8,9,16,17 → buckets 0,1,2,2,3,3,4,4,5
+    val lens = Seq(1, 2, 3, 4, 5, 8, 9, 16, 17)
+    val d = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = PipelineOps.lengthBuckets(d, batchSize = 2)
+      .orderBy("bucket", "batch_id").collect()
+    // bucket = ⌈log2(n)⌉, integer-exact
+    def bucketOf(n: Int) = if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros((n - 1).toLong)
+    val expectBuckets = lens.map(bucketOf).groupBy(identity).view.mapValues(_.size).toMap
+    val gotBuckets = out.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(gotBuckets.map { case (b, n) => b.toInt -> n.toInt } == expectBuckets)
+    out.foreach { r =>
+      val (nDocs, maxLen, sumLen, waste) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nDocs <= 2, "batch exceeds batchSize")
+      assert(waste == nDocs * maxLen - sumLen && waste >= 0)
+      // within a pow-2 bucket the worst pad is less than half the max length
+      assert(waste <= nDocs * (maxLen - (maxLen + 1) / 2))
+    }
+    // total docs conserved
+    assert(out.map(_.getLong(2)).sum == lens.size)
+  }
+
   test("chunk produces overlapping windows and a short tail") {
     // 7 tokens, size 3, stride 2 → starts 0,2,4,6: tails shorten
     val out = PipelineOps.chunk(docs(1L -> "t0 t1 t2 t3 t4 t5 t6"), size = 3, stride = 2)
