@@ -212,7 +212,36 @@ object DedupOps {
     * downstream for a keep/drop decision. */
   def incrementalNearDup(existing: DataFrame, incoming: DataFrame, n: Int = 3,
                          threshold: Double = 0.5, maxDf: Int = 100,
-                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    incrementalSharedPairs(existing, incoming, n, maxDf, textCol, idCol)
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("ni") + col("ne") - col("shared")))
+      .where(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+
+  /** Incremental containment check: which INCOMING documents are partial
+    * copies (shingle containment ≥ threshold, [[containment]]) of — or are
+    * partially copied by — an EXISTING corpus document. The rolling-ingest
+    * counterpart of [[containment]] exactly as [[incrementalNearDup]] is of
+    * [[ngramJaccard]]: cost linear in the batch's shingle instances × their
+    * bounded corpus df, never |corpus|². Catches the quote/embed ingest
+    * case: a new doc that wholesale-includes an archived one (or a stub
+    * extracted from one) scores ≈ 1 here while its Jaccard stays ≈ 0. */
+  def incrementalContainment(existing: DataFrame, incoming: DataFrame, n: Int = 4,
+                             threshold: Double = 0.8, maxDf: Int = 100,
+                             textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    incrementalSharedPairs(existing, incoming, n, maxDf, textCol, idCol)
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("ni"), col("ne")))
+      .where(col("containment") >= threshold)
+      .select("new_id", "old_id", "containment")
+
+  /** Batch-vs-corpus candidate pairs (new_id, old_id, shared, ni, ne) from
+    * the corpus's capped posting-list index — the shared core of
+    * [[incrementalNearDup]] and [[incrementalContainment]]. */
+  private def incrementalSharedPairs(existing: DataFrame, incoming: DataFrame,
+                                     n: Int, maxDf: Int,
+                                     textCol: String, idCol: String): DataFrame = {
     val exE = shingleHashed(existing, textCol, idCol, n).distinct()
     val exI = shingleHashed(incoming, textCol, idCol, n).distinct()
     val szE = exE.groupBy("id").agg(count(lit(1)).as("n_sh"))
@@ -235,10 +264,6 @@ object DedupOps {
     cand
       .join(szI.select(col("id").as("new_id"), col("n_sh").as("ni")), Seq("new_id"))
       .join(szE.select(col("id").as("old_id"), col("n_sh").as("ne")), Seq("old_id"))
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("ni") + col("ne") - col("shared")))
-      .where(col("jaccard") >= threshold)
-      .select("new_id", "old_id", "jaccard")
   }
 
   /** MinHash signature of the shingle set: `numHashes` min-hash values from

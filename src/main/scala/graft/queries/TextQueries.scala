@@ -355,6 +355,17 @@ object TextQueries {
         .orderBy("new_id", "old_id")
     },
 
+    // Rolling-ingest partial-copy check: incoming batch vs corpus index,
+    // containment instead of Jaccard — catches a new doc that embeds (or is
+    // a stub of) an archived one; linear in the batch, never corpus².
+    "q_containment_incr" -> { t =>
+      val existing = t.documents.where(col("doc_id") % 2 === 0)
+      val incoming = t.documents.where(col("doc_id") % 2 === 1)
+      DedupOps.incrementalContainment(existing, incoming, n = 4, threshold = 0.8)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("new_id", "old_id")
+    },
+
     // End-to-end curation composition: quality filter → exact-dedup keeper
     // → deterministic split → per-split corpus stats. The point is that the
     // curation operators compose into one declarative plan Catalyst
@@ -564,6 +575,21 @@ object TextQueries {
         |JOIN sz ni ON ni.doc_id = new_id
         |JOIN sz ne ON ne.doc_id = old_id
         |WHERE shared * 1.0 / (ni.n + ne.n - shared) >= 0.5
+        |ORDER BY new_id, old_id""".stripMargin).replaceAll("\\s+", " "),
+
+    "q_containment_incr" ->
+      (shingleCte + """,
+        |cand AS (
+        |  SELECT b.doc_id AS new_id, a.doc_id AS old_id, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2)
+        |SELECT new_id, old_id,
+        |  round(shared * 1.0 / least(ni.n, ne.n), 6) AS containment
+        |FROM cand
+        |JOIN sz ni ON ni.doc_id = new_id
+        |JOIN sz ne ON ne.doc_id = old_id
+        |WHERE shared * 1.0 / least(ni.n, ne.n) >= 0.8
         |ORDER BY new_id, old_id""".stripMargin).replaceAll("\\s+", " "),
 
     "q_unigram_logprob" ->

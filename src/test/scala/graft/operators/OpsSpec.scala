@@ -91,6 +91,21 @@ class OpsSpec extends SparkSpec {
     assert((fpsA intersect fpsB).nonEmpty, "shared 20-token run lost by winnowing")
   }
 
+  test("incrementalContainment flags a batch doc embedding a corpus doc") {
+    val corpusDoc = (0 until 15).map(i => s"c$i").mkString(" ")
+    val existing = Seq((10L, corpusDoc), (11L, "some old unrelated corpus content here")).toDF("doc_id", "text")
+    val incoming = Seq(
+      // new doc wholesale-includes corpus doc 10: containment ≈ 1, Jaccard low
+      (20L, ((0 until 40).map(i => s"n$i") :+ corpusDoc).mkString(" ")),
+      (21L, (0 until 30).map(i => s"m$i").mkString(" "))).toDF("doc_id", "text")
+    val cont = DedupOps.incrementalContainment(existing, incoming, n = 4, threshold = 0.8)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(cont == Set((20L, 10L)))
+    val jac = DedupOps.incrementalNearDup(existing, incoming, n = 4, threshold = 0.5)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(jac.isEmpty, "the embedded copy must be invisible to incremental Jaccard at 0.5")
+  }
+
   test("winnowPairs pairs span-sharing docs and skips unrelated ones") {
     val shared = (200 until 220).map(i => s"t$i").mkString(" ")
     val df = Seq(
