@@ -396,6 +396,39 @@ object SimilarityOps {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Two-stage retrieval: ADC shortlist over PQ codes → exact cosine
+    * re-rank of the shortlist only — the production PQ search composition
+    * (Jégou et al. 2011, "Product quantization for nearest neighbor
+    * search": asymmetric-distance shortlist, exact re-ranking of the top
+    * candidates). The corpus crosses the ADC stage as (id, nSub code
+    * bytes); FULL vectors are touched only for the |queries|×shortlist
+    * candidate rows — which is the point of PQ at 100 TB: the wide
+    * embedding column never shuffles and is read only for the shortlist
+    * semi-join (candidate set broadcast; the corpus-side re-read is a
+    * narrow map-side join). Result ranks equal brute force whenever the
+    * true top-k survive the shortlist (pinned in ScalaTest; the oracle
+    * models shortlist + re-rank end-to-end, nothing exhaustive). */
+  def adcRerankTopK(corpus: DataFrame, queries: DataFrame,
+                    books: Array[Array[Seq[Double]]], shortlist: Int, k: Int,
+                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be ≥ k $k")
+    val codes = pqCodesWith(corpus, books, vecCol, idCol)
+    val cand = adcTopK(codes, queries, books, shortlist, vecCol, idCol)
+      .select(col("query_id"), col("neighbor_id").as("id"))
+    val c = prepared(corpus, vecCol, idCol)
+    val q = prepared(queries, vecCol, idCol)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val exact = c.join(broadcast(cand), Seq("id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", cosinePrenormed(col("qv"), col("v"), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("id"))
+    exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** ADC cosine-against-the-reconstruction for a code-word column:
     * numerator Σ_s q_s·c_{code_s} (each dot in index order, subspaces
     * summed left-to-right), denominator ‖q‖·√Σ_s‖c_{code_s}‖². Codebooks

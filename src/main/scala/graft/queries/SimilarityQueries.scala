@@ -152,6 +152,18 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Two-stage PQ retrieval (Jégou et al. 2011): ADC shortlist (top-20 by
+    // reconstruction cosine) → exact cosine re-rank of the shortlist only.
+    // Full vectors are read solely for the |queries|×20 candidates; the
+    // oracle models both stages end-to-end with the same deterministic
+    // codebooks as q_adc_topk.
+    "q_adc_rerank" -> { t =>
+      val books = SimilarityOps.pqFitBooks(t.embeddings, nSub = 4, nCentroids = 16)
+      val queries = t.embeddings.where(col("vec_id") < 10)
+      SimilarityOps.adcRerankTopK(t.embeddings, queries, books, shortlist = 20, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // IVF-PQ — the composed production index (coarse cells + PQ codes +
     // ADC), searched at a genuinely PARTIAL probe (4 of 16 cells): the
     // oracle models the approximation itself, re-deriving cell routing,
@@ -394,6 +406,51 @@ object SimilarityQueries {
         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn FROM sim)
         |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, round(sim, 4) AS sim
         |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\\s+", " "),
+
+    // Both stages in SQL: the q_adc_topk CTEs verbatim down to `rk` (the
+    // unrounded ADC ranking), rn <= 20 as the shortlist, then exact cosine
+    // over the full vectors for shortlist members only and a fresh ranking.
+    "q_adc_rerank" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+        |s AS (SELECT vec_id, e, sub FROM v, (SELECT unnest(range(4)) AS sub)),
+        |d AS (SELECT s.vec_id, s.sub, c.cid, c.ce,
+        |  (list_dot_product(e[sub*16+1 : sub*16+16], e[sub*16+1 : sub*16+16])
+        |   - 2 * list_dot_product(e[sub*16+1 : sub*16+16], ce[sub*16+1 : sub*16+16]))
+        |   + list_dot_product(ce[sub*16+1 : sub*16+16], ce[sub*16+1 : sub*16+16]) AS d2
+        |  FROM s, c),
+        |r AS (SELECT vec_id, sub, cid, ce, d2,
+        |  row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM d),
+        |b AS (SELECT vec_id, sub,
+        |  ce[sub*16+1 : sub*16+16] AS cv,
+        |  list_dot_product(ce[sub*16+1 : sub*16+16], ce[sub*16+1 : sub*16+16]) AS cc
+        |  FROM r WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, e AS qe, sqrt(list_dot_product(e, e)) AS qnrm
+        |  FROM v WHERE vec_id < 10),
+        |sc AS (SELECT b.vec_id AS id, q.query_id, q.qnrm,
+        |  list(list_dot_product(q.qe[b.sub*16+1 : b.sub*16+16], b.cv) ORDER BY b.sub) AS ds,
+        |  list(b.cc ORDER BY b.sub) AS ccs
+        |  FROM b JOIN q ON b.vec_id <> q.query_id
+        |  GROUP BY b.vec_id, q.query_id, q.qnrm),
+        |sim AS (SELECT query_id, id,
+        |  (((ds[1] + ds[2]) + ds[3]) + ds[4])
+        |    / (qnrm * sqrt((((ccs[1] + ccs[2]) + ccs[3]) + ccs[4]))) AS sim
+        |  FROM sc),
+        |rk AS (SELECT query_id, id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn FROM sim),
+        |short AS (SELECT query_id, id FROM rk WHERE rn <= 20),
+        |n2 AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |ex AS (SELECT sh.query_id, sh.id,
+        |  list_dot_product(qv.e, cv.e) / (qv.nrm * cv.nrm) AS sim
+        |  FROM short sh
+        |  JOIN n2 qv ON qv.vec_id = sh.query_id
+        |  JOIN n2 cv ON cv.vec_id = sh.id),
+        |rr AS (SELECT query_id, id AS neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn FROM ex)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, round(sim, 4) AS sim
+        |FROM rr WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\\s+", " "),
 
     // The pruned IVF-PQ search end-to-end in SQL: `ca` ranks every vector
     // against the 16 lowest-id coarse centroids ((dot/cnrm) DESC, cid — the

@@ -295,6 +295,27 @@ class OpsSpec extends SparkSpec {
     assert(lsh == bf, s"banded LSH diverged from brute force: ${(bf diff lsh) ++ (lsh diff bf)}")
   }
 
+  test("adcRerankTopK with a full-corpus shortlist equals brute force bitwise") {
+    val rnd = new scala.util.Random(23)
+    val emb = (0 until 64).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 4)
+    val books = SimilarityOps.pqFitBooks(emb, nSub = 4, nCentroids = 8)
+    val bf = SimilarityOps.bruteForceTopK(emb, queries, k = 5).collect().toSet
+    // shortlist = whole corpus → the ADC stage prunes nothing and the exact
+    // re-rank must reproduce brute force bit-for-bit (same cosine exprs)
+    val rr = SimilarityOps.adcRerankTopK(emb, queries, books, shortlist = 63, k = 5)
+      .collect().toSet
+    assert(rr == bf, s"full-shortlist re-rank diverged: ${(bf diff rr) ++ (rr diff bf)}")
+    // a genuinely partial shortlist still returns k exact-scored rows per query
+    val part = SimilarityOps.adcRerankTopK(emb, queries, books, shortlist = 10, k = 5)
+      .collect()
+    assert(part.length == 4 * 5)
+    intercept[IllegalArgumentException] {
+      SimilarityOps.adcRerankTopK(emb, queries, books, shortlist = 3, k = 5)
+    }
+  }
+
   test("simhash: identical docs at hamming 0; planted near-dups within 3") {
     val pairs = DedupOps.simhashPairs(docs, maxHamming = 3)
       .select("ida", "idb", "hamming").as[(Long, Long, Int)].collect()
