@@ -429,6 +429,25 @@ object SimilarityOps {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * standard ANN index-quality measurement (the number every IVF/PQ/LSH
+    * deployment tracks to tune nProbe/bands against). Both inputs are
+    * (query_id, neighbor_id) top-k tables; output is per-query
+    * n_matched / recall. Cost is trivial by construction: top-k tables are
+    * |queries|×k rows however large the corpus is, so the evaluation join
+    * never touches corpus-scale data — run it on a bounded query sample
+    * and the whole comparison is driver-light and broadcastable. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    exact.select("query_id", "neighbor_id")
+      .join(
+        approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(coalesce(sum("__hit"), lit(0L)).as("n_matched"))
+      .withColumn("recall", round(col("n_matched") / (k * 1.0), 6))
+  }
+
   /** ADC cosine-against-the-reconstruction for a code-word column:
     * numerator Σ_s q_s·c_{code_s} (each dot in index order, subspaces
     * summed left-to-right), denominator ‖q‖·√Σ_s‖c_{code_s}‖². Codebooks

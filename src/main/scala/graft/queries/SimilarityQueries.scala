@@ -179,6 +179,19 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Recall@5 of the partial-probe IVF-PQ index against brute force — the
+    // index-quality evaluation every ANN deployment runs to tune its probe
+    // budget. The oracle recomputes BOTH sides in SQL (the pruned IVF-PQ
+    // search and the exact ranking) and joins them, so the measured recall
+    // itself is verified, not assumed.
+    "q_ann_recall" -> { t =>
+      val queries = t.embeddings.where(col("vec_id") < 10)
+      val approx = SimilarityOps.ivfPqTopK(t.embeddings, queries, k = 5,
+        nCentroids = 16, nProbe = 4, nSub = 4, nPqCentroids = 16)
+      val exact = SimilarityOps.bruteForceTopK(t.embeddings, queries, k = 5)
+      SimilarityOps.recallAtK(approx, exact, k = 5).orderBy("query_id")
+    },
+
     // SemDeDup (Abbas et al. 2023): within-cell-only pair comparison after
     // coarse k-means cell assignment — the n²/nCentroids semantic-dedup
     // geometry. kmeansIters = 0 makes the quantizer the 16 lowest-id
@@ -503,6 +516,67 @@ object SimilarityQueries {
         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn FROM sim)
         |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, round(sim, 4) AS sim
         |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin.replaceAll("\\s+", " "),
+
+    // The q_ivf_pq search chain verbatim down to `rk` (the approx top-5),
+    // plus the exact brute-force top-5 from the same `n` CTE, left-joined:
+    // per-query recall measured in SQL, nothing assumed.
+    "q_ann_recall" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |kc AS (SELECT CAST(vec_id AS INTEGER) AS ccid, e AS ce, nrm AS cnrm
+        |  FROM n WHERE vec_id < 16),
+        |ca AS (SELECT x.vec_id, kc.ccid,
+        |  row_number() OVER (PARTITION BY x.vec_id
+        |    ORDER BY list_dot_product(x.e, kc.ce) / kc.cnrm DESC, kc.ccid) AS rn
+        |  FROM n x CROSS JOIN kc),
+        |cells AS (SELECT vec_id, ccid AS cell FROM ca WHERE rn = 1),
+        |qp AS (SELECT vec_id AS query_id, ccid AS cell FROM ca
+        |  WHERE vec_id < 10 AND rn <= 4),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+        |s AS (SELECT vec_id, e, sub FROM v, (SELECT unnest(range(4)) AS sub)),
+        |d AS (SELECT s.vec_id, s.sub, c.cid, c.ce,
+        |  (list_dot_product(e[sub*16+1 : sub*16+16], e[sub*16+1 : sub*16+16])
+        |   - 2 * list_dot_product(e[sub*16+1 : sub*16+16], ce[sub*16+1 : sub*16+16]))
+        |   + list_dot_product(ce[sub*16+1 : sub*16+16], ce[sub*16+1 : sub*16+16]) AS d2
+        |  FROM s, c),
+        |r AS (SELECT vec_id, sub, cid, ce, d2,
+        |  row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM d),
+        |b AS (SELECT vec_id, sub,
+        |  ce[sub*16+1 : sub*16+16] AS cv,
+        |  list_dot_product(ce[sub*16+1 : sub*16+16], ce[sub*16+1 : sub*16+16]) AS cc
+        |  FROM r WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, e AS qe, sqrt(list_dot_product(e, e)) AS qnrm
+        |  FROM v WHERE vec_id < 10),
+        |cand AS (SELECT cells.vec_id AS id, qp.query_id
+        |  FROM cells JOIN qp ON cells.cell = qp.cell
+        |  WHERE cells.vec_id <> qp.query_id),
+        |sc AS (SELECT b.vec_id AS id, q.query_id, q.qnrm,
+        |  list(list_dot_product(q.qe[b.sub*16+1 : b.sub*16+16], b.cv) ORDER BY b.sub) AS ds,
+        |  list(b.cc ORDER BY b.sub) AS ccs
+        |  FROM b JOIN cand ON b.vec_id = cand.id JOIN q ON q.query_id = cand.query_id
+        |  GROUP BY b.vec_id, q.query_id, q.qnrm),
+        |sim AS (SELECT query_id, id,
+        |  (((ds[1] + ds[2]) + ds[3]) + ds[4])
+        |    / (qnrm * sqrt((((ccs[1] + ccs[2]) + ccs[3]) + ccs[4]))) AS sim
+        |  FROM sc),
+        |rk AS (SELECT query_id, id AS neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rn FROM sim),
+        |ap AS (SELECT query_id, neighbor_id FROM rk WHERE rn <= 5),
+        |p2 AS (SELECT q2.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |  list_dot_product(q2.e, x.e) / (q2.nrm * x.nrm) AS bsim
+        |  FROM n q2 JOIN n x ON x.vec_id <> q2.vec_id
+        |  WHERE q2.vec_id < 10),
+        |brk AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY bsim DESC, neighbor_id) AS rn
+        |  FROM p2),
+        |bf AS (SELECT query_id, neighbor_id FROM brk WHERE rn <= 5)
+        |SELECT bf.query_id, CAST(count(ap.neighbor_id) AS BIGINT) AS n_matched,
+        |  round(count(ap.neighbor_id) / 5.0, 6) AS recall
+        |FROM bf LEFT JOIN ap
+        |  ON bf.query_id = ap.query_id AND bf.neighbor_id = ap.neighbor_id
+        |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin.replaceAll("\\s+", " "),
 
     // Cell assignment mirrors the deterministic quantizer (centroids = the
     // 16 lowest-id vectors, cid = vec_id — same contract as the q_pq_codes

@@ -532,6 +532,7 @@ class PlanQualitySpec extends SparkSpec {
       "q_hybrid_retrieval"   -> "broadcast query vector (1 row) via bruteForceTopK",
       "q_adc_topk"           -> "broadcast PQ lookup tables (k × nsub × 256 model rows)",
       "q_adc_rerank"         -> "ADC stage's broadcast query set (10 rows, ≠ predicate); re-rank joins are equi BHJ",
+      "q_ann_recall"         -> "brute-force side's broadcast query set (10 rows, ≠ predicate); recall join is |q|×k vs |q|×k",
       "q_heavy_hitters"      -> "broadcast Misra–Gries sketch (1 row, ≤k-entry map)",
       "q_cms_counts"         -> "broadcast Count-Min sketch (1 row, depth×width array)",
       "q_chi_square"         -> "broadcast grand total + table dims (1 row)",

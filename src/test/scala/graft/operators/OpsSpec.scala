@@ -316,6 +316,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("recallAtK counts exact-top-k survivors, including zero-overlap queries") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 98L), (2L, 97L))
+      .toDF("query_id", "neighbor_id")
+    val out = SimilarityOps.recallAtK(approx, exact, k = 2)
+      .orderBy("query_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1L, 0.5), (2L, 0L, 0.0)))
+    // an index identical to the exact ranking scores recall 1.0 everywhere
+    val perfect = SimilarityOps.recallAtK(exact, exact, k = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(perfect == Set((1L, 2L, 1.0), (2L, 2L, 1.0)))
+  }
+
   test("simhash: identical docs at hamming 0; planted near-dups within 3") {
     val pairs = DedupOps.simhashPairs(docs, maxHamming = 3)
       .select("ida", "idb", "hamming").as[(Long, Long, Int)].collect()
