@@ -55,7 +55,20 @@ object Bench {
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     // Full per-query map on its own line for human/archival readers
     // (failed queries carry -1, never a fail-fast duration)...
-    println(s"""{"metric":"all_queries","n":${results.size},"n_failed":$nFailed,"queries":${jsonMap(results.toSeq.sortBy(_._1))}}""")
+    val allLine =
+      s"""{"metric":"all_queries","n":${results.size},"n_failed":$nFailed,"queries":${jsonMap(results.toSeq.sortBy(_._1))}}"""
+    println(allLine)
+    // ...AND as a file: the driver keeps only a bounded tail of stdout, which
+    // truncates this line out of BENCH_r*.json (r9 lost 129 of 179 queries
+    // from the round artifact). bench_last.json survives in the round
+    // snapshot so round-over-round per-query comparison never depends on
+    // stdout truncation. Written only for full runs — a SPARK_GRAFT_ONLY
+    // subset would otherwise masquerade as a full bench.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
+        allLine + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] bench_last.json write failed: $e") }
     // ...then the machine-read summary LAST and compact: the harness keeps
     // only a bounded tail of stdout and json-parses it line by line, so this
     // line must stay well under ~1.8 kB — slowest 50 queries only.

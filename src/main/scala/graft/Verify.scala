@@ -54,6 +54,17 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // Self-describing artifact: a SPARK_GRAFT_ONLY subset filters BOTH the
+    // run and oracle_sql.json, so a subset output is otherwise byte-shaped
+    // like a full gate run. Record the registry size and what was skipped so
+    // tools/check.py (and any reader of the artifact) can tell a dev subset
+    // from a real full-gate verification.
+    val registry = SparkEntry.queries.keys.toSeq.sorted
+    val skipped = registry.filterNot(selected)
+    val meta =
+      s"""{"n_registry": ${registry.size}, "n_selected": ${registry.size - skipped.size}, """ +
+        s""""subset": ${skipped.nonEmpty}, "skipped": [${skipped.map(q).mkString(", ")}]}"""
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

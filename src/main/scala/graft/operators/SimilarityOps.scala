@@ -103,8 +103,16 @@ object SimilarityOps {
     * [[prepared]]-shaped frame — use [[fitCoarseQuantizerOf]] from raw
     * embeddings. */
   private def fitCoarseQuantizer(c: DataFrame, nCentroids: Int,
-                                 kmeansIters: Int): Array[(Int, Seq[Double], Double)] = {
-    val sample = fitSample(c, nCentroids)
+                                 kmeansIters: Int): Array[(Int, Seq[Double], Double)] =
+    fitCoarseQuantizerFromSample(fitSample(c, nCentroids), nCentroids, kmeansIters)
+
+  /** The Lloyd loop of [[fitCoarseQuantizer]] over an ALREADY-collected
+    * sample — split out so [[fitIvfPq]] can fit both IVF-PQ models from one
+    * sample collect. `sample` must be the lowest-id-ordered [[fitSample]]
+    * result (or a prefix-extending superset truncated to the right size by
+    * the caller), or the fit constant changes. */
+  private def fitCoarseQuantizerFromSample(sample: Array[Seq[Double]], nCentroids: Int,
+                                           kmeansIters: Int): Array[(Int, Seq[Double], Double)] = {
     var centroids: Array[(Int, Seq[Double], Double)] =
       sample.take(nCentroids).zipWithIndex.map { case (v, i) =>
         (i, v, math.sqrt(v.map(x => x * x).sum))
@@ -439,9 +447,15 @@ object SimilarityOps {
     * and the whole comparison is driver-light and broadcastable. */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    exact.select("query_id", "neighbor_id")
+    // distinct on both projected inputs: the top-k-table contract (unique
+    // (query_id, neighbor_id)) is assumed but not enforced by the type, and
+    // duplicate approx rows would double-count hits (recall > 1.0) while
+    // queries present only in approx silently vanish. Cheap by construction
+    // — both inputs are |queries|×k.
+    exact.select("query_id", "neighbor_id").distinct()
       .join(
-        approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit")),
+        approx.select(col("query_id"), col("neighbor_id")).distinct()
+          .withColumn("__hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(coalesce(sum("__hit"), lit(0L)).as("n_matched"))
@@ -498,11 +512,45 @@ object SimilarityOps {
                 nCentroids: Int = 16, nProbe: Int = 4,
                 nSub: Int = 4, nPqCentroids: Int = 16, kmeansIters: Int = 0,
                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val (centroids, books) =
+      fitIvfPq(corpus, nCentroids, nSub, nPqCentroids, kmeansIters, vecCol, idCol)
+    ivfPqTopKWith(corpus, queries, k, centroids, books, nProbe, vecCol, idCol)
+  }
+
+  /** Fit BOTH IVF-PQ models — coarse quantizer and PQ codebooks — from ONE
+    * bounded sample collect. Each model trains on exactly the sample its
+    * standalone fit would use (the lowest `256·n` ids; the shared collect is
+    * the larger of the two and the smaller model takes the prefix, which is
+    * the identical array because the sample is id-ordered), so the fitted
+    * models are bit-identical to [[fitCoarseQuantizerOf]] + [[pqFitBooks]]
+    * run separately — at half the corpus TakeOrdered passes. This is the
+    * model-build entry an index pipeline calls once and shares across
+    * search, coding ([[ivfPqCode]]) and evaluation ([[recallAtK]]). */
+  def fitIvfPq(emb: DataFrame, nCentroids: Int = 16, nSub: Int = 4,
+               nPqCentroids: Int = 16, kmeansIters: Int = 0,
+               vecCol: String = "embedding", idCol: String = "vec_id")
+      : (Array[(Int, Seq[Double], Double)], Array[Array[Seq[Double]]]) = {
+    val p = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val sample = fitSample(p, math.max(nCentroids, nPqCentroids))
+    val coarse = fitCoarseQuantizerFromSample(
+      sample.take(FitSamplePerCentroid * nCentroids), nCentroids, kmeansIters)
+    val books = pqFitBooksFromSample(
+      sample.take(FitSamplePerCentroid * nPqCentroids), nSub, nPqCentroids, kmeansIters)
+    (coarse, books)
+  }
+
+  /** [[ivfPqTopK]] against ALREADY-FITTED models — the search half of the
+    * fit-once contract ([[fitIvfPq]]): an evaluation like [[recallAtK]]'s
+    * runs fit → search → code → recall against ONE model pair instead of
+    * refitting per call (the fits are deterministic, so refitting changes
+    * nothing but cost — two TakeOrdered corpus passes per call). */
+  def ivfPqTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                    centroids: Array[(Int, Seq[Double], Double)],
+                    books: Array[Array[Seq[Double]]], nProbe: Int = 4,
+                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val nCentroids = centroids.length
     require(nProbe >= 1 && nProbe <= nCentroids,
       s"nProbe must be in [1, nCentroids=$nCentroids]; got $nProbe")
-    val c = prepared(corpus, vecCol, idCol)
-    val centroids = fitCoarseQuantizer(c, nCentroids, kmeansIters)
-    val books = pqFitBooks(corpus, nSub, nPqCentroids, kmeansIters, vecCol, idCol)
     val coded = ivfPqCode(corpus, centroids, books, vecCol, idCol)
       .select(col(idCol).as("id"), col("cell"), split(col("codes"), ",").as("cs"))
     val q = prepared(queries, vecCol, idCol)
@@ -590,7 +638,14 @@ object SimilarityOps {
                  kmeansIters: Int = 0,
                  vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Seq[Double]]] = {
     val p = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-    val sample = fitSample(p, nCentroids)
+    pqFitBooksFromSample(fitSample(p, nCentroids), nSub, nCentroids, kmeansIters)
+  }
+
+  /** The per-subspace Lloyd loop of [[pqFitBooks]] over an ALREADY-collected
+    * [[fitSample]] — same caller contract as
+    * [[fitCoarseQuantizerFromSample]]. */
+  private def pqFitBooksFromSample(sample: Array[Seq[Double]], nSub: Int,
+                                   nCentroids: Int, kmeansIters: Int): Array[Array[Seq[Double]]] = {
     val init = sample.take(nCentroids)
     val dim = init.head.length
     require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")

@@ -186,8 +186,15 @@ object SimilarityQueries {
     // itself is verified, not assumed.
     "q_ann_recall" -> { t =>
       val queries = t.embeddings.where(col("vec_id") < 10)
-      val approx = SimilarityOps.ivfPqTopK(t.embeddings, queries, k = 5,
-        nCentroids = 16, nProbe = 4, nSub = 4, nPqCentroids = 16)
+      // fit-once contract: both quantizer models come from ONE bounded
+      // sample collect and are shared by the approx search — refitting per
+      // call is pure cost (the fits are deterministic), and was r9's
+      // slowest-query root cause (15 s: two extra TakeOrdered corpus
+      // passes + duplicated model work inside ivfPqTopK).
+      val (centroids, books) = SimilarityOps.fitIvfPq(t.embeddings,
+        nCentroids = 16, nSub = 4, nPqCentroids = 16)
+      val approx = SimilarityOps.ivfPqTopKWith(t.embeddings, queries, k = 5,
+        centroids, books, nProbe = 4)
       val exact = SimilarityOps.bruteForceTopK(t.embeddings, queries, k = 5)
       SimilarityOps.recallAtK(approx, exact, k = 5).orderBy("query_id")
     },

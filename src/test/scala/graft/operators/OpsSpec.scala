@@ -330,6 +330,44 @@ class OpsSpec extends SparkSpec {
     assert(perfect == Set((1L, 2L, 1.0), (2L, 2L, 1.0)))
   }
 
+  test("recallAtK is robust to malformed inputs: duplicate rows cannot inflate recall") {
+    val exact = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "neighbor_id")
+    // duplicated hit rows + a query absent from exact: without the internal
+    // distinct the dup would double-count (recall 1.5 > 1) and query 9
+    // would silently vanish from neither side (it has no exact row, so it
+    // is correctly absent — the contract is recall OF the exact set)
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 10L), (9L, 90L))
+      .toDF("query_id", "neighbor_id")
+    val out = SimilarityOps.recallAtK(approx, exact, k = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1L, 0.5)))
+    // duplicate EXACT rows must not double the denominator's numerator either
+    val dupExact = Seq((1L, 10L), (1L, 10L), (1L, 11L)).toDF("query_id", "neighbor_id")
+    val out2 = SimilarityOps.recallAtK(approx, dupExact, k = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out2 == Seq((1L, 1L, 0.5)))
+  }
+
+  test("fitIvfPq equals the separate fits bitwise; ivfPqTopKWith equals ivfPqTopK") {
+    val rnd = new scala.util.Random(37)
+    val emb = (0 until 64).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    // asymmetric sizes exercise the shared-sample prefix contract
+    val (cFit, bFit) = SimilarityOps.fitIvfPq(emb, nCentroids = 8, nSub = 4,
+      nPqCentroids = 4, kmeansIters = 2)
+    val cSep = SimilarityOps.fitCoarseQuantizerOf(emb, nCentroids = 8, kmeansIters = 2)
+    val bSep = SimilarityOps.pqFitBooks(emb, nSub = 4, nCentroids = 4, kmeansIters = 2)
+    assert(cFit.toSeq == cSep.toSeq, "coarse quantizer diverged from standalone fit")
+    assert(bFit.map(_.toSeq).toSeq == bSep.map(_.toSeq).toSeq,
+      "PQ books diverged from standalone fit")
+    val queries = emb.where(col("vec_id") < 4)
+    val viaWith = SimilarityOps.ivfPqTopKWith(emb, queries, k = 3, cFit, bFit, nProbe = 3)
+      .collect().toSet
+    val direct = SimilarityOps.ivfPqTopK(emb, queries, k = 3, nCentroids = 8,
+      nProbe = 3, nSub = 4, nPqCentroids = 4, kmeansIters = 2).collect().toSet
+    assert(viaWith == direct, "fit-once search diverged from fit-per-call search")
+  }
+
   test("simhash: identical docs at hamming 0; planted near-dups within 3") {
     val pairs = DedupOps.simhashPairs(docs, maxHamming = 3)
       .select("ida", "idb", "hamming").as[(Long, Long, Int)].collect()

@@ -31,6 +31,19 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
+# A SPARK_GRAFT_ONLY subset run filters oracle_sql.json too, so without the
+# meta marker a subset would be indistinguishable from a full gate run and
+# "N/N match" would overstate coverage. Loud banner + annotated summary.
+try:
+    verify_meta = json.load(open(f"{OUT}/verify_meta.json"))
+except FileNotFoundError:
+    verify_meta = {}
+SUBSET = bool(verify_meta.get("subset"))
+if SUBSET:
+    print(f"*** SUBSET RUN: {verify_meta.get('n_selected')}/"
+          f"{verify_meta.get('n_registry')} registry queries -- NOT a full "
+          f"correctness gate (skipped: {len(verify_meta.get('skipped', []))})")
+
 # Verify records per-query exceptions here; a throwing query writes no
 # parquet, and without this check it would silently vanish from the compare
 # (r8: 20 broken queries read as "140/140 green").
@@ -103,5 +116,6 @@ for name, sql in sorted(oracle.items()):
             fails += 1
     except Exception as e:
         print(f"ERR  {name}: {e}"); fails += 1
-print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+tag = " (SUBSET -- not a full gate)" if SUBSET else ""
+print(f"\n{len(oracle) - fails}/{len(oracle)} queries match{tag}")
 sys.exit(1 if fails else 0)
