@@ -14,9 +14,10 @@ import org.apache.spark.storage.StorageLevel
   * requirement of every downstream `groupBy` that includes `dst`, each power
   * iteration is then a broadcast join plus an in-place aggregation — zero
   * per-iteration exchanges of the |E|-row relation. Only the node count (a
-  * scalar) ever reaches the driver. At a scale where the |V|-row rank vector
-  * outgrows broadcast, flip the iteration join to pre-partitioning both
-  * sides by src and reusing that exchange instead.
+  * scalar) ever reaches the driver. When the |V|-row rank vector outgrows
+  * the broadcast budget, [[pageRank]] flips to the pre-partitioned
+  * shuffle-hash iteration (src-partitioned edges reused across iterations;
+  * only O(|V|) rows per exchange) — same output, pinned in ScalaTest.
   */
 object GraphOps {
 
@@ -159,6 +160,21 @@ object GraphOps {
     * rank_ratio = rank·N (mean 1.0), rounded to 6 dp for stable comparison.
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+    val (e, nodes, n) = prepRank(edges)
+    // crossover on the RANK VECTOR, not the edges: the per-iteration join
+    // broadcasts one (node, rank) row per vertex, so the broadcast form is
+    // valid exactly while that vector fits the broadcast budget. Estimated
+    // at ~32 B/row (long + double + row overhead) against the session's
+    // autoBroadcastJoinThreshold — past it, flip to the pre-partitioned
+    // shuffle iteration (identical output, pinned in ScalaTest).
+    val thresh = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    if (thresh > 0 && n * 32L <= thresh) broadcastIterate(e, nodes, n, iterations, damping)
+    else partitionedIterate(e, nodes, n, iterations, damping)
+  }
+
+  /** Normalized edge fractions + node table + node count — shared setup of
+    * both iteration strategies. `e` keeps the upstream dst-partitioning. */
+  private def prepRank(edges: DataFrame): (DataFrame, DataFrame, Long) = {
     // out_w is one row per node — broadcast it so normalization is a
     // map-side join that preserves the edges' dst-partitioning
     val outW = broadcast(edges.groupBy(col("src")).agg(sum(col("w")).as("out_w")))
@@ -168,7 +184,16 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count() // one scalar to the driver, by design
+    (e, nodes, nodes.count()) // one scalar to the driver, by design
+  }
+
+  private def finishRank(ranks: DataFrame, n: Long): DataFrame =
+    ranks.select(col("node"), round(col("rank") * n, 6).as("rank_ratio"))
+
+  /** Small-|V| iteration: the rank vector broadcasts, the edge relation
+    * never moves after setup — zero per-iteration exchanges of |E| rows. */
+  private def broadcastIterate(e: DataFrame, nodes: DataFrame, n: Long,
+                               iterations: Int, damping: Double): DataFrame = {
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
       val contrib = e.join(broadcast(ranks), col("src") === col("node"))
@@ -177,6 +202,46 @@ object GraphOps {
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
     }
-    ranks.select(col("node"), round(col("rank") * n, 6).as("rank_ratio"))
+    finishRank(ranks, n)
+  }
+
+  /** Large-|V| iteration: when the rank vector outgrows broadcast, both
+    * iteration joins become shuffle-hash joins against a src-partitioned
+    * copy of the edges. The |E|-row relation pays ONE extra exchange at
+    * setup (repartition by src, persisted) and then never moves: per
+    * iteration only the |V|-row rank vector shuffles to the edges'
+    * partitioning, the contribution aggregation partial-aggregates
+    * map-side before exchanging |V|-sized partials, and the rank update is
+    * a node-keyed equi-join — every exchange is O(|V|), none O(|E|). The
+    * shuffle_hash hint keeps the planner from sorting the persisted edges
+    * per iteration (SMJ) or re-broadcasting a vector the crossover said
+    * doesn't fit. */
+  private def partitionedIterate(e: DataFrame, nodes: DataFrame, n: Long,
+                                 iterations: Int, damping: Double): DataFrame = {
+    val eSrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contrib = eSrc
+        .join(ranks.select(col("node").as("src"), col("rank")).hint("shuffle_hash"), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("frac") * col("rank")).as("c"))
+      ranks = nodes.join(contrib.hint("shuffle_hash"), col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+    }
+    finishRank(ranks, n)
+  }
+
+  /** Test/measurement entries pinning the two strategies independently of
+    * the [[pageRank]] crossover. */
+  private[operators] def pageRankBroadcast(edges: DataFrame, iterations: Int,
+                                           damping: Double = 0.85): DataFrame = {
+    val (e, nodes, n) = prepRank(edges)
+    broadcastIterate(e, nodes, n, iterations, damping)
+  }
+
+  private[operators] def pageRankPartitioned(edges: DataFrame, iterations: Int,
+                                             damping: Double = 0.85): DataFrame = {
+    val (e, nodes, n) = prepRank(edges)
+    partitionedIterate(e, nodes, n, iterations, damping)
   }
 }

@@ -40,29 +40,49 @@ object PipelineOps {
     * similar-length sequences bounds pad waste at ≤ (2^b − 2^(b−1))·size
     * per batch instead of maxLen·size under random batching.
     *
-    * Plan: one narrow projection (token count + bucket), a ranking window
-    * partitioned by bucket, one aggregation. Scale: the window key has only
-    * ~log2(maxLen) values, so at 100 TB you shard it — pack per
-    * (bucket, hash(id) % S) instead; waste accounting is unchanged (each
-    * shard's batches are still length-homogeneous) and parallelism is S×
-    * with no cross-shard order requirement. The single-key form here keeps
-    * the batch numbering globally deterministic for the oracle. */
+    * ADAPTIVE plan (the [[QuantileOps.exactQuantiles]] contract — two
+    * formulations, IDENTICAL output, chosen from the plan's size estimate):
+    * the window key has only ~log2(maxLen) values, so the direct
+    * bucket-partitioned ranking window caps parallelism at the bucket
+    * count and buffers a whole bucket per task — fine while the input is
+    * executor-comfortable, a funnel at 100 TB. Above the crossover the
+    * per-bucket rank is computed in two phases instead (the
+    * [[packSequences]] prefix-sum trick): per-(bucket, id-block) counts →
+    * cumulative block offsets over that MODEL-SIZED table → block-local
+    * ranks — no task ever sees more than one id-block of one bucket, and
+    * because blocks follow id order the global batch numbering is
+    * bit-identical to the single-window form (pinned in ScalaTest), not
+    * merely waste-equivalent like a hash-shard would be. */
   def lengthBuckets(docs: DataFrame, batchSize: Int = 8,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val spark = docs.sparkSession
+    val threads = spark.sparkContext.defaultParallelism
+    val maxPart = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(maxPart) * threads)
+      windowLengthBuckets(docs, batchSize, textCol, idCol)
+    else
+      shardedLengthBuckets(docs, batchSize, 4096L, textCol, idCol)
+  }
+
+  /** (doc_id, n_tokens, bucket) projection shared by both formulations.
+    * bucket = ⌈log2(n)⌉ computed INTEGER-exactly as the bit length of n−1
+    * (len(bin(n−1)) = ⌊log2(n−1)⌋+1 = ⌈log2(n)⌉ for n ≥ 2): floating log2
+    * at power-of-two boundaries is one ulp from flipping the ceil between
+    * engines, binary-string length never is. */
+  private def bucketed(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val n = size(split(col(textCol), " ")).cast("long")
-    // bucket = ⌈log2(n)⌉ computed INTEGER-exactly as the bit length of n−1
-    // (len(bin(n−1)) = ⌊log2(n−1)⌋+1 = ⌈log2(n)⌉ for n ≥ 2): floating log2
-    // at power-of-two boundaries is one ulp from flipping the ceil between
-    // engines, binary-string length never is
-    val d = docs.select(
+    docs.select(
       col(idCol).as("doc_id"),
       n.as("n_tokens"),
       when(n <= 1, lit(0L))
         .otherwise(length(bin(n - 1)).cast("long")).as("bucket"))
-    val w = Window.partitionBy("bucket").orderBy("doc_id")
-    d.withColumn("batch_id",
-        ((row_number().over(w) - 1) / batchSize).cast("long"))
+  }
+
+  /** Waste accounting over ranked docs: batch = ⌊(rank−1)/batchSize⌋. */
+  private def packBatches(ranked: DataFrame, batchSize: Int): DataFrame =
+    ranked
+      .withColumn("batch_id", ((col("__rk") - 1) / batchSize).cast("long"))
       .groupBy("bucket", "batch_id")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -70,6 +90,45 @@ object PipelineOps {
         sum("n_tokens").as("sum_len"))
       .withColumn("padding_waste",
         col("n_docs") * col("max_len") - col("sum_len"))
+
+  /** Direct form: one ranking window partitioned by bucket. Parallelism =
+    * bucket count (~17 keys), task memory ∝ largest bucket — planned only
+    * below the crossover (see [[lengthBuckets]]). */
+  private[operators] def windowLengthBuckets(docs: DataFrame, batchSize: Int,
+                                             textCol: String = "text",
+                                             idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    packBatches(
+      bucketed(docs, textCol, idCol).withColumn("__rk", row_number().over(w).cast("long")),
+      batchSize)
+  }
+
+  /** Two-phase form: the per-bucket rank decomposes into (cumulative count
+    * of earlier id-blocks in the bucket) + (rank within the block). Phase 1
+    * aggregates one row per (bucket, block) — |docs|/blockSize rows, a
+    * broadcastable model-sized table at 100 TB — phase 2 ranks within
+    * (bucket, block) partitions, so parallelism is buckets × blocks and no
+    * task buffers more than one block of one bucket. Blocks follow id
+    * order, so ranks — and hence batch ids and waste rows — are
+    * bit-identical to [[windowLengthBuckets]]. */
+  private[operators] def shardedLengthBuckets(docs: DataFrame, batchSize: Int,
+                                              blockSize: Long = 4096L,
+                                              textCol: String = "text",
+                                              idCol: String = "doc_id"): DataFrame = {
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+    val d = bucketed(docs, textCol, idCol).withColumn("blk",
+      call_function("div", col("doc_id") - pmod(col("doc_id"), lit(blockSize)), lit(blockSize)))
+    val partials = d.groupBy("bucket", "blk").agg(count(lit(1)).as("blk_n"))
+    val wOff = Window.partitionBy("bucket").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("blk_off", coalesce(sum("blk_n").over(wOff), lit(0L)))
+      .select("bucket", "blk", "blk_off")
+    val wLocal = Window.partitionBy("bucket", "blk").orderBy("doc_id")
+    packBatches(
+      d.join(broadcast(offsets), Seq("bucket", "blk"))
+        .withColumn("__rk", col("blk_off") + row_number().over(wLocal)),
+      batchSize)
   }
 
   /** Sliding-window token chunking (size/stride in tokens) — the standard

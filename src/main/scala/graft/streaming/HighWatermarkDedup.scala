@@ -22,12 +22,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Implemented with `flatMapGroupsWithState` — an API extension point, not
   * planner surgery (SURVEY §4). State is one Long per key: at 100 TB-scale
   * key cardinality this stays KB-per-million-keys in the state store.
+  *
+  * `stateTtl`: optional idle-key eviction. The reference's `task_metadata`
+  * map grows for the life of the process (app.rb:78) — faithful, but
+  * unbounded at production key cardinality, where keys are ephemeral task
+  * ids that stop emitting forever once their allocation dies. With a TTL,
+  * a key whose state has seen no events for the duration is dropped from
+  * the state store (processing-time timeout, the same eviction contract as
+  * [[WatermarkDedupProcessor]]); if the key later re-appears its watermark
+  * RE-SEEDS to `initialWatermarkNs`, so a post-eviction replay of old
+  * events can pass — the explicit trade of the bounded-state mode. Default
+  * `None` preserves reference semantics exactly.
   */
 final case class HighWatermarkDedup(
     initialWatermarkNs: Long,
     keyCol: String = "task_identifier",
     timeCol: String = "event_time",
-    frameCol: Option[String] = None) {
+    frameCol: Option[String] = None,
+    stateTtl: Option[java.time.Duration] = None) {
 
   def apply(spark: SparkSession, events: DataFrame): DataFrame = {
     val schema = events.schema
@@ -35,6 +47,10 @@ final case class HighWatermarkDedup(
     val timeIdx = schema.fieldIndex(timeCol)
     val frameIdx = frameCol.map(schema.fieldIndex)
     val init = initialWatermarkNs
+    val ttlMs = stateTtl.map(_.toMillis)
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     implicit val rowEnc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(schema))
     implicit val keyEnc = Encoders.STRING
@@ -43,21 +59,29 @@ final case class HighWatermarkDedup(
     events
       .groupByKey((r: Row) => r.getString(keyIdx))
       .flatMapGroupsWithState[Long, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
-          val batch = rows.toVector
-          // snapshot units: one per frame (ordered), or the whole micro-batch
-          val units: Seq[Vector[Row]] = frameIdx match {
-            case Some(f) =>
-              batch.groupBy(r => if (r.isNullAt(f)) Long.MinValue else r.getLong(f))
-                .toSeq.sortBy(_._1).map(_._2)
-            case None => Seq(batch)
+          if (state.hasTimedOut) {
+            // idle past the TTL: evict — the key re-seeds if it returns
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toVector
+            // snapshot units: one per frame (ordered), or the whole micro-batch
+            val units: Seq[Vector[Row]] = frameIdx match {
+              case Some(f) =>
+                batch.groupBy(r => if (r.isNullAt(f)) Long.MinValue else r.getLong(f))
+                  .toSeq.sortBy(_._1).map(_._2)
+              case None => Seq(batch)
+            }
+            val (out, wm) = WatermarkLogic.dedupUnits[Row](units,
+              r => if (r.isNullAt(timeIdx)) None else Some(r.getLong(timeIdx)),
+              state.getOption.getOrElse(init))
+            state.update(wm)
+            // the idle clock restarts on every batch that touches the key
+            ttlMs.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          val (out, wm) = WatermarkLogic.dedupUnits[Row](units,
-            r => if (r.isNullAt(timeIdx)) None else Some(r.getLong(timeIdx)),
-            state.getOption.getOrElse(init))
-          state.update(wm)
-          out.iterator
       }(stateEnc, rowEnc)
       .toDF(schema.fieldNames.toIndexedSeq: _*)
   }

@@ -59,6 +59,20 @@ class GraphQualityOpsSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 3.0) < 2e-6) // rank_ratio sums to N (6dp-rounded)
   }
 
+  test("pageRank: partitioned shuffle iteration equals the broadcast iteration bitwise") {
+    // a less-symmetric weighted graph: star + chain + a heavy edge, so the
+    // two strategies must agree beyond what symmetry alone would force
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 1L, 1L), (1L, 3L, 2L), (3L, 1L, 2L),
+      (1L, 4L, 1L), (4L, 1L, 1L), (4L, 5L, 3L), (5L, 4L, 3L),
+      (5L, 2L, 1L), (2L, 5L, 1L)).toDF("src", "dst", "w")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val bc = rows(GraphOps.pageRankBroadcast(edges, iterations = 12))
+    val pt = rows(GraphOps.pageRankPartitioned(edges, iterations = 12))
+    assert(pt == bc, "crossover strategies must produce the identical rank vector")
+  }
+
   test("dqChecks evaluates every constraint in one pass and flags failures") {
     val df = Seq((1L, 10.0), (2L, -5.0), (3L, 20.0), (3L, 30.0)).toDF("id", "v")
     val out = QualityOps.dqChecks(df, Seq(

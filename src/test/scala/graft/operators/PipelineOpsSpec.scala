@@ -155,6 +155,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).sum == lens.size)
   }
 
+  test("lengthBuckets: sharded two-phase rank is bit-identical to the single window") {
+    // 300 docs, varied lengths, ids NOT block-aligned; blockSize 16 forces
+    // many (bucket, block) partitions and non-trivial cumulative offsets
+    val rnd = new scala.util.Random(11)
+    val d = (0 until 300).map { i =>
+      (i.toLong * 3 + 1, (0 to rnd.nextInt(40)).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket", "batch_id").collect().toSeq
+    val direct = rows(PipelineOps.windowLengthBuckets(d, batchSize = 7))
+    val sharded = rows(PipelineOps.shardedLengthBuckets(d, batchSize = 7, blockSize = 16L))
+    assert(sharded == direct,
+      "block-offset ranking must reproduce the global window's batches exactly")
+    // adaptive entry agrees with both (small input → window form)
+    assert(rows(PipelineOps.lengthBuckets(d, batchSize = 7)) == direct)
+  }
+
   test("chunk produces overlapping windows and a short tail") {
     // 7 tokens, size 3, stride 2 → starts 0,2,4,6: tails shorten
     val out = PipelineOps.chunk(docs(1L -> "t0 t1 t2 t3 t4 t5 t6"), size = 3, stride = 2)

@@ -111,4 +111,66 @@ class NdjsonBufferSpec extends AnyFunSuite {
       assert(parseAll(chunks) == parseAll(Seq(doc)), s"seed=$seed chunks=$chunks")
     }
   }
+
+  /** The captured real-stream specimen (reference
+    * spec/fixtures/nomad/stream_a_1.txt, byte-copied to test resources): a
+    * genuine readpartial capture from a live Nomad event stream, one chunk
+    * per file line. Chunk 1 is the TAIL of a frame whose head the capture
+    * missed (its trailing newline is the frame's real terminator); chunk 2
+    * opens the `{"Index":6104,...}` allocation frame but ends mid-string
+    * (`"Message":"Building Task` — its file newline is the capture tool's
+    * separator, NOT stream data); chunk 3 is that frame's remainder
+    * (`Directory",...]}`) through the real terminating newline. So the
+    * reconstructed stream is [tail-of-frame-A]\n[frame-B]\n with frame B =
+    * line2 ++ line3 — verified: only that concatenation parses. The
+    * synthetic table cases above model this shape; this pins it on the
+    * real capture bytes. */
+  private lazy val streamA1Lines: Seq[String] = {
+    val in = getClass.getResourceAsStream("/nomad/stream_a_1.txt")
+    val bytes = try in.readAllBytes() finally in.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8).split("\n", -1).toSeq.init
+  }
+
+  private def streamA1Reconstructed: String = {
+    val Seq(l1, l2, l3) = streamA1Lines
+    l1 + "\n" + l2 + l3 + "\n"
+  }
+
+  test("captured fixture stream_a_1: tail chunk drops, split frame reassembles") {
+    val Seq(l1, l2, l3) = streamA1Lines
+    assert(Seq(l1, l2, l3).map(_.length) == Seq(3361, 6337, 3177))
+    val b = new NdjsonBuffer(maxLineBytes = 1 << 20)
+    // chunk 1: a complete line that is only the tail of frame A → the
+    // reference's rescue-drop (lib/ndjson.rb:27-32) discards it
+    assert(b.feed(l1 + "\n").isEmpty)
+    // chunk 2 ends mid-string inside frame B: nothing completes, the whole
+    // chunk is carried
+    assert(b.feed(l2).isEmpty)
+    assert(b.pending == l2)
+    // chunk 3 completes frame B — the one whole event in the capture
+    val out = b.feed(l3 + "\n")
+    assert(out == Seq(l2 + l3))
+    assert(b.pending.isEmpty)
+    val frame = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out.head)
+    assert(frame.get("Index").asLong == 6104L)
+    assert(frame.get("Events").get(0).get("Topic").asText == "Allocation")
+    assert(frame.get("Events").get(0).get("Type").asText == "AllocationUpdated")
+    assert(frame.get("Events").get(0).get("Key").asText ==
+      "f956c030-6323-ff77-2b44-2801996c7698")
+  }
+
+  test("captured fixture stream_a_1: chunk-split invariance on the reconstructed stream") {
+    val bytes = streamA1Reconstructed.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val whole = {
+      val b = new NdjsonBuffer(maxLineBytes = 1 << 20)
+      b.feedBytes(bytes, bytes.length)
+    }
+    assert(whole.size == 1, "exactly one whole frame survives the capture")
+    // readpartial-sized cuts (512 B to 4 KB) and adversarial 1-byte offsets
+    Seq(1, 511, 512, 1024, 3361, 3362, 4096).foreach { sz =>
+      val b = new NdjsonBuffer(maxLineBytes = 1 << 20)
+      val got = bytes.grouped(sz).toSeq.flatMap(c => b.feedBytes(c, c.length))
+      assert(got == whole, s"chunk size $sz diverged on the captured stream")
+    }
+  }
 }

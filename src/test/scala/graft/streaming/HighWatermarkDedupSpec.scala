@@ -89,4 +89,46 @@ class HighWatermarkDedupSpec extends SparkSpec {
     assert(batch == Seq(10L, 20L, 20L))
     assert(streaming.map(_._2).sorted == Seq(10L, 20L, 20L))
   }
+
+  test("stateTtl evicts idle keys; an evicted key re-seeds to the initial watermark") {
+    val input = MemoryStream[Te](spark)
+    val deduped = HighWatermarkDedup(0L, stateTtl = Some(java.time.Duration.ofMillis(200)))
+      .apply(spark, input.toDF())
+    val dir = java.nio.file.Files.createTempDirectory("dedup-ttl").toString
+    val query = deduped.writeStream
+      .format("memory").queryName(s"dedup_ttl_${System.nanoTime()}")
+      .option("checkpointLocation", dir)
+      .outputMode("append").start()
+    def emitted(): Seq[(String, Long)] =
+      spark.table(query.name).select("task_identifier", "event_time")
+        .as[(String, Long)].collect().toSeq.sorted
+    // With a ProcessingTimeTimeout registered the engine schedules
+    // timeout-evaluation batches on its own clock, so processAllAvailable
+    // can livelock against the trigger thread — poll the sink for the
+    // expected row count instead (the engine drains MemoryStream data by
+    // itself; nothing here depends on batch boundaries).
+    def awaitRows(n: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (emitted().size < n && System.nanoTime() < deadline) Thread.sleep(50L)
+      query.exception.foreach(throw _)
+      assert(emitted().size == n, s"expected $n rows, got ${emitted()}")
+    }
+    // key a advances its watermark to 500
+    input.addData(Seq(Te("a", 500L, "x")))
+    awaitRows(1)
+    assert(emitted() == Seq(("a", 500L)))
+    // let a's idle clock expire (timeout batches fire on the engine's own
+    // trigger), then feed key b
+    Thread.sleep(1000L)
+    input.addData(Seq(Te("b", 100L, "y")))
+    awaitRows(2)
+    // a returns with an event BELOW its old watermark. Evicted → re-seeded
+    // to init 0 → the event passes. (Without the TTL this is the stale-drop
+    // case above and would be suppressed.)
+    input.addData(Seq(Te("a", 400L, "replay")))
+    awaitRows(3)
+    assert(emitted() == Seq(("a", 400L), ("a", 500L), ("b", 100L)),
+      "evicted key must re-seed, so a sub-watermark event passes after TTL")
+    query.stop()
+  }
 }
