@@ -633,10 +633,17 @@ object DedupOps {
     // checkpoint, AND the first loop iteration's join (the loop below then
     // starts from labels₁; convergence detection is unchanged since labels
     // only ever decrease).
+    // LAZY checkpoints throughout the loop: the labelSum convergence probe
+    // that immediately follows each checkpoint is a full action over every
+    // partition, so it materializes the checkpoint as a side effect — one
+    // job per round instead of eager-checkpoint + probe (two). Same
+    // lineage-truncation semantics, half the job barriers — and per-job
+    // latency is exactly what degrades first on a contended driver box
+    // (ARCHITECTURE, "Driver-box bench divergence").
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("cluster"))
       .select(col("src").as("id"), col("cluster"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prevSum = labelSum(labels)
     var iter = 0
     var done = false
@@ -653,7 +660,7 @@ object DedupOps {
         .join(combined.select(col("id").as("cluster"), col("cluster").as("jump")),
           Seq("cluster"), "left")
         .select(col("id"), coalesce(col("jump"), col("cluster")).as("cluster"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by the labelSum probe below
       val s = labelSum(next)
       labels = next
       done = s == prevSum

@@ -205,21 +205,29 @@ object PipelineOps {
     require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
     val threshold = math.round(rate * 65536)
     val thresholdHex = f"$threshold%04x"
-    val toks = split(col(textCol), " ")
     def hit(i: Column): Column =
       // rate 1.0 would need a 5-hex-digit threshold, outside the 4-digit
       // compare domain — short-circuit it
       if (threshold >= 65536) lit(true)
       else substring(md5(concat(col(idCol).cast("string"), lit(":"), i.cast("string"))
         .cast("binary")), 1, 4) < thresholdHex
-    val positions = sequence(lit(0), org.apache.spark.sql.functions.size(toks) - 1)
-    docs.select(
-      col(idCol),
-      concat_ws(" ", zip_with(toks, positions,
-        (t, i) => when(hit(i), lit(maskTok)).otherwise(t))).as("masked_text"),
-      aggregate(transform(positions, i => when(hit(i), 1L).otherwise(0L)),
-        lit(0L), _ + _).as("n_masked"),
-      org.apache.spark.sql.functions.size(toks).cast("long").as("n_tokens"))
+    // bind the per-position mask decisions to ONE projected array column:
+    // both consumers (token substitution and the mask count) read the same
+    // attribute instead of re-running the md5 chain — the hash is the whole
+    // cost of this operator, and an expression referenced inside two lambdas
+    // evaluates once PER REFERENCE (r9: q_mask_tokens paid every md5 twice)
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__mask", transform(
+        sequence(lit(0), org.apache.spark.sql.functions.size(col("__toks")) - 1),
+        i => hit(i)))
+      .select(
+        col(idCol),
+        concat_ws(" ", zip_with(col("__toks"), col("__mask"),
+          (t, m) => when(m, lit(maskTok)).otherwise(t))).as("masked_text"),
+        aggregate(col("__mask"), lit(0L),
+          (acc, m) => acc + when(m, 1L).otherwise(0L)).as("n_masked"),
+        org.apache.spark.sql.functions.size(col("__toks")).cast("long").as("n_tokens"))
   }
 
   /** Chained regex redaction: each (pattern → replacement) pair applied in

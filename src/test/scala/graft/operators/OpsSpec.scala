@@ -153,6 +153,16 @@ class OpsSpec extends SparkSpec {
       assert(maxDf <= 100,
         s"$sf: hottest 4-gram shingle df $maxDf reaches the maxDf=100 cap — " +
           "the capped score would diverge from the uncapped oracle")
+      // q_winnow_pairs' own bound, pinned DIRECTLY rather than via the
+      // fp-df ≤ shingle-df subset argument: that argument couples winnow's
+      // k to the 4-gram bound above and would silently lapse if the query's
+      // k ever diverged from 4 — measuring the winnow index itself keeps
+      // the pin valid under any parameter change.
+      val maxFpDf = TextOps.winnow(d, k = 4, w = 5)
+        .groupBy("fp").count().agg(max("count")).as[Long].head()
+      assert(maxFpDf <= 100,
+        s"$sf: hottest winnow fingerprint df $maxFpDf reaches the maxDf=100 " +
+          "cap — q_winnow_pairs' capped postings would diverge from its uncapped oracle")
     }
   }
 
