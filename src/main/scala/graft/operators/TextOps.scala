@@ -425,4 +425,99 @@ object TextOps {
         count(lit(1)).as("df"),
         sum("tf").as("cf"),
         sort_array(collect_list(col("doc_id"))).as("postings"))
+
+  /** Per-document out-of-vocabulary rate against the corpus's own top-V
+    * token vocabulary — the tokenizer-coverage diagnostic a pipeline runs
+    * before committing to a vocab size (docs with high OOV under the
+    * candidate vocab will fragment into byte-level pieces at train time).
+    *
+    * The vocabulary is the `vocabSize` most frequent tokens, ties broken
+    * lexicographically — a total order, so the vocab is a deterministic
+    * constant of the corpus an oracle recomputes with the same ORDER BY +
+    * LIMIT. Plan shape: one token-count aggregation, TakeOrdered to the
+    * bounded vocab (model metadata, never corpus-sized), then the vocab
+    * BROADCASTS onto the exploded token stream and membership aggregates
+    * per document — the big relation sees one shuffle (the per-doc agg);
+    * the vocab side is |V| rows regardless of corpus size. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 50,
+              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in_vocab"))
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens").cast("double"), 6))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * n-grams that occur for the FIRST time in this document (first = lowest
+    * doc id over the whole corpus) — the marginal-contribution curve
+    * curation uses to order or cap sources (late documents of a crawl
+    * contribute mostly n-grams the corpus already has; their novelty rate
+    * decays toward the dedup threshold).
+    *
+    * Plan shape: per-doc distinct grams (explode + distinct), a gram-keyed
+    * min-id aggregation (the first-occurrence index — ONE pass, partial
+    * aggregation map-side), and a gram-keyed equi-join back. Both shuffles
+    * key on the gram: hash-distributed, AQE-splittable, no broadcast of
+    * anything corpus-sized. The join key here is the gram STRING so the
+    * SQL oracle reproduces it byte-for-byte; at 100 TB key it on
+    * xxhash64(gram) instead — same plan, 8-byte exchange keys. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val grams = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("id"), explode(sequence(lit(0), size(col("toks")) - n)).as("i"),
+        col("toks"))
+      .select(col("id"), concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))).as("gram"))
+      .distinct()
+    val first = grams.groupBy("gram").agg(min(col("id")).as("first_id"))
+    grams
+      .join(first, Seq("gram"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("id") === col("first_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_rate", round(col("n_novel") / col("n_grams").cast("double"), 6))
+      .select(col("id").as(idCol), col("n_grams"), col("n_novel"), col("novelty_rate"))
+  }
+
+  /** Zipf rank-frequency slope over the top-`k` tokens: the least-squares
+    * slope of log(freq) on log(rank) — natural text sits near −1; heavily
+    * deduplicated or templated corpora drift shallower/steeper, so the
+    * slope is a one-number corpus-diversity health metric tracked across
+    * pipeline stages. Returns one row (n_ranks, slope, intercept).
+    *
+    * Plan shape: one token-count aggregation, TakeOrdered to the bounded
+    * top-k (ties broken lexicographically — total order, oracle-exact),
+    * rank + regression over those k rows only. The ranking window and the
+    * final aggregate run on k rows — model-sized, never corpus-sized. */
+  def zipfSlope(docs: DataFrame, k: Int = 100,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"need at least 2 ranks for a slope, got $k")
+    val top = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(k)
+    // rank over the k-row table (bounded single-partition window by design)
+    val ranked = top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok").asc)))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    ranked.agg(
+      count(lit(1)).as("n_ranks"),
+      round(covar_pop(col("y"), col("x")) / var_pop(col("x")), 6).as("slope"),
+      round(avg(col("y")) - covar_pop(col("y"), col("x")) / var_pop(col("x")) * avg(col("x")), 6)
+        .as("intercept"))
+  }
 }

@@ -430,6 +430,28 @@ object TextQueries {
       graft.operators.MultimodalOps.exactBinaryDedup(media,
           binCol = "blob", idCol = "doc_id")
         .orderBy("doc_id")
+    },
+
+    // Tokenizer-coverage diagnostic: OOV rate per document against the
+    // corpus's own top-50 token vocabulary (ties lexicographic — a total
+    // order, so the vocab is a deterministic constant the oracle
+    // recomputes). Vocab is bounded model metadata and broadcasts.
+    "q_oov_rate" -> { t =>
+      TextOps.oovRate(t.documents, vocabSize = 50).orderBy("doc_id")
+    },
+
+    // Marginal-contribution curve: fraction of each doc's distinct 3-grams
+    // first seen in this doc (lowest doc_id wins). Gram-keyed min-id index
+    // + join back — both shuffles on the gram key, nothing broadcast.
+    "q_ngram_novelty" -> { t =>
+      TextOps.ngramNovelty(t.documents, n = 3).orderBy("doc_id")
+    },
+
+    // Corpus-diversity health metric: least-squares slope of log(freq) on
+    // log(rank) over the top-100 tokens (Zipf exponent). Rank table is
+    // bounded top-k; the regression runs over k rows only.
+    "q_zipf_slope" -> { t =>
+      TextOps.zipfSlope(t.documents, k = 100)
     }
   )
 
@@ -991,6 +1013,50 @@ object TextQueries {
         |  CAST(count(*) AS BIGINT) AS n_copies FROM h GROUP BY 1)
         |SELECT h.doc_id, h.content_hash, g.keeper_id, g.n_copies,
         |  h.doc_id <> g.keeper_id AS is_dup
-        |FROM h JOIN g USING (content_hash) ORDER BY h.doc_id""".stripMargin.replaceAll("\\s+", " ")
+        |FROM h JOIN g USING (content_hash) ORDER BY h.doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    // Vocab = top-50 tokens by count, ties lexicographic — the same total
+    // order the engine fits, so membership is deterministic.
+    "q_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        |vocab AS (SELECT tok FROM cnt ORDER BY cnt DESC, tok ASC LIMIT 50)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+        |FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    // First occurrence = min doc_id per distinct 3-gram; novelty = share of
+    // a doc's distinct grams it introduced.
+    "q_ngram_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 3 THEN
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t)-1)])
+        |  ELSE [] END AS grams FROM tok),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+        |f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN g.doc_id = f.first_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(sum(CASE WHEN g.doc_id = f.first_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+        |    AS novelty_rate
+        |FROM g JOIN f ON g.gram = f.gram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    // Zipf slope over the top-100 token frequencies: x = ln(rank),
+    // y = ln(cnt); rank order among equal counts is irrelevant (same y),
+    // so the regression is deterministic. `+ 0` normalizes DuckDB's -0.0.
+    "q_zipf_slope" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        |top AS (SELECT cnt FROM cnt ORDER BY cnt DESC, tok ASC LIMIT 100),
+        |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC) AS DOUBLE)) AS x,
+        |  ln(CAST(cnt AS DOUBLE)) AS y FROM top)
+        |SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+        |  round(covar_pop(y, x) / var_pop(x), 6) + 0 AS slope,
+        |  round(avg(y) - covar_pop(y, x) / var_pop(x) * avg(x), 6) + 0 AS intercept
+        |FROM r""".stripMargin.replaceAll("\\s+", " ")
   )
 }

@@ -26,6 +26,50 @@ class OpsSpec extends SparkSpec {
     (base ++ dups).toDF("doc_id", "text")
   }
 
+  test("oovRate: vocab is the top-V by (count desc, token asc); OOV counted per doc") {
+    // counts: alpha=4, beta=2, gamma=1, zeta=1 → V=2 vocab {alpha, beta};
+    // gamma/zeta are OOV; the gamma-vs-zeta tie at cnt=1 is BELOW the cut
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha alpha beta"), (3L, "zeta"))
+      .toDF("doc_id", "text")
+    val out = TextOps.oovRate(d, vocabSize = 2).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 1L, 0.333333), (2L, 4L, 0L, 0.0), (3L, 1L, 1L, 1.0)))
+    // vocabSize beyond the distinct-token count → nothing is OOV
+    val all = TextOps.oovRate(d, vocabSize = 10)
+      .agg(sum("n_oov")).as[Long].head()
+    assert(all == 0L)
+  }
+
+  test("ngramNovelty: first doc introduces all grams; an exact copy introduces none") {
+    val d = Seq(
+      (1L, "a b c d"),          // grams: "a b c", "b c d" — both first here
+      (2L, "a b c d"),          // exact copy → novelty 0
+      (3L, "a b c x y z"))      // "a b c" seen; "b c x","c x y","x y z" new
+      .toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(d, n = 3).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0), (3L, 4L, 3L, 0.75)))
+    // docs shorter than n emit no row (no grams to score)
+    val short = TextOps.ngramNovelty(Seq((9L, "a b")).toDF("doc_id", "text"), n = 3)
+    assert(short.count() == 0L)
+  }
+
+  test("zipfSlope matches a least-squares fit computed directly on the counts") {
+    // engineered counts: x3 appears 8×, x2 4×, x1 2×, x0 1× (exact powers)
+    val text = Seq.fill(8)("x3") ++ Seq.fill(4)("x2") ++ Seq.fill(2)("x1") ++ Seq("x0")
+    val d = Seq((1L, text.mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.zipfSlope(d, k = 4).as[(Long, Double, Double)].head()
+    val xs = (1 to 4).map(r => math.log(r.toDouble))
+    val ys = Seq(8.0, 4.0, 2.0, 1.0).map(math.log)
+    val mx = xs.sum / 4; val my = ys.sum / 4
+    val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    val icpt = my - slope * mx
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == ((4L, r6(slope), r6(icpt))))
+    assert(out._2 < 0, "Zipf slope must be negative on a decaying spectrum")
+  }
+
   test("exact dedup groups identical content") {
     val withCopy = docs.union(docs.limit(1))
     val out = DedupOps.exact(withCopy).where(col("n_dupes") > 1).collect()
