@@ -94,7 +94,7 @@ object PipelineOps {
   /** Direct form: one ranking window partitioned by bucket. Parallelism =
     * bucket count (~17 keys), task memory ∝ largest bucket — planned only
     * below the crossover (see [[lengthBuckets]]). */
-  private[operators] def windowLengthBuckets(docs: DataFrame, batchSize: Int,
+  private[graft] def windowLengthBuckets(docs: DataFrame, batchSize: Int,
                                              textCol: String = "text",
                                              idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy("bucket").orderBy("doc_id")
@@ -111,7 +111,7 @@ object PipelineOps {
     * task buffers more than one block of one bucket. Blocks follow id
     * order, so ranks — and hence batch ids and waste rows — are
     * bit-identical to [[windowLengthBuckets]]. */
-  private[operators] def shardedLengthBuckets(docs: DataFrame, batchSize: Int,
+  private[graft] def shardedLengthBuckets(docs: DataFrame, batchSize: Int,
                                               blockSize: Long = 4096L,
                                               textCol: String = "text",
                                               idCol: String = "doc_id"): DataFrame = {

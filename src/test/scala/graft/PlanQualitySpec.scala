@@ -258,6 +258,52 @@ class PlanQualitySpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("pagerank partitioned iteration: shuffle-hash joins, edges never re-exchange") {
+    import graft.operators.GraphOps
+    // one iteration step over a src-partitioned persisted edge table — the
+    // shape partitionedIterate runs when the rank vector outgrows
+    // broadcast. The edges side must be read from cache with NO further
+    // Exchange; only the rank vector (1 exchange) and the dst aggregation
+    // (1 exchange) may shuffle, through ShuffledHashJoin (an SMJ would
+    // re-sort the persisted edges every iteration).
+    val e = GraphOps.coOccurrenceEdges(t.lineitem, "l_orderkey", "l_partkey")
+      .withColumn("frac", col("w").cast("double"))
+      .repartition(col("src"))
+      .persist()
+    e.count()
+    val ranks = e.select(col("src").as("node")).distinct().withColumn("rank", lit(1.0))
+    val step = e
+      .join(ranks.select(col("node").as("src"), col("rank")).hint("shuffle_hash"), Seq("src"))
+      .groupBy(col("dst")).agg(sum(col("frac") * col("rank")).as("c"))
+    val plan = step.queryExecution.executedPlan.toString
+    val stepOnly = plan.substring(0, plan.indexOf("InMemoryTableScan"))
+    assert(stepOnly.contains("ShuffledHashJoin"),
+      s"iteration join must be shuffle-hash:\n$stepOnly")
+    assert(!stepOnly.contains("SortMergeJoin"),
+      s"SMJ would re-sort the persisted edges per iteration:\n$stepOnly")
+    val exchanges = stepOnly.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2,
+      s"expected at most 2 exchanges (rank vector + dst agg), got $exchanges:\n$stepOnly")
+    e.unpersist()
+  }
+
+  test("sharded lengthBuckets ranks within (bucket, block) — no full-relation single-key window") {
+    import graft.operators.PipelineOps
+    val plan = PipelineOps.shardedLengthBuckets(t.documents, batchSize = 8, blockSize = 64L)
+      .queryExecution.executedPlan.toString
+    // the row_number ranking over the big relation must be partitioned by
+    // BOTH bucket and block; a bucket-only window funnels each bucket
+    // through one task (the bounded offsets window over the per-block
+    // partials is sum(blk_n) and legitimately bucket-keyed)
+    val rankWindows = plan.linesIterator.filter(l =>
+      l.contains("row_number") && l.contains("Window")).toSeq
+    assert(rankWindows.nonEmpty, s"expected a ranking window:\n$plan")
+    rankWindows.foreach { l =>
+      assert(l.contains("blk"),
+        s"ranking window not sharded by block:\n$l")
+    }
+  }
+
   test("fuzzy matching is a blocked equi-join, never a cartesian product") {
     import graft.operators.FuzzyOps
     val df = FuzzyOps.fuzzyMatchSummary(t.part, "p_partkey", "p_name",
@@ -484,7 +530,8 @@ class PlanQualitySpec extends SparkSpec {
       "q_skyline"          -> "cross-bucket prefix max over bucket maxima (≈x-range/bucketWidth rows)",
       "q_pack_sequences"   -> "offset prefix over per-bucket subtotals (bucket count rows)",
       "q_token_budget"     -> "budget prefix over per-bucket subtotals (bucket count rows)",
-      "q_filter_cascade"   -> "cumulative survivors over per-stage counts (|filters| rows)"
+      "q_filter_cascade"   -> "cumulative survivors over per-stage counts (|filters| rows)",
+      "q_zipf_slope"       -> "ranks the top-k token-frequency table (k=100 rows by construction)"
     )
     val withGlobals = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val globals = fn(spark, dir).queryExecution.optimizedPlan.collect {
