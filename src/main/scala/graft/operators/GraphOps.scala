@@ -66,7 +66,12 @@ object GraphOps {
       .groupBy("g").agg(collect_set(col("item")).as("items"))
       .where(size(col("items")) <= maxBasket)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nGroups = sets.count() // one scalar, by design (also materializes the cache)
+    // the group count stays IN the plan as a broadcast 1-row aggregate
+    // instead of a driver-side count(): one job fewer per query, and the
+    // first broadcast build materializes the persisted sets exactly like
+    // the eager count used to (job-count discipline — ARCHITECTURE,
+    // "Driver-box bench divergence")
+    val nGroups = sets.agg(count(lit(1)).as("n_groups"))
     val itemCnt = sets.select(explode(col("items")).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
     val edges = sets
@@ -77,11 +82,12 @@ object GraphOps {
     edges
       .join(broadcast(itemCnt.select(col("item").as("src"), col("cnt").as("src_cnt"))), Seq("src"))
       .join(broadcast(itemCnt.select(col("item").as("dst"), col("cnt").as("dst_cnt"))), Seq("dst"))
+      .crossJoin(broadcast(nGroups)) // 1-row scalar
       .select(col("src"), col("dst"),
         col("w").as("pair_cnt"),
-        round(col("w") / lit(nGroups.toDouble), 6).as("support"),
+        round(col("w") / col("n_groups").cast("double"), 6).as("support"),
         round(col("w") / col("src_cnt"), 6).as("confidence"),
-        round((col("w") * lit(nGroups)) / (col("src_cnt") * col("dst_cnt")), 6).as("lift"))
+        round((col("w") * col("n_groups")) / (col("src_cnt") * col("dst_cnt")), 6).as("lift"))
   }
 
   /** Per-node triangle counts over an undirected edge DataFrame (src, dst
