@@ -657,6 +657,16 @@ object PipelineOps {
       .select(col("id"), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
       .groupBy("id")
       .agg(sort_array(collect_set(col("p"))).as("cov"))
+    rebuildWithoutPositions(toked, covered, idCol)
+  }
+
+  /** Rebuild step shared by [[stripBoilerplate]] and
+    * [[dedupSpansKeepFirst]]: drop each doc's covered (1-based) token
+    * positions and re-join the survivors — a codegen'd array filter per
+    * document; docs with no covered positions pass through via the left
+    * join. */
+  private def rebuildWithoutPositions(toked: DataFrame, covered: DataFrame,
+                                      idCol: String): DataFrame = {
     val positions = sequence(lit(1), size(col("toks")))
     val kept = filter(
       zip_with(col("toks"), positions, (t, p) => struct(t.as("t"), p.as("p"))),
@@ -667,6 +677,43 @@ object PipelineOps {
         concat_ws(" ", transform(kept, s => s.getField("t"))).as("clean_text"),
         size(col("cov")).cast("long").as("n_removed"),
         size(col("toks")).cast("long").as("n_tokens"))
+  }
+
+  /** Exact-substring deduplication with KEEP-FIRST semantics (Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better" —
+    * the remove-all-but-one policy their suffix-array dedup applies):
+    * every token covered by a word n-gram instance that is NOT that
+    * gram's globally first occurrence (lowest (doc id, position)) is
+    * removed; the first instance survives. Differs from
+    * [[stripBoilerplate]] (minDf policy), which removes ALL instances of
+    * a repeated span including the first — keep-first preserves exactly
+    * one copy of every duplicated passage, the right policy when the
+    * span is content rather than boilerplate.
+    *
+    * Plan shape: positional n-grams exploded once (corpus-linear), the
+    * first-occurrence index via one partial-aggregated min(struct(id,
+    * pos)) per gram hash, then a gram-keyed shuffle join back (never a
+    * broadcast — the duplicated-gram set scales with the duplicated text)
+    * and the shared [[rebuildWithoutPositions]] array filter. At 100 TB
+    * this is the scalable stand-in for a suffix array: same removal
+    * semantics for spans ≥ n tokens, at n-gram (not suffix) index cost. */
+  def dedupSpansKeepFirst(docs: DataFrame, n: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toked = docs.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+    val grams = toked
+      .where(size(col("toks")) >= n)
+      .select(col("id"), col("toks"), explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
+      .select(col("id"), col("i"),
+        xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("g"))
+    val first = grams.groupBy("g")
+      .agg(min(struct(col("id"), col("i"))).as("f"))
+      .select(col("g"), col("f.id").as("fid"), col("f.i").as("fi"))
+    val covered = grams.join(first, Seq("g"))
+      .where(!(col("id") === col("fid") && col("i") === col("fi")))
+      .select(col("id"), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .groupBy("id")
+      .agg(sort_array(collect_set(col("p"))).as("cov"))
+    rebuildWithoutPositions(toked, covered, idCol)
   }
 
   /** DSIR data selection (Xie et al. 2023, "Data Selection for Language

@@ -141,4 +141,55 @@ object QualityOps {
         round(col("mc"), 6).as("mean_cur"),
         round(abs(col("mr") - col("mc")), 6).as("shift"))
   }
+
+  /** Per-source corpus profile: document count, token volume, mean doc
+    * length, distinct-token count and type-token ratio — the per-provenance
+    * health report a curation pipeline prints before deciding mixing
+    * weights. One token explode, one two-key aggregation (partial map-side:
+    * the shuffle carries (source, token) partials, never raw tokens), one
+    * per-source rollup. At 100 TB the distinct-token count per source is
+    * the only state that grows with vocabulary — swap count_distinct for
+    * approx_count_distinct when exactness stops mattering; the plan is
+    * otherwise identical. */
+  def sourceProfile(docs: DataFrame, groupCol: String = "source",
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(groupCol).as("source"), col(idCol),
+        split(col(textCol), " ").as("__toks"))
+      .select(col("source"), col(idCol), explode(col("__toks")).as("tok"))
+      .groupBy("source")
+      .agg(
+        count_distinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        count_distinct(col("tok")).as("n_distinct_tokens"))
+      .withColumn("avg_tokens", round(col("n_tokens") / col("n_docs").cast("double"), 6))
+      .withColumn("ttr", round(col("n_distinct_tokens") / col("n_tokens").cast("double"), 6))
+
+  /** Cross-source duplication matrix: for every unordered source pair, the
+    * number of DISTINCT word n-grams they share — the provenance-level
+    * contamination/overlap diagnostic (which crawls duplicate which, which
+    * sources are near-mirrors) run before document-level dedup decides
+    * keepers. Plan shape: one positional gram pass, distinct (source, gram)
+    * pairs, then a per-gram source-set aggregation whose state is bounded
+    * by the SOURCE COUNT (handfuls, not corpus-sized) and a map-side pair
+    * explode of that tiny set — the |sources|² pair space never joins
+    * corpus-sized relations. */
+  def sourceOverlap(docs: DataFrame, n: Int = 8, groupCol: String = "source",
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .select(col(groupCol).as("src_grp"), split(col(textCol), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("src_grp"), explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"),
+        col("toks"))
+      .select(col("src_grp"), concat_ws(" ", slice(col("toks"), col("i"), lit(n))).as("g"))
+      .distinct()
+    grams
+      .groupBy("g").agg(sort_array(collect_set(col("src_grp"))).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), a =>
+        transform(filter(col("ss"), b => b > a), b =>
+          struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
 }

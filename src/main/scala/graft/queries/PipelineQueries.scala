@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{PipelineOps, TimeSeriesOps}
+import graft.operators.{PipelineOps, QualityOps, TimeSeriesOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,28 @@ object PipelineQueries {
     // copies, this rewrites partial copies).
     "q_boilerplate_strip" -> { t =>
       PipelineOps.stripBoilerplate(t.documents, n = 8, minDf = 2).orderBy("doc_id")
+    },
+
+    // Keep-first exact-substring dedup (Lee et al. 2021 policy): only the
+    // globally FIRST instance of each duplicated 8-gram survives; later
+    // instances are removed wherever they occur (including within the
+    // first doc). Contrast with q_boilerplate_strip, which removes every
+    // instance of a shared span.
+    "q_span_dedup" -> { t =>
+      PipelineOps.dedupSpansKeepFirst(t.documents, n = 8).orderBy("doc_id")
+    },
+
+    // Per-provenance corpus health report: doc/token volumes, mean doc
+    // length, vocabulary size and type-token ratio per source.
+    "q_source_profile" -> { t =>
+      QualityOps.sourceProfile(t.documents).orderBy("source")
+    },
+
+    // Cross-source duplication matrix: distinct shared 8-grams per
+    // unordered source pair — which crawls mirror which, before dedup
+    // decides keepers. Per-gram state bounded by the source count.
+    "q_source_overlap" -> { t =>
+      QualityOps.sourceOverlap(t.documents, n = 8).orderBy("source_a", "source_b")
     },
 
     // SHA-256 pseudonymization of the user key, referentially stable.
@@ -438,6 +460,47 @@ object PipelineQueries {
         |CAST(len(tok.t) AS BIGINT) AS n_tokens
         |FROM tok JOIN kept USING (doc_id) LEFT JOIN nrem USING (doc_id)
         |ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    // Keep-first policy: an instance is removed iff it is not row 1 of its
+    // gram's (doc_id, i) order.
+    "q_span_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(t[i:i+7],' ') AS gram
+        |      FROM tok, unnest(range(1, len(t)-6)) AS u(i) WHERE len(t) >= 8),
+        |r AS (SELECT doc_id, i,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn FROM g),
+        |cov AS (SELECT DISTINCT r.doc_id, r.i + d AS p
+        |        FROM r, unnest(range(0, 8)) AS w(d) WHERE r.rn > 1),
+        |tp AS (SELECT doc_id, t[i] AS tk, i FROM tok, unnest(range(1, len(t)+1)) AS u(i)),
+        |kept AS (SELECT tp.doc_id,
+        |  coalesce(string_agg(CASE WHEN cov.p IS NULL THEN tp.tk END, ' ' ORDER BY tp.i), '') AS clean_text
+        |  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.i
+        |  GROUP BY tp.doc_id),
+        |nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT tok.doc_id, kept.clean_text, coalesce(nrem.n_removed, 0) AS n_removed,
+        |CAST(len(tok.t) AS BIGINT) AS n_tokens
+        |FROM tok JOIN kept USING (doc_id) LEFT JOIN nrem USING (doc_id)
+        |ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_source_profile" ->
+      """WITH tok AS (SELECT source, doc_id, unnest(string_split(text,' ')) AS tok
+        |             FROM documents)
+        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+        |round(count(*) * 1.0 / count(DISTINCT doc_id), 6) AS avg_tokens,
+        |round(count(DISTINCT tok) * 1.0 / count(*), 6) AS ttr
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin.replaceAll("\\s+", " "),
+
+    // Binary string ordering on both engines makes a<b identical pair keys.
+    "q_source_overlap" ->
+      """WITH tok AS (SELECT source, string_split(text,' ') AS t FROM documents),
+        |g AS (SELECT DISTINCT source, array_to_string(t[i:i+7],' ') AS gram
+        |      FROM tok, unnest(range(1, len(t)-6)) AS u(i) WHERE len(t) >= 8),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS shared_ngrams
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\\s+", " "),
 
     "q_anonymize" ->
       """SELECT event_id, sha256(CAST(user_id AS VARCHAR)) AS pseudonym, event_type

@@ -73,6 +73,31 @@ class GraphQualityOpsSpec extends SparkSpec {
     assert(pt == bc, "crossover strategies must produce the identical rank vector")
   }
 
+  test("sourceProfile aggregates per-provenance volume and vocabulary exactly") {
+    val d = Seq(
+      (1L, "a b a", "s1"), (2L, "a c", "s1"),   // s1: 5 toks, vocab {a,b,c}
+      (3L, "x x x x", "s2"))                    // s2: 4 toks, vocab {x}
+      .toDF("doc_id", "text", "source")
+    val out = QualityOps.sourceProfile(d).orderBy("source")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("s1", 2L, 5L, 3L, 2.5, 0.6),
+      ("s2", 1L, 4L, 1L, 4.0, 0.25)))
+  }
+
+  test("sourceOverlap counts distinct shared n-grams per unordered source pair") {
+    // gram "a b c" in s1+s2+s3; "b c d" in s1+s2 only; "z z z" unique to s3
+    val d = Seq(
+      (1L, "a b c d", "s1"),
+      (2L, "a b c d", "s2"),
+      (3L, "a b c", "s3"), (4L, "z z z", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = QualityOps.sourceOverlap(d, n = 3).orderBy("source_a", "source_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      ("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
+  }
+
   test("dqChecks evaluates every constraint in one pass and flags failures") {
     val df = Seq((1L, 10.0), (2L, -5.0), (3L, 20.0), (3L, 30.0)).toDF("id", "v")
     val out = QualityOps.dqChecks(df, Seq(

@@ -155,6 +155,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).sum == lens.size)
   }
 
+  test("dedupSpansKeepFirst keeps the first instance, removes later ones — cross- and within-doc") {
+    val d = Seq(
+      (1L, "a b c x"),           // owns "a b c" (first at (1,1)) — untouched
+      (2L, "z a b c"),           // copies it at pos 2 → positions 2-4 removed
+      (3L, "p q r p q r"))       // self-repeat: pos-4 instance removed
+      .toDF("doc_id", "text")
+    val out = PipelineOps.dedupSpansKeepFirst(d, n = 3).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a b c x", 0L, 4L),
+      (2L, "z", 3L, 4L),
+      (3L, "p q r", 3L, 6L)))
+    // contrast with stripBoilerplate (minDf policy): the FIRST instance of
+    // the shared span is removed too
+    val strip = PipelineOps.stripBoilerplate(d, n = 3, minDf = 2)
+      .where(col("doc_id") === 1L).select("clean_text").as[String].head()
+    assert(strip == "x", "minDf policy must remove the first instance as well")
+  }
+
   test("lengthBuckets: sharded two-phase rank is bit-identical to the single window") {
     // 300 docs, varied lengths, ids NOT block-aligned; blockSize 16 forces
     // many (bucket, block) partitions and non-trivial cumulative offsets
