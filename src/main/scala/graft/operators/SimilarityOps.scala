@@ -548,11 +548,21 @@ object SimilarityOps {
                     centroids: Array[(Int, Seq[Double], Double)],
                     books: Array[Array[Seq[Double]]], nProbe: Int = 4,
                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val coded = ivfPqCode(corpus, centroids, books, vecCol, idCol)
+      .select(col(idCol).as("id"), col("cell"), split(col("codes"), ",").as("cs"))
+    searchCoded(coded, queries, centroids, books, k, nProbe, vecCol, idCol)
+  }
+
+  /** The probe-and-score half of IVF-PQ search over an ALREADY-CODED corpus
+    * — (id, cell, cs) rows, whether freshly coded ([[ivfPqTopKWith]]) or
+    * read back from a persisted index ([[readIvfPqIndex]]). */
+  private def searchCoded(coded: DataFrame, queries: DataFrame,
+                          centroids: Array[(Int, Seq[Double], Double)],
+                          books: Array[Array[Seq[Double]]], k: Int, nProbe: Int,
+                          vecCol: String, idCol: String): DataFrame = {
     val nCentroids = centroids.length
     require(nProbe >= 1 && nProbe <= nCentroids,
       s"nProbe must be in [1, nCentroids=$nCentroids]; got $nProbe")
-    val coded = ivfPqCode(corpus, centroids, books, vecCol, idCol)
-      .select(col(idCol).as("id"), col("cell"), split(col("codes"), ",").as("cs"))
     val q = prepared(queries, vecCol, idCol)
       .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
         explode(cellsFor(centroids, col("v"), nProbe)).as("cell"))
@@ -565,6 +575,39 @@ object SimilarityOps {
       .where(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
         round(col("sim"), 4).as("sim"))
+  }
+
+  /** Persist the IVF-PQ index CELL-PARTITIONED — one hive directory per
+    * inverted list, rows carrying only (id, code word). This is the
+    * billion-vector layout the search path assumes: the wide embedding
+    * column does not exist in the index at all (nSub bytes/vector), and
+    * because `cell` is the PARTITION column, a probe join prunes whole
+    * directories — cells outside every query's probe set are never read,
+    * not merely filtered. */
+  def writeIvfPqIndex(emb: DataFrame, centroids: Array[(Int, Seq[Double], Double)],
+                      books: Array[Array[Seq[Double]]], path: String,
+                      vecCol: String = "embedding", idCol: String = "vec_id"): Unit =
+    ivfPqCode(emb, centroids, books, vecCol, idCol)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Search a persisted [[writeIvfPqIndex]] layout. The probe join keys on
+    * the PARTITION column with a broadcast query side, so Spark's dynamic
+    * partition pruning turns the probe set into `PartitionFilters` on the
+    * scan — at 100 TB a 4-of-√n-cell probe reads 4/√n of the index's
+    * bytes at the FILE level (pinned in `IvfIndexLayoutSpec`: the scan
+    * plans a dynamicpruning expression and the result equals the
+    * in-memory search bitwise). Models must be the pair the index was
+    * written under — fit once with [[fitIvfPq]], share across write and
+    * every search. */
+  def readIvfPqIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                         queries: DataFrame,
+                         centroids: Array[(Int, Seq[Double], Double)],
+                         books: Array[Array[Seq[Double]]], k: Int, nProbe: Int = 4,
+                         vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val coded = spark.read.parquet(path)
+      .select(col(idCol).as("id"), col("cell").cast("int").as("cell"),
+        split(col("codes"), ",").as("cs"))
+    searchCoded(coded, queries, centroids, books, k, nProbe, vecCol, idCol)
   }
 
   /** [[fitCoarseQuantizer]] from raw embeddings — the public model-fit
