@@ -79,6 +79,24 @@ object TextQueries {
         .orderBy("ida", "idb")
     },
 
+    // Signal-agreement matrix: which near-dup pairs the LEXICAL signal
+    // (4-gram Jaccard ≥ 0.5) and the SEMANTIC signal (embedding cosine
+    // ≥ 0.4) each catch — the cross-check a curation pipeline runs before
+    // trusting either signal alone (paraphrases are semantic-only; token
+    // shuffles lexical-only). Full outer join of two pair tables, both
+    // orders of magnitude below corpus size.
+    "q_dedup_agreement" -> { t =>
+      val lex = DedupOps.ngramJaccard(t.documents, n = 4, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+      val sem = SimilarityOps.nearDupPairs(t.embeddings, threshold = 0.4, nBlocks = 64)
+        .withColumnRenamed("sim", "cos_sim")
+      lex.join(sem, Seq("ida", "idb"), "full_outer")
+        .select(col("ida"), col("idb"), col("jaccard"), col("cos_sim"),
+          col("jaccard").isNotNull.as("lexical"),
+          col("cos_sim").isNotNull.as("semantic"))
+        .orderBy("ida", "idb")
+    },
+
     // Asymmetric shingle containment (Broder 1997): shared/min instead of
     // shared/union — flags partial copies (short doc embedded in a long
     // one) that symmetric Jaccard scores near zero.
@@ -506,6 +524,33 @@ object TextQueries {
         |JOIN sz na ON na.doc_id = ida
         |JOIN sz nb ON nb.doc_id = idb
         |WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.5
+        |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " "),
+
+    // Both signals rebuilt hash-free, then FULL JOINed on the pair key.
+    "q_dedup_agreement" ->
+      (shingleCte + """,
+        |cand AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT ida, idb, round(shared * 1.0 / (na.n + nb.n - shared), 6) AS jaccard
+        |  FROM cand
+        |  JOIN sz na ON na.doc_id = ida
+        |  JOIN sz nb ON nb.doc_id = idb
+        |  WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.5),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |      FROM embeddings),
+        |nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |sem AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |    round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos_sim
+        |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4)
+        |SELECT coalesce(lex.ida, sem.ida) AS ida, coalesce(lex.idb, sem.idb) AS idb,
+        |  lex.jaccard, sem.cos_sim,
+        |  lex.ida IS NOT NULL AS lexical, sem.ida IS NOT NULL AS semantic
+        |FROM lex FULL JOIN sem ON lex.ida = sem.ida AND lex.idb = sem.idb
         |ORDER BY ida, idb""".stripMargin).replaceAll("\\s+", " "),
 
     "q_containment_dedup" ->
