@@ -551,6 +551,39 @@ object PipelineOps {
     * deleted then re-inserted at a later sequence survives (latest wins),
     * matching log-compaction semantics.
     */
+  /** Snapshot diff — the inverse of [[applyCdc]]: given two versions of a
+    * keyed table, emit the per-key change set (`added` / `removed` /
+    * `changed`, unchanged keys excluded) that turns the old snapshot into
+    * the new one. The changelog a pipeline derives when its upstream
+    * republishes full snapshots instead of deltas — feeding incremental
+    * recompute, cache invalidation, and audit diffs.
+    *
+    * Scale shape: each side reduces to (key, md5-of-compare-columns) —
+    * a narrow codegen'd hash, the wide payload never crosses the exchange
+    * — then ONE key-partitioned full outer join classifies every key.
+    * NULL-safe: a null compare column hashes distinctly from an empty
+    * string (coalesced to a NUL sentinel no real value contains). Keys must
+    * be unique within each snapshot by contract — a diff over a
+    * non-keyed table is ill-defined. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compare column")
+    def hashed(df: DataFrame, h: String): DataFrame = df
+      .select(col(keyCol) +: compareCols.map(col): _*)
+      .select(col(keyCol),
+        md5(concat_ws("|",
+          compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(h))
+    val o = hashed(oldSnap, "__oh")
+    val n = hashed(newSnap, "__nh")
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("change_type",
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed"))
+      .where(col("change_type").isNotNull)
+      .select(col(keyCol), col("change_type"))
+  }
+
   def applyCdc(base: DataFrame, changes: DataFrame, keyCol: String,
       seqCol: String, opCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)

@@ -348,6 +348,20 @@ object PipelineQueries {
         .orderBy("c_custkey")
     },
 
+    // Snapshot diff (the inverse of CDC apply): derive the added/removed/
+    // changed change set between two full snapshot republications — keys
+    // dropped by the new filter read as removed, keys the old filter
+    // lacked as added, value bumps as changed; unchanged keys are absent.
+    "q_snapshot_diff" -> { t =>
+      val oldSnap = t.events.where(col("event_id") % 7 =!= 0)
+      val newSnap = t.events.where(col("event_id") % 5 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 11 === 0, col("value") + 1).otherwise(col("value")))
+      PipelineOps.snapshotDiff(oldSnap, newSnap, "event_id",
+          Seq("user_id", "event_type", "value"))
+        .orderBy("event_id")
+    },
+
     // Hourly resample + forward fill per user (ts pre-truncated to µs so
     // bucket edges agree with the µs-precision oracle).
     "q_resample_fill" -> { t =>
@@ -721,6 +735,22 @@ object PipelineQueries {
         |round(CASE WHEN ch.c_custkey IS NOT NULL THEN ch.c_acctbal ELSE b.c_acctbal END, 2) AS c_acctbal
         |FROM base b FULL JOIN changes ch ON b.c_custkey = ch.c_custkey
         |ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT event_id, user_id, event_type, value FROM events
+        |           WHERE event_id % 7 <> 0),
+        |n AS (SELECT event_id, user_id, event_type,
+        |        CASE WHEN event_id % 11 = 0 THEN value + 1 ELSE value END AS value
+        |      FROM events WHERE event_id % 5 <> 0),
+        |d AS (SELECT coalesce(o.event_id, n.event_id) AS event_id,
+        |  CASE WHEN o.event_id IS NULL THEN 'added'
+        |       WHEN n.event_id IS NULL THEN 'removed'
+        |       WHEN o.user_id <> n.user_id OR o.event_type <> n.event_type
+        |            OR o.value <> n.value THEN 'changed'
+        |  END AS change_type
+        |FROM o FULL JOIN n ON o.event_id = n.event_id)
+        |SELECT event_id, change_type FROM d WHERE change_type IS NOT NULL
+        |ORDER BY event_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_cdc_apply" ->
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),

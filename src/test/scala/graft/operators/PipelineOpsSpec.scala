@@ -155,6 +155,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).sum == lens.size)
   }
 
+  test("snapshotDiff classifies added/removed/changed and excludes unchanged keys") {
+    val oldSnap = Seq(
+      (1L, Some("a"), 1.0), (2L, Some("b"), 2.0), (3L, Some("c"), 3.0),
+      (4L, None: Option[String], 4.0))
+      .toDF("k", "s", "v")
+    val newSnap = Seq(
+      (1L, Some("a"), 1.0),                 // unchanged → absent
+      (2L, Some("B"), 2.0),                 // changed (string)
+      (4L, None: Option[String], 4.0),      // unchanged with a NULL column
+      (5L, Some("e"), 5.0))                 // added; key 3 removed
+      .toDF("k", "s", "v")
+    val out = PipelineOps.snapshotDiff(oldSnap, newSnap, "k", Seq("s", "v"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(out == Seq((2L, "changed"), (3L, "removed"), (5L, "added")))
+    // null vs empty string is a CHANGE, not equality (NUL sentinel)
+    val o2 = Seq((9L, None: Option[String])).toDF("k", "s")
+    val n2 = Seq((9L, Some(""))).toDF("k", "s")
+    val d2 = PipelineOps.snapshotDiff(o2, n2, "k", Seq("s"))
+      .as[(Long, String)].collect().toSeq
+    assert(d2 == Seq((9L, "changed")))
+  }
+
   test("dedupSpansKeepFirst keeps the first instance, removes later ones — cross- and within-doc") {
     val d = Seq(
       (1L, "a b c x"),           // owns "a b c" (first at (1,1)) — untouched
