@@ -586,9 +586,10 @@ object SimilarityOps {
     * not merely filtered. */
   def writeIvfPqIndex(emb: DataFrame, centroids: Array[(Int, Seq[Double], Double)],
                       books: Array[Array[Seq[Double]]], path: String,
+                      mode: String = "overwrite",
                       vecCol: String = "embedding", idCol: String = "vec_id"): Unit =
     ivfPqCode(emb, centroids, books, vecCol, idCol)
-      .write.partitionBy("cell").mode("overwrite").parquet(path)
+      .write.partitionBy("cell").mode(mode).parquet(path)
 
   /** Search a persisted [[writeIvfPqIndex]] layout. The probe join keys on
     * the PARTITION column with a broadcast query side, so Spark's dynamic
