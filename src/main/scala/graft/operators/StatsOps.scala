@@ -77,4 +77,45 @@ object StatsOps {
         ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
         col("n").cast("long").as("n"))
   }
+
+  /** Mutual information I(A;B) = Σ_{a,b} p(a,b)·ln(p(a,b)/(p(a)p(b))) over
+    * two categorical columns — the feature-relevance statistic ranked when
+    * selecting metadata features (chi-square's information-theoretic
+    * sibling; also reported normalized by min(H(A), H(B)) so scores
+    * compare across feature pairs). NULL rows in either column are
+    * excluded (no category).
+    *
+    * Scale shape: ONE corpus aggregation builds the |A|×|B| contingency
+    * table; margins, entropies and the MI sum all derive from that
+    * model-sized cell table (per-side windows over it + a broadcast 1-row
+    * total) — the corpus is scanned exactly once. Counts stay exact
+    * integers until the final ratios. */
+  def mutualInformation(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df
+      .where(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).cast("double").as("nab"))
+    val total = cells.agg(sum(col("nab")).as("n"))
+    val withMargins = cells
+      .withColumn("na", sum(col("nab")).over(Window.partitionBy(col("a"))))
+      .withColumn("nb", sum(col("nab")).over(Window.partitionBy(col("b"))))
+      .crossJoin(broadcast(total))
+    withMargins
+      .select(
+        (col("nab") / col("n") * log(col("nab") * col("n") / (col("na") * col("nb"))))
+          .as("mi_c"),
+        // per-cell entropy contributions double-count margins across cells —
+        // divide by the OTHER side's cell count so each margin counts once
+        (col("nab") / col("na") * (col("na") / col("n") * -log(col("na") / col("n"))))
+          .as("ha_c"),
+        (col("nab") / col("nb") * (col("nb") / col("n") * -log(col("nb") / col("n"))))
+          .as("hb_c"),
+        col("n"))
+      .groupBy(col("n"))
+      .agg(sum(col("mi_c")).as("mi"), sum(col("ha_c")).as("ha"), sum(col("hb_c")).as("hb"))
+      .select(
+        round(col("mi"), 6).as("mi_nats"),
+        round(col("mi") / least(col("ha"), col("hb")), 6).as("mi_normalized"),
+        col("n").cast("long").as("n"))
+  }
 }

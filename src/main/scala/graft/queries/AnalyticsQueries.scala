@@ -94,6 +94,18 @@ object AnalyticsQueries {
         colCol = least(floor(col("value") / 100), lit(4L)))
     },
 
+    // Mutual information I(event_type; value band) in nats, plus the
+    // min-entropy-normalized score — chi-square's information-theoretic
+    // sibling for feature-relevance ranking. One corpus aggregation; all
+    // margins/entropies derive from the model-sized contingency table.
+    "q_mutual_info" -> { t =>
+      import org.apache.spark.sql.functions._
+      graft.operators.StatsOps.mutualInformation(
+        t.events,
+        aCol = col("event_type"),
+        bCol = least(floor(col("value") / 25), lit(4L)))
+    },
+
     // Data-quality constraint suite: uniqueness, completeness, referential
     // integrity, range and domain checks — the whole orders-side suite is a
     // single scan (FK probe rides a broadcast join), lineitem adds one more.
@@ -331,6 +343,28 @@ object AnalyticsQueries {
         |  CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
         |  CAST(max(n) AS BIGINT) AS n
         |FROM m, t""".stripMargin.replaceAll("\\s+", " "),
+
+    // Same windows-over-the-contingency-table shape as q_chi_square; the
+    // per-cell entropy terms divide by the other side's cell count so each
+    // margin contributes exactly once. `+ 0` guards -0.0 on near-zero MI.
+    "q_mutual_info" ->
+      """WITH c AS (
+        |  SELECT event_type AS a, least(CAST(floor(value / 25) AS BIGINT), 4) AS b,
+        |    CAST(count(*) AS DOUBLE) AS nab
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT a, b, nab,
+        |    sum(nab) OVER (PARTITION BY a) AS na,
+        |    sum(nab) OVER (PARTITION BY b) AS nb,
+        |    sum(nab) OVER () AS n
+        |  FROM c)
+        |SELECT round(sum(nab / n * ln(nab * n / (na * nb))), 6) + 0 AS mi_nats,
+        |  round(sum(nab / n * ln(nab * n / (na * nb))) /
+        |    least(sum(nab / na * (na / n * -ln(na / n))),
+        |          sum(nab / nb * (nb / n * -ln(nb / n)))), 6) + 0 AS mi_normalized,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM m""".stripMargin.replaceAll("\\s+", " "),
 
     "q_scd2" ->
       """WITH e AS (

@@ -585,7 +585,8 @@ class PlanQualitySpec extends SparkSpec {
       "q_chi_square"         -> "broadcast grand total + table dims (1 row)",
       "q_bloom_prefilter"    -> "broadcast Bloom blob (1 row, m-bit array)",
       "q_dsir_sample"        -> "broadcast raw/target token totals (1 row)",
-      "q_market_basket"      -> "crossJoin(broadcast(nGroups)) — 1-row basket count"
+      "q_market_basket"      -> "crossJoin(broadcast(nGroups)) — 1-row basket count",
+      "q_mutual_info"        -> "broadcast grand total (1 row, q_chi_square's shape)"
     )
     val (issues, bnljSeen) = SparkEntry.queries.toSeq.foldLeft(
         (Seq.empty[String], Set.empty[String])) { case ((is, seen), (name, fn)) =>

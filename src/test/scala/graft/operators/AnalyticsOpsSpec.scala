@@ -79,6 +79,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.getAs[Long]("n") == 100L)
   }
 
+  test("mutualInformation: zero for independent columns, H(A) for identical ones") {
+    // perfectly independent 2×2 (uniform joint = product of margins)
+    val indep = Seq.fill(25)(("a", "x")) ++ Seq.fill(25)(("a", "y")) ++
+      Seq.fill(25)(("b", "x")) ++ Seq.fill(25)(("b", "y"))
+    val i = StatsOps.mutualInformation(indep.toDF("u", "v"), col("u"), col("v"))
+      .collect().head
+    assert(i.getAs[Double]("mi_nats") == 0.0)
+    assert(i.getAs[Long]("n") == 100L)
+    // identical columns: I(A;A) = H(A); normalized score = 1. Uneven margins
+    // (75/25) give H = -(0.75 ln 0.75 + 0.25 ln 0.25) = 0.562335
+    val ident = Seq.fill(75)(("a", "a")) ++ Seq.fill(25)(("b", "b"))
+    val d = StatsOps.mutualInformation(ident.toDF("u", "v"), col("u"), col("v"))
+      .collect().head
+    assert(d.getAs[Double]("mi_nats") == 0.562335)
+    assert(d.getAs[Double]("mi_normalized") == 1.0)
+    // null rows carry no category — excluded from n
+    val withNull = StatsOps.mutualInformation(
+      (indep.map { case (a, b) => (Option(a), b) } :+ ((None: Option[String]), "x"))
+        .toDF("u", "v"), col("u"), col("v")).collect().head
+    assert(withNull.getAs[Long]("n") == 100L)
+  }
+
   test("rollingDistinctActives counts trailing-window distinct keys") {
     val day = 86_400_000_000_000L
     // user 1 active day 0; user 2 active days 0 and 2; window = 3 days
