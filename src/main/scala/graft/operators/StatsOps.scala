@@ -118,4 +118,51 @@ object StatsOps {
         round(col("mi") / least(col("ha"), col("hb")), 6).as("mi_normalized"),
         col("n").cast("long").as("n"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic D = max_x |F_a(x) − F_b(x)| —
+    * the nonparametric distribution-drift test that needs no binning
+    * choice (PSI's bin-free sibling): compare a metric's distribution
+    * across segments/snapshots and alarm on the largest ECDF gap.
+    *
+    * Scale shape: one conditional aggregation collapses both samples to
+    * per-distinct-value counts, then the cumulative counts come from the
+    * TWO-PHASE prefix sum (the packSequences/lengthBuckets trick): range
+    * blocks by value → per-block subtotals → cumulative offsets over the
+    * model-sized block table → block-local value-ordered windows. No
+    * unpartitioned window ever touches the distinct-value relation, and
+    * ECDFs are exact-integer counts until the final two divisions, so D
+    * is partition-layout-independent. `blockWidth` only shards the
+    * computation (any positive value gives identical D). */
+  def ksTest(df: DataFrame, valCol: Column, isA: Column,
+             blockWidth: Double = 16.0): DataFrame = {
+    require(blockWidth > 0, s"blockWidth must be positive, got $blockWidth")
+    val counts = df
+      .where(valCol.isNotNull)
+      .groupBy(valCol.as("v"))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("cb"))
+    val blocked = counts.withColumn("blk", floor(col("v") / blockWidth))
+    val partials = blocked.groupBy("blk")
+      .agg(sum("ca").as("blk_a"), sum("cb").as("blk_b"))
+    val wOff = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("off_a", coalesce(sum("blk_a").over(wOff), lit(0L)))
+      .withColumn("off_b", coalesce(sum("blk_b").over(wOff), lit(0L)))
+      .select("blk", "off_a", "off_b")
+    val wLocal = Window.partitionBy("blk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = counts.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    blocked
+      .join(broadcast(offsets), Seq("blk"))
+      .withColumn("cum_a", col("off_a") + sum("ca").over(wLocal))
+      .withColumn("cum_b", col("off_b") + sum("cb").over(wLocal))
+      .crossJoin(broadcast(totals))
+      .select(abs(col("cum_a") / col("n_a") - col("cum_b") / col("n_b")).as("gap"),
+        col("n_a"), col("n_b"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(round(max(col("gap")), 6).as("ks_stat"))
+      .select(col("ks_stat"), col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"))
+  }
 }

@@ -94,6 +94,18 @@ object AnalyticsQueries {
         colCol = least(floor(col("value") / 100), lit(4L)))
     },
 
+    // Two-sample KS statistic between purchase and signup value
+    // distributions — bin-free drift detection; cumulative ECDF counts via
+    // the two-phase prefix sum (no unpartitioned window over the
+    // distinct-value relation).
+    "q_ks_test" -> { t =>
+      import org.apache.spark.sql.functions._
+      graft.operators.StatsOps.ksTest(
+        t.events.where(col("event_type").isin("purchase", "signup")),
+        valCol = col("value"),
+        isA = col("event_type") === "purchase")
+    },
+
     // Mutual information I(event_type; value band) in nats, plus the
     // min-entropy-normalized score — chi-square's information-theoretic
     // sibling for feature-relevance ranking. One corpus aggregation; all
@@ -342,6 +354,21 @@ object AnalyticsQueries {
         |SELECT round(sum((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n)), 6) + 0 AS chi2,
         |  CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
         |  CAST(max(n) AS BIGINT) AS n
+        |FROM m, t""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_ks_test" ->
+      """WITH e AS (
+        |  SELECT value AS v, event_type = 'purchase' AS ia FROM events
+        |  WHERE event_type IN ('purchase', 'signup') AND value IS NOT NULL),
+        |c AS (SELECT v, sum(CASE WHEN ia THEN 1 ELSE 0 END) AS ca,
+        |        sum(CASE WHEN ia THEN 0 ELSE 1 END) AS cb
+        |      FROM e GROUP BY v),
+        |t AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM c),
+        |m AS (SELECT sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |        sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+        |      FROM c)
+        |SELECT round(max(abs(cum_a * 1.0 / n_a - cum_b * 1.0 / n_b)), 6) AS ks_stat,
+        |  CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b
         |FROM m, t""".stripMargin.replaceAll("\\s+", " "),
 
     // Same windows-over-the-contingency-table shape as q_chi_square; the

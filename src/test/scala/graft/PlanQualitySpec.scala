@@ -531,7 +531,8 @@ class PlanQualitySpec extends SparkSpec {
       "q_pack_sequences"   -> "offset prefix over per-bucket subtotals (bucket count rows)",
       "q_token_budget"     -> "budget prefix over per-bucket subtotals (bucket count rows)",
       "q_filter_cascade"   -> "cumulative survivors over per-stage counts (|filters| rows)",
-      "q_zipf_slope"       -> "ranks the top-k token-frequency table (k=100 rows by construction)"
+      "q_zipf_slope"       -> "ranks the top-k token-frequency table (k=100 rows by construction)",
+      "q_ks_test"          -> "cumulative offsets over per-block subtotals (block count rows)"
     )
     val withGlobals = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val globals = fn(spark, dir).queryExecution.optimizedPlan.collect {
@@ -586,7 +587,8 @@ class PlanQualitySpec extends SparkSpec {
       "q_bloom_prefilter"    -> "broadcast Bloom blob (1 row, m-bit array)",
       "q_dsir_sample"        -> "broadcast raw/target token totals (1 row)",
       "q_market_basket"      -> "crossJoin(broadcast(nGroups)) — 1-row basket count",
-      "q_mutual_info"        -> "broadcast grand total (1 row, q_chi_square's shape)"
+      "q_mutual_info"        -> "broadcast grand total (1 row, q_chi_square's shape)",
+      "q_ks_test"            -> "broadcast sample totals (1 row)"
     )
     val (issues, bnljSeen) = SparkEntry.queries.toSeq.foldLeft(
         (Seq.empty[String], Set.empty[String])) { case ((is, seen), (name, fn)) =>

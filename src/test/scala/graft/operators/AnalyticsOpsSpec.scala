@@ -101,6 +101,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(withNull.getAs[Long]("n") == 100L)
   }
 
+  test("ksTest: textbook gap, block-width invariance, zero on identical samples") {
+    // a = {1,2,3}, b = {2,3,4}: every step gap is 1/3 → D = 0.333333
+    val d = (Seq(1.0, 2.0, 3.0).map((_, true)) ++ Seq(2.0, 3.0, 4.0).map((_, false)))
+      .toDF("v", "ia")
+    def ks(width: Double) = StatsOps.ksTest(d, col("v"), col("ia"), blockWidth = width)
+      .as[(Double, Long, Long)].collect().head
+    assert(ks(16.0) == ((0.333333, 3L, 3L)))
+    // blockWidth shards computation only — D identical at any width
+    assert(ks(0.5) == ks(16.0) && ks(1000.0) == ks(16.0))
+    // identical samples → zero distance
+    val same = (Seq(1.0, 5.0, 9.0).map((_, true)) ++ Seq(1.0, 5.0, 9.0).map((_, false)))
+      .toDF("v", "ia")
+    assert(StatsOps.ksTest(same, col("v"), col("ia"))
+      .as[(Double, Long, Long)].collect().head == ((0.0, 3L, 3L)))
+  }
+
   test("rollingDistinctActives counts trailing-window distinct keys") {
     val day = 86_400_000_000_000L
     // user 1 active day 0; user 2 active days 0 and 2; window = 3 days
