@@ -79,6 +79,20 @@ object PipelineOps {
         .otherwise(length(bin(n - 1)).cast("long")).as("bucket"))
   }
 
+  /** The block-sharded formulations derive id-blocks with integer
+    * arithmetic (`id − pmod(id, blockSize)`), which silently degrades on a
+    * non-integral id: a string id casts to null blk, and a partially
+    * numeric string id can order blocks differently than the id itself —
+    * breaking the bit-identity contract with the single-window form. Fail
+    * loudly at plan time instead. */
+  private def requireIntegralId(docs: DataFrame, idCol: String, who: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$who derives id-blocks arithmetically and requires an integral id " +
+        s"column; '$idCol' is $dt")
+  }
+
   /** Waste accounting over ranked docs: batch = ⌊(rank−1)/batchSize⌋. */
   private def packBatches(ranked: DataFrame, batchSize: Int): DataFrame =
     ranked
@@ -116,6 +130,7 @@ object PipelineOps {
                                               textCol: String = "text",
                                               idCol: String = "doc_id"): DataFrame = {
     require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+    requireIntegralId(docs, idCol, "shardedLengthBuckets")
     val d = bucketed(docs, textCol, idCol).withColumn("blk",
       call_function("div", col("doc_id") - pmod(col("doc_id"), lit(blockSize)), lit(blockSize)))
     val partials = d.groupBy("bucket", "blk").agg(count(lit(1)).as("blk_n"))
@@ -170,6 +185,7 @@ object PipelineOps {
   def packSequences(docs: DataFrame, ctxLen: Long, bucketSize: Long = 4096,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(ctxLen > 0 && bucketSize > 0, "ctxLen and bucketSize must be positive")
+    requireIntegralId(docs, idCol, "packSequences")
     val counts = docs.select(col(idCol).as("id"),
       org.apache.spark.sql.functions.size(split(col(textCol), " ")).cast("long").as("n_tok"))
     val bucketed = counts.withColumn("bkt",
@@ -561,18 +577,21 @@ object PipelineOps {
     * Scale shape: each side reduces to (key, md5-of-compare-columns) —
     * a narrow codegen'd hash, the wide payload never crosses the exchange
     * — then ONE key-partitioned full outer join classifies every key.
-    * NULL-safe: a null compare column hashes distinctly from an empty
-    * string (coalesced to a NUL sentinel no real value contains). Keys must
-    * be unique within each snapshot by contract — a diff over a
-    * non-keyed table is ill-defined. */
+    * The encoding is INJECTION-PROOF: each column contributes a 1-char
+    * null/value tag plus its own fixed-width md5 digest, so no value can
+    * shift a column boundary — ('a|b','c') and ('a','b|c') hash
+    * differently, and a null hashes distinctly from every string
+    * (including ""). Keys must be unique within each snapshot by
+    * contract — a diff over a non-keyed table is ill-defined. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
                    compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "need at least one compare column")
     def hashed(df: DataFrame, h: String): DataFrame = df
       .select(col(keyCol) +: compareCols.map(col): _*)
       .select(col(keyCol),
-        md5(concat_ws("|",
-          compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(h))
+        md5(concat(compareCols.flatMap(c => Seq(
+          when(col(c).isNull, lit("N")).otherwise(lit("V")),
+          coalesce(md5(col(c).cast("string")), lit("")))): _*)).as(h))
     val o = hashed(oldSnap, "__oh")
     val n = hashed(newSnap, "__nh")
     o.join(n, Seq(keyCol), "full_outer")

@@ -115,7 +115,12 @@ object StatsOps {
       .agg(sum(col("mi_c")).as("mi"), sum(col("ha_c")).as("ha"), sum(col("hb_c")).as("hb"))
       .select(
         round(col("mi"), 6).as("mi_nats"),
-        round(col("mi") / least(col("ha"), col("hb")), 6).as("mi_normalized"),
+        // a constant column has zero entropy and the normalization is
+        // undefined (0/0) — return NULL explicitly rather than whatever
+        // NaN/NULL the engine's double division produces (engines differ)
+        when(least(col("ha"), col("hb")) === 0, lit(null).cast("double"))
+          .otherwise(round(col("mi") / least(col("ha"), col("hb")), 6))
+          .as("mi_normalized"),
         col("n").cast("long").as("n"))
   }
 
@@ -131,18 +136,36 @@ object StatsOps {
     * model-sized block table → block-local value-ordered windows. No
     * unpartitioned window ever touches the distinct-value relation, and
     * ECDFs are exact-integer counts until the final two divisions, so D
-    * is partition-layout-independent. `blockWidth` only shards the
-    * computation (any positive value gives identical D). */
+    * is partition-layout-independent.
+    *
+    * The block partition is derived IN-PLAN from the observed value range
+    * (a broadcast 1-row min/max rides the same aggregate as the sample
+    * totals), so the offsets table is provably ≤ `nBlocks` rows for ANY
+    * input distribution — the bound is mechanical, not caller discipline.
+    * Blocking is a function of values only (never of layout), and any
+    * `nBlocks ≥ 1` yields the identical D. */
   def ksTest(df: DataFrame, valCol: Column, isA: Column,
-             blockWidth: Double = 16.0): DataFrame = {
-    require(blockWidth > 0, s"blockWidth must be positive, got $blockWidth")
+             nBlocks: Int = 4096): DataFrame = {
+    require(nBlocks >= 1 && nBlocks <= (1 << 20),
+      s"nBlocks must be in [1, 2^20] (the offsets table must stay model-sized), got $nBlocks")
     val counts = df
       .where(valCol.isNotNull)
       .groupBy(valCol.as("v"))
       .agg(
         sum(when(isA, 1L).otherwise(0L)).as("ca"),
         sum(when(isA, 0L).otherwise(1L)).as("cb"))
-    val blocked = counts.withColumn("blk", floor(col("v") / blockWidth))
+    // sample totals AND value range in ONE pass over the distinct-value
+    // relation; the width guard (greatest vs a subnormal-safe floor) keeps
+    // the division meaningful when all values are equal
+    val bounds = counts.agg(
+      sum("ca").as("n_a"), sum("cb").as("n_b"),
+      min("v").cast("double").as("vmin"), max("v").cast("double").as("vmax"))
+    val blocked = counts.crossJoin(broadcast(bounds))
+      .withColumn("blk",
+        when(col("vmax") <= col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("vmin")) / ((col("vmax") - col("vmin")) / nBlocks)),
+            lit(nBlocks - 1L))))
     val partials = blocked.groupBy("blk")
       .agg(sum("ca").as("blk_a"), sum("cb").as("blk_b"))
     val wOff = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
@@ -152,12 +175,10 @@ object StatsOps {
       .select("blk", "off_a", "off_b")
     val wLocal = Window.partitionBy("blk").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = counts.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
     blocked
       .join(broadcast(offsets), Seq("blk"))
       .withColumn("cum_a", col("off_a") + sum("ca").over(wLocal))
       .withColumn("cum_b", col("off_b") + sum("cb").over(wLocal))
-      .crossJoin(broadcast(totals))
       .select(abs(col("cum_a") / col("n_a") - col("cum_b") / col("n_b")).as("gap"),
         col("n_a"), col("n_b"))
       .groupBy(col("n_a"), col("n_b"))

@@ -387,9 +387,11 @@ object AnalyticsQueries {
         |    sum(nab) OVER () AS n
         |  FROM c)
         |SELECT round(sum(nab / n * ln(nab * n / (na * nb))), 6) + 0 AS mi_nats,
-        |  round(sum(nab / n * ln(nab * n / (na * nb))) /
+        |  CASE WHEN least(sum(nab / na * (na / n * -ln(na / n))),
+        |                  sum(nab / nb * (nb / n * -ln(nb / n)))) = 0 THEN NULL
+        |  ELSE round(sum(nab / n * ln(nab * n / (na * nb))) /
         |    least(sum(nab / na * (na / n * -ln(na / n))),
-        |          sum(nab / nb * (nb / n * -ln(nb / n)))), 6) + 0 AS mi_normalized,
+        |          sum(nab / nb * (nb / n * -ln(nb / n)))), 6) + 0 END AS mi_normalized,
         |  CAST(max(n) AS BIGINT) AS n
         |FROM m""".stripMargin.replaceAll("\\s+", " "),
 

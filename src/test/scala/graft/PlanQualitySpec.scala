@@ -588,7 +588,7 @@ class PlanQualitySpec extends SparkSpec {
       "q_dsir_sample"        -> "broadcast raw/target token totals (1 row)",
       "q_market_basket"      -> "crossJoin(broadcast(nGroups)) — 1-row basket count",
       "q_mutual_info"        -> "broadcast grand total (1 row, q_chi_square's shape)",
-      "q_ks_test"            -> "broadcast sample totals (1 row)"
+      "q_ks_test"            -> "broadcast sample totals + value range (1 row)"
     )
     val (issues, bnljSeen) = SparkEntry.queries.toSeq.foldLeft(
         (Seq.empty[String], Set.empty[String])) { case ((is, seen), (name, fn)) =>

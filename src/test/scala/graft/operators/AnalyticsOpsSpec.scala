@@ -99,22 +99,41 @@ class AnalyticsOpsSpec extends SparkSpec {
       (indep.map { case (a, b) => (Option(a), b) } :+ ((None: Option[String]), "x"))
         .toDF("u", "v"), col("u"), col("v")).collect().head
     assert(withNull.getAs[Long]("n") == 100L)
+    // a constant column has zero entropy → normalization undefined → NULL
+    // (not NaN, not Infinity), in operator and oracle alike
+    val const = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y"))
+    val c = StatsOps.mutualInformation(const.toDF("u", "v"), col("u"), col("v"))
+      .collect().head
+    assert(c.getAs[Double]("mi_nats") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("mi_normalized")),
+      "zero-entropy normalization must be NULL")
   }
 
-  test("ksTest: textbook gap, block-width invariance, zero on identical samples") {
+  test("ksTest: textbook gap, block-count invariance, zero on identical samples") {
     // a = {1,2,3}, b = {2,3,4}: every step gap is 1/3 → D = 0.333333
     val d = (Seq(1.0, 2.0, 3.0).map((_, true)) ++ Seq(2.0, 3.0, 4.0).map((_, false)))
       .toDF("v", "ia")
-    def ks(width: Double) = StatsOps.ksTest(d, col("v"), col("ia"), blockWidth = width)
+    def ks(blocks: Int) = StatsOps.ksTest(d, col("v"), col("ia"), nBlocks = blocks)
       .as[(Double, Long, Long)].collect().head
-    assert(ks(16.0) == ((0.333333, 3L, 3L)))
-    // blockWidth shards computation only — D identical at any width
-    assert(ks(0.5) == ks(16.0) && ks(1000.0) == ks(16.0))
+    assert(ks(4096) == ((0.333333, 3L, 3L)))
+    // nBlocks shards computation only — D identical at any block count
+    assert(ks(1) == ks(4096) && ks(2) == ks(4096) && ks(7) == ks(4096))
     // identical samples → zero distance
     val same = (Seq(1.0, 5.0, 9.0).map((_, true)) ++ Seq(1.0, 5.0, 9.0).map((_, false)))
       .toDF("v", "ia")
     assert(StatsOps.ksTest(same, col("v"), col("ia"))
       .as[(Double, Long, Long)].collect().head == ((0.0, 3L, 3L)))
+    // the block table is bounded for ANY value distribution: a pathological
+    // range (1e-9 .. 1e12) that would explode a fixed-width blocking into
+    // ~1e21 blocks still computes, because blocks derive from the observed
+    // range — and a single-value relation (range 0) degenerates to 1 block
+    val patho = (Seq(1e-9, 1.0, 1e12).map((_, true)) ++
+      Seq(1e-9, 5e11, 1e12).map((_, false))).toDF("v", "ia")
+    assert(StatsOps.ksTest(patho, col("v"), col("ia"), nBlocks = 8)
+      .as[(Double, Long, Long)].collect().head == ((0.333333, 3L, 3L)))
+    val onev = (Seq(7.5, 7.5).map((_, true)) ++ Seq(7.5).map((_, false))).toDF("v", "ia")
+    assert(StatsOps.ksTest(onev, col("v"), col("ia"))
+      .as[(Double, Long, Long)].collect().head == ((0.0, 2L, 1L)))
   }
 
   test("rollingDistinctActives counts trailing-window distinct keys") {

@@ -169,12 +169,23 @@ class PipelineOpsSpec extends SparkSpec {
     val out = PipelineOps.snapshotDiff(oldSnap, newSnap, "k", Seq("s", "v"))
       .orderBy("k").as[(Long, String)].collect().toSeq
     assert(out == Seq((2L, "changed"), (3L, "removed"), (5L, "added")))
-    // null vs empty string is a CHANGE, not equality (NUL sentinel)
+    // null vs empty string is a CHANGE, not equality (null/value tag)
     val o2 = Seq((9L, None: Option[String])).toDF("k", "s")
     val n2 = Seq((9L, Some(""))).toDF("k", "s")
     val d2 = PipelineOps.snapshotDiff(o2, n2, "k", Seq("s"))
       .as[(Long, String)].collect().toSeq
     assert(d2 == Seq((9L, "changed")))
+    // separator injection: ('a|b','c') vs ('a','b|c') are DIFFERENT rows and
+    // must classify as changed — per-column fixed-width digests make the
+    // encoding boundary-proof (a concat_ws("|") scheme hashes them equal)
+    val o3 = Seq((1L, "a|b", "c"), (2L, "x", "y|"), (3L, "p ", "q"))
+      .toDF("k", "s", "v")
+    val n3 = Seq((1L, "a", "b|c"), (2L, "x|", "y"), (3L, "p", " q"))
+      .toDF("k", "s", "v")
+    val d3 = PipelineOps.snapshotDiff(o3, n3, "k", Seq("s", "v"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(d3 == Seq((1L, "changed"), (2L, "changed"), (3L, "changed")),
+      "boundary-shifting values must not hash equal")
   }
 
   test("dedupSpansKeepFirst keeps the first instance, removes later ones — cross- and within-doc") {
@@ -211,6 +222,18 @@ class PipelineOpsSpec extends SparkSpec {
       "block-offset ranking must reproduce the global window's batches exactly")
     // adaptive entry agrees with both (small input → window form)
     assert(rows(PipelineOps.lengthBuckets(d, batchSize = 7)) == direct)
+  }
+
+  test("block-sharded ops reject non-integral ids loudly (blocks derive arithmetically)") {
+    val s = Seq(("a1", "x y z"), ("a2", "p q")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      PipelineOps.shardedLengthBuckets(s, batchSize = 4)
+    }
+    assert(e1.getMessage.contains("integral id"))
+    val e2 = intercept[IllegalArgumentException] {
+      PipelineOps.packSequences(s, ctxLen = 8)
+    }
+    assert(e2.getMessage.contains("integral id"))
   }
 
   test("chunk produces overlapping windows and a short tail") {

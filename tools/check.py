@@ -118,4 +118,12 @@ for name, sql in sorted(oracle.items()):
         print(f"ERR  {name}: {e}"); fails += 1
 tag = " (SUBSET -- not a full gate)" if SUBSET else ""
 print(f"\n{len(oracle) - fails}/{len(oracle)} queries match{tag}")
-sys.exit(1 if fails else 0)
+if fails:
+    sys.exit(1)
+# A subset run must not read as a passed FULL gate to exit-code-only
+# consumers: exit 3 unless the caller explicitly acknowledged the subset.
+if SUBSET and "--allow-subset" not in sys.argv:
+    print("exit 3: subset run passed but is NOT a full gate "
+          "(pass --allow-subset to accept)")
+    sys.exit(3)
+sys.exit(0)
