@@ -11,58 +11,254 @@ import java.security.MessageDigest
   * stages.
   *
   * Container sniffing ([[sniffContainer]]: magic-byte format detection and
-  * PNG IHDR dimensions) is REAL — pure expressions over header bytes, no
-  * codec needed. The pixel/sample decode step is a clearly-marked
-  * deterministic STUB — the codec libraries are not in this container — but
-  * the Spark-side plumbing is the production shape: binary columns travel
-  * in columnar batches, metadata extraction is a narrow per-partition pass
-  * (one codec context per partition, not per row), and nothing widens the
-  * binary payload through a shuffle. At 100 TB the binary column stays
-  * pruned away unless a stage actually touches it (nested-schema pruning on
-  * the parquet scan).
+  * PNG IHDR dimensions) is pure expressions over header bytes. Pixel decode
+  * ([[decodeImage]]) is REAL: the JDK's `javax.imageio` ships PNG/JPEG/GIF/
+  * BMP codecs with zero external dependencies, so decoded width/height,
+  * grayscale rasters and the perceptual aHash/dHash fingerprints are
+  * computed from actual pixels. Audio/video codecs are NOT in the JDK, so
+  * non-image media flows through the byte-level stages (sniff, exact dedup,
+  * frame slicing) and [[decodeImage]] returns None for it.
+  *
+  * Scale shape: binary columns travel in columnar batches; decode runs as a
+  * narrow per-partition pass (one codec context per partition, disk cache
+  * off, not per row), and nothing widens the binary payload through a
+  * shuffle — downstream joins and groupings see only (id, dims, 64-bit
+  * fingerprint). At 100 TB the binary column stays pruned away unless a
+  * stage actually touches it (nested-schema pruning on the parquet scan).
   */
 object MultimodalOps {
 
   /** An opaque media payload with routing metadata. */
   final case class MediaRow(id: Long, mediaType: String, bytes: Array[Byte])
 
-  /** Extracted features; `width`/`height` come from the decode stub. */
+  /** Extracted features; `width`/`height` are REAL decoded dimensions
+    * (0 × 0 when the payload is not a decodable image). */
   final case class MediaFeature(
       id: Long, mediaType: String, byteLen: Long, sha256: String,
       width: Int, height: Int)
 
-  /** STUB decode: a real implementation would hand `bytes` to an image/audio
-    * decoder; this deterministic fake derives dimensions from content length
-    * so tests exercise the full dataflow. Replace the body, keep the
-    * signature. */
-  def decodeStub(bytes: Array[Byte]): (Int, Int) =
-    (64 + (bytes.length % 512), 64 + ((bytes.length * 7) % 512))
+  /** A decoded raster: real dimensions plus the 8-bit grayscale plane
+    * (row-major), via the integer ITU-R 601-ish luma (77R+150G+29B)>>8 —
+    * exact for gray inputs (77+150+29 = 256) and deterministic everywhere
+    * (no floating point, no platform color management). */
+  final case class DecodedImage(width: Int, height: Int, gray: Array[Int])
+
+  /** REAL image decode via the JDK's built-in `javax.imageio` codecs
+    * (PNG/JPEG/GIF/BMP — no external library). Returns None for bytes no
+    * installed reader accepts (text, audio, video, truncated images), so
+    * undecodable payloads classify instead of crash. */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val gray = new Array[Int](w * h)
+        val cm = img.getColorModel
+        // Single-channel 8-bit images: read raster samples directly —
+        // getRGB would route them through AWT color management (linear
+        // gray → sRGB gamma), silently remapping 37 → 106. Raw samples
+        // are what the codec decoded; gray-in = gray-out, exactly.
+        if (cm.getNumComponents == 1 && cm.getComponentSize(0) == 8) {
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { gray(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+        } else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xFF
+              val g = (rgb >> 8) & 0xFF
+              val b = rgb & 0xFF
+              gray(y * w + x) = (77 * r + 150 * g + 29 * b) >> 8
+              x += 1
+            }
+            y += 1
+          }
+        }
+        Some(DecodedImage(w, h, gray))
+      }
+    } catch { case _: Throwable => None }
+
+  /** Deterministic area-average downsample to `w2` × `h2`: target cell
+    * (i, j) averages the integer-floored source box [i·w/w2, (i+1)·w/w2) ×
+    * [j·h/h2, (j+1)·h/h2) (clamped to ≥ 1 pixel, so upscaling repeats
+    * pixels). All-integer arithmetic — bit-identical on every platform,
+    * unlike Graphics2D interpolation. */
+  private[operators] def downsample(img: DecodedImage, w2: Int, h2: Int): Array[Int] = {
+    val out = new Array[Int](w2 * h2)
+    var j = 0
+    while (j < h2) {
+      val y0 = j * img.height / h2
+      val y1 = math.max((j + 1) * img.height / h2, y0 + 1)
+      var i = 0
+      while (i < w2) {
+        val x0 = i * img.width / w2
+        val x1 = math.max((i + 1) * img.width / w2, x0 + 1)
+        var s = 0
+        var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += img.gray(y * img.width + x); n += 1; x += 1 }
+          y += 1
+        }
+        out(j * w2 + i) = s / n
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Average hash: 8×8 grayscale downsample, bit k = y·8+x set iff the cell
+    * exceeds the integer mean of all 64 cells. Robust to uniform
+    * brightness/scale changes; the classic first-cut perceptual
+    * fingerprint. */
+  def aHash64(img: DecodedImage): Long = {
+    val d = downsample(img, 8, 8)
+    var sum = 0L
+    var k = 0
+    while (k < 64) { sum += d(k); k += 1 }
+    val mean = sum / 64
+    var h = 0L
+    k = 0
+    while (k < 64) { if (d(k) > mean) h |= (1L << k); k += 1 }
+    h
+  }
+
+  /** Difference hash: 9×8 grayscale downsample, bit k = y·8+x set iff cell
+    * (x+1, y) exceeds cell (x, y) — gradient signs, which survive global
+    * brightness and contrast shifts better than absolute levels. */
+  def dHash64(img: DecodedImage): Long = {
+    val d = downsample(img, 9, 8)
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (d(y * 9 + x + 1) > d(y * 9 + x)) h |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Encode an 8-bit grayscale raster as a real PNG via the JDK encoder —
+    * the fixture/ingest helper for the decode path (PNG is lossless, so
+    * decode∘encode recovers pixels exactly). */
+  def encodeGrayPng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, pixel(x, y) & 0xFF); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
   private def sha256Hex(bytes: Array[Byte], md: MessageDigest): String =
     md.digest(bytes).map("%02x".format(_)).mkString
 
-  /** Per-partition feature extraction: one digest/codec context per
-    * partition, batch-shaped iteration — the `mapPartitions` pattern a real
-    * decoder needs (expensive init amortised across the partition). */
+  /** Per-partition feature extraction: one digest + codec context per
+    * partition, batch-shaped iteration — expensive init (digest instance,
+    * ImageIO disk cache off) amortised across the partition, and the real
+    * decoder runs where the bytes already are. Non-image payloads keep
+    * their byte-level features with 0×0 dimensions. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
       val md = MessageDigest.getInstance("SHA-256")
       rows.map { r =>
-        val (w, h) = decodeStub(r.bytes)
+        val dims = decodeImage(r.bytes).map(d => (d.width, d.height)).getOrElse((0, 0))
         MediaFeature(r.id, r.mediaType, r.bytes.length.toLong,
-          sha256Hex(r.bytes, md), w, h)
+          sha256Hex(r.bytes, md), dims._1, dims._2)
       }
     }
   }
 
-  /** STUB resize: a real implementation would decode, scale, and re-encode;
-    * this deterministic fake subsamples every `factor`-th byte, preserving
-    * the shape of the operation (binary → smaller binary, per partition). */
-  def resizeStub(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+  /** Decoded-image features over a binary column: real dimensions plus the
+    * aHash/dHash perceptual fingerprints, NULL columns for undecodable
+    * payloads. The narrow per-partition decode pass — output is (id, flag,
+    * 2 ints, 2 longs), so everything downstream (near-dup bucketing,
+    * grouping) shuffles fingerprints, never pixels. */
+  def imageFeatures(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          decodeImage(bytes) match {
+            case Some(d) =>
+              (id, true, Some(d.width), Some(d.height), Some(aHash64(d)), Some(dHash64(d)))
+            case None => (id, false, None: Option[Int], None: Option[Int],
+              None: Option[Long], None: Option[Long])
+          }
+        }
+      }
+      .toDF(idCol, "decoded", "width", "height", "ahash", "dhash")
+  }
+
+  /** Near-duplicate pairs over a 64-bit perceptual hash column by Hamming
+    * distance — the image analog of [[DedupOps.simhashPairs]], same
+    * pigeonhole banding: candidates must match exactly on one of four
+    * 16-bit bands (any pair within Hamming 3 shares a band; `maxHamming`
+    * above 3 trades recall for speed), then the full 64-bit Hamming
+    * verifies. Band buckets are equi-join keys — hash-distributed,
+    * AQE-splittable; nothing all-pairs. */
+  def hammingPairs(hashes: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "id", hashCol: String = "h"): DataFrame = {
+    val chunked = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .where(col("h").isNotNull)
+      .select(col("id"), col("h"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("h"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .withColumn("hamming", bit_count(col("a.h").bitwiseXOR(col("b.h"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a.id").as("ida"), col("b.id").as("idb"), col("hamming"))
+      .distinct()
+  }
+
+  /** REAL image resize: decode, deterministic area-average downsample
+    * ([[downsample]] — integer arithmetic, not platform-dependent
+    * Graphics2D filtering), re-encode as grayscale PNG. Payloads that do
+    * not decode pass through untouched (route them with [[sniffContainer]]
+    * first if mixing media). Per-partition map; binary in, smaller binary
+    * out, no shuffle. */
+  def resizeImages(media: Dataset[MediaRow], width: Int, height: Int): Dataset[MediaRow] = {
+    require(width > 0 && height > 0, s"target dims must be positive, got $width x $height")
     import media.sparkSession.implicits._
-    media.mapPartitions(rows => rows.map(r =>
-      r.copy(bytes = r.bytes.zipWithIndex.collect { case (b, i) if i % factor == 0 => b })))
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        decodeImage(r.bytes) match {
+          case Some(d) =>
+            val small = downsample(d, width, height)
+            r.copy(bytes = encodeGrayPng(width, height, (x, y) => small(y * width + x)))
+          case None => r
+        }
+      }
+    }
   }
 
   /** Deterministic frame sampling: every `stride`-th slice of `frameLen`
@@ -97,10 +293,10 @@ object MultimodalOps {
           lit(frameLen)))).as("frame_hex"))
   }
 
-  /** REAL (stub-free) container sniffing over an opaque binary column —
-    * pure codegen'd expressions, no codec library: magic-byte format
-    * detection (PNG/JPEG/GIF/RIFF/MP4) plus PNG dimensions parsed from the
-    * IHDR chunk (PNG's first chunk is always IHDR, so width/height are
+  /** Container sniffing over an opaque binary column — pure codegen'd
+    * expressions, no codec library: magic-byte format detection
+    * (PNG/JPEG/GIF/RIFF/MP4) plus PNG dimensions parsed from the IHDR
+    * chunk (PNG's first chunk is always IHDR, so width/height are
     * big-endian uint32s at fixed offsets 16/20 — parseable without a
     * decoder). Narrow per-row map over the first 24 bytes; at 100 TB this
     * is the "route by container type" dispatch ahead of the per-format
@@ -129,12 +325,13 @@ object MultimodalOps {
     * equality is BYTE equality, so two containers with the same inner
     * media but different envelopes (or PNGs differing only in metadata)
     * correctly stay distinct — exact dedup routes; near-dup lives in
-    * perceptual-hash land. The hash is md5 over the uppercase hex encoding
-    * (not the raw bytes) so any engine without blob hashing can recompute
-    * it. One narrow hash pass, then a hash-partitioned window for keeper
-    * and group size — one shuffle on the digest, the same plan as text
-    * exact-dedup: at 100 TB hashing happens in the scan and only
-    * (id, 32-char digest) rows reach the exchange, never payload bytes. */
+    * [[imageFeatures]]' perceptual-hash land ([[hammingPairs]]). The hash
+    * is md5 over the uppercase hex encoding (not the raw bytes) so any
+    * engine without blob hashing can recompute it. One narrow hash pass,
+    * then a hash-partitioned window for keeper and group size — one
+    * shuffle on the digest, the same plan as text exact-dedup: at 100 TB
+    * hashing happens in the scan and only (id, 32-char digest) rows reach
+    * the exchange, never payload bytes. */
   def exactBinaryDedup(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("content_hash"))
     df.select(col(idCol), md5(upper(hex(col(binCol)))).as("content_hash"))
@@ -143,17 +340,16 @@ object MultimodalOps {
       .withColumn("is_dup", col(idCol) =!= col("keeper_id"))
   }
 
-  /** Column-level metadata over any DataFrame with a binary column —
-    * the oracle-checkable subset (length, digest, header bytes, stub dims).
-    */
+  /** Column-level byte metadata over any DataFrame with a binary column —
+    * the oracle-checkable subset (length, digest, header bytes). Decoded
+    * dimensions live in [[imageFeatures]] (they need a real decoder, not
+    * an expression). */
   def binaryMeta(df: DataFrame, binCol: String, idCol: String): DataFrame =
     df.select(
       col(idCol),
       length(col(binCol)).cast("long").as("byte_len"),
       md5(col(binCol)).as("digest"),
-      upper(hex(substring(col(binCol), 1, 8))).as("header_hex"),
-      (lit(64L) + length(col(binCol)).cast("long") % 512).as("width"),
-      (lit(64L) + (length(col(binCol)).cast("long") * 7) % 512).as("height"))
+      upper(hex(substring(col(binCol), 1, 8))).as("header_hex"))
 
   /** Documents table → media dataset (text bytes standing in for an opaque
     * payload; schema and partitioning are what's exercised). */

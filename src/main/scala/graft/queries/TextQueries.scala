@@ -263,9 +263,9 @@ object TextQueries {
       TextOps.fingerprints(t.documents).select("doc_id", "fp_md5").orderBy("doc_id")
     },
 
-    // Multimodal metadata over an opaque binary column (documents.text bytes
-    // standing in for media payloads; decode stub dims are derived
-    // deterministically — see MultimodalOps).
+    // Multimodal byte metadata over an opaque binary column (documents.text
+    // bytes standing in for media payloads); decoded dims/fingerprints live
+    // in q_image_decode, which runs the real JDK codec.
     "q_multimodal_meta" -> { t =>
       graft.operators.MultimodalOps
         .binaryMeta(t.documents.withColumn("blob", col("text").cast("binary")),
@@ -450,6 +450,61 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // REAL pixel decode (JDK javax.imageio, no external codec): each doc
+    // gets a genuine 9×8 grayscale PNG whose pixels are a closed-form
+    // function of doc_id, encoded with the JDK encoder in a per-partition
+    // pass; the engine then DECODES it back and computes real dimensions
+    // plus the aHash/dHash perceptual fingerprints from decoded pixels.
+    // The oracle recomputes dims and both hashes from the closed form —
+    // shared pixel construction, independent decode: any drift in the
+    // encode→decode roundtrip, grayscale conversion, downsample, or bit
+    // packing mismatches the hash.
+    "q_image_decode" -> { t =>
+      val s = t.spark
+      import s.implicits._
+      val pngs = t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          javax.imageio.ImageIO.setUseCache(false)
+          ids.map(id => (id, graft.operators.MultimodalOps.encodeGrayPng(
+            9, 8, (x, y) => (((id % 256) * 31 + 7 * x * x + 13 * y) % 256).toInt)))
+        }.toDF("doc_id", "png")
+      graft.operators.MultimodalOps.imageFeatures(pngs, "png", "doc_id")
+        .select(col("doc_id"), col("width"), col("height"), col("ahash"), col("dhash"))
+        .orderBy("doc_id")
+    },
+
+    // Perceptual near-dup over DECODED images: 12 planted base patterns
+    // (md5-derived pixels — effectively random), members perturb one pixel
+    // by +1 luma, so same-group members land within Hamming ≤3 of each
+    // other's dHash while cross-group distances sit near 32. Exact
+    // pigeonhole banding (4×16-bit) finds every such pair with equi-joins
+    // only; the oracle recomputes dHash closed-form and mirrors the
+    // band-bucket + popcount verify in SQL. Bounded to 96 planted images
+    // by construction (the corpus scan is pruned by the pushed doc_id
+    // filter).
+    "q_image_neardup" -> { t =>
+      val s = t.spark
+      import s.implicits._
+      val imgs = t.documents.select(col("doc_id")).where(col("doc_id") < 96).as[Long]
+        .mapPartitions { ids =>
+          javax.imageio.ImageIO.setUseCache(false)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          ids.map { id =>
+            val g = id % 12
+            val m = (id / 12).toInt
+            (id, graft.operators.MultimodalOps.encodeGrayPng(9, 8, (x, y) => {
+              val base = md.digest(s"g:$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
+              val bump = if (x == m % 9 && y == (m / 9) % 8) 1 else 0
+              (base + bump) % 256
+            }))
+          }
+        }.toDF("doc_id", "png")
+      val feats = graft.operators.MultimodalOps.imageFeatures(imgs, "png", "doc_id")
+      graft.operators.MultimodalOps.hammingPairs(
+          feats.select(col("doc_id").as("id"), col("dhash").as("h")), maxHamming = 3)
+        .orderBy("ida", "idb")
+    },
+
     // Tokenizer-coverage diagnostic: OOV rate per document against the
     // corpus's own top-50 token vocabulary (ties lexicographic — a total
     // order, so the vocab is a deterministic constant the oracle
@@ -472,6 +527,64 @@ object TextQueries {
       TextOps.zipfSlope(t.documents, k = 100)
     }
   )
+
+  /** Signed-64-bit power-of-two literal for generated hash-packing oracles:
+    * bit 63 is the sign bit, so its weight is the Long.MinValue literal and
+    * the generated sum reproduces Java's two's-complement packing. */
+  private def bitPow(k: Int): String =
+    if (k == 63) "(-9223372036854775807 - 1)" else (1L << k).toString
+
+  /** q_image_decode oracle, generated: the 9×8 pixel raster as one column
+    * per cell (closed form of the pattern the Spark side encodes into a
+    * real PNG), the 8×8 area-average downsample (column 7 averages source
+    * columns 7+8 — the only multi-pixel box for 9→8), integer mean, and
+    * the aHash/dHash bit packings as 64-term CASE sums. The engine's path
+    * runs ImageIO encode→decode→luma→downsample→pack over real bytes; any
+    * divergence anywhere in that chain mismatches these closed forms. */
+  private val imageDecodeOracle: String = {
+    def c(x: Int, y: Int) = s"c${x}_$y"
+    val pxCols = (for (y <- 0 until 8; x <- 0 until 9) yield
+      s"((doc_id % 256) * 31 + ${7 * x * x + 13 * y}) % 256 AS ${c(x, y)}").mkString(", ")
+    def d(i: Int, y: Int) = if (i < 7) c(i, y) else s"((${c(7, y)} + ${c(8, y)}) // 2)"
+    val dsCols = (for (y <- 0 until 8; i <- 0 until 8) yield
+      s"${d(i, y)} AS d${i}_$y").mkString(", ")
+    val meanExpr = "(" +
+      (for (y <- 0 until 8; i <- 0 until 8) yield s"d${i}_$y").mkString(" + ") + ") // 64"
+    val ahash = (for (y <- 0 until 8; x <- 0 until 8) yield
+      s"CASE WHEN d${x}_$y > mean THEN ${bitPow(y * 8 + x)} ELSE 0 END").mkString(" + ")
+    val dhash = (for (y <- 0 until 8; x <- 0 until 8) yield
+      s"CASE WHEN ${c(x + 1, y)} > ${c(x, y)} THEN ${bitPow(y * 8 + x)} ELSE 0 END")
+      .mkString(" + ")
+    s"WITH px AS (SELECT doc_id, $pxCols FROM documents), " +
+      s"ds AS (SELECT doc_id, $dsCols, ($dhash) AS dhash FROM px), " +
+      s"mn AS (SELECT *, $meanExpr AS mean FROM ds) " +
+      "SELECT doc_id, 9 AS width, 8 AS height, " +
+      s"($ahash) AS ahash, dhash FROM mn ORDER BY doc_id"
+  }
+
+  /** q_image_neardup oracle, generated: closed-form md5-derived pixels
+    * (matching the bytes the Spark side encodes), dHash packing, then the
+    * SAME band-bucket candidate join + full-popcount verify the engine
+    * runs — re-derived in SQL, so the banding's exactness (pigeonhole at
+    * Hamming ≤ 3 over 4×16-bit bands) is itself cross-checked. */
+  private val imageNeardupOracle: String = {
+    def p(x: Int, y: Int) =
+      s"(('0x' || substr(md5('g:' || (doc_id % 12) || ':$x:$y'), 1, 2))::UBIGINT + " +
+        s"CASE WHEN (doc_id // 12) % 9 = $x AND ((doc_id // 12) // 9) % 8 = $y " +
+        "THEN 1 ELSE 0 END) % 256"
+    val pxCols = (for (y <- 0 until 8; x <- 0 until 9) yield
+      s"${p(x, y)} AS c${x}_$y").mkString(", ")
+    val dhash = (for (y <- 0 until 8; x <- 0 until 8) yield
+      s"CASE WHEN c${x + 1}_$y > c${x}_$y THEN ${bitPow(y * 8 + x)} ELSE 0 END")
+      .mkString(" + ")
+    s"WITH px AS (SELECT doc_id, $pxCols FROM documents WHERE doc_id < 96), " +
+      s"h AS (SELECT doc_id AS id, ($dhash) AS h FROM px), " +
+      "b AS (SELECT id, h, band, (h >> (band * 16)) & 65535 AS bv FROM h " +
+      "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands) " +
+      "SELECT DISTINCT a.id AS ida, c.id AS idb, bit_count(xor(a.h, c.h)) AS hamming " +
+      "FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.id < c.id " +
+      "WHERE bit_count(xor(a.h, c.h)) <= 3 ORDER BY ida, idb"
+  }
 
   /** Deterministic container envelope for [[MultimodalOps.sniffContainer]]'s
     * declared query: doc_id % 6 selects PNG (with a genuine IHDR carrying
@@ -823,9 +936,7 @@ object TextQueries {
       """SELECT doc_id,
         |octet_length(CAST(text AS BLOB)) AS byte_len,
         |md5(text) AS digest,
-        |upper(hex(substr(text, 1, 8))) AS header_hex,
-        |64 + octet_length(CAST(text AS BLOB)) % 512 AS width,
-        |64 + (octet_length(CAST(text AS BLOB)) * 7) % 512 AS height
+        |upper(hex(substr(text, 1, 8))) AS header_hex
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_tfidf" ->
@@ -1059,6 +1170,13 @@ object TextQueries {
         |SELECT h.doc_id, h.content_hash, g.keeper_id, g.n_copies,
         |  h.doc_id <> g.keeper_id AS is_dup
         |FROM h JOIN g USING (content_hash) ORDER BY h.doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    // The engine ENCODES a real PNG per doc, DECODES it with the JDK codec,
+    // and hashes decoded pixels; the oracle recomputes dims + both hashes
+    // from the closed-form pixel pattern — generated SQL, one column per
+    // raster cell (the bpeApplyOracle precedent for built oracles).
+    "q_image_decode" -> imageDecodeOracle,
+    "q_image_neardup" -> imageNeardupOracle,
 
     // Vocab = top-50 tokens by count, ties lexicographic — the same total
     // order the engine fits, so membership is deterministic.

@@ -938,14 +938,20 @@ class OpsSpec extends SparkSpec {
     assert(NomadPipeline.heartbeats(frames).count() == 1)
   }
 
-  test("multimodal feature extraction runs the stub decode per partition") {
+  test("multimodal feature extraction decodes real images, classifies text as 0x0") {
+    // text payloads are not decodable images → byte features + 0×0 dims
     val media = MultimodalOps.documentsAsMedia(spark, docs.withColumnRenamed("doc_id", "doc_id"))
     val feats = MultimodalOps.extractFeatures(media).collect()
     assert(feats.length == docs.count())
     feats.foreach { f =>
       assert(f.sha256.length == 64)
-      assert(f.width == 64 + (f.byteLen % 512) && f.height == 64 + (f.byteLen * 7) % 512)
+      assert(f.width == 0 && f.height == 0)
     }
+    // a real PNG payload reports its true decoded dimensions
+    val png = MultimodalOps.encodeGrayPng(5, 3, (x, y) => x * 40 + y * 10)
+    val imgMedia = Seq(MultimodalOps.MediaRow(7L, "image/png", png)).toDS()
+    val imgFeat = MultimodalOps.extractFeatures(imgMedia).collect().head
+    assert(imgFeat.width == 5 && imgFeat.height == 3)
   }
 
   test("container sniffing parses real magic bytes and PNG IHDR dimensions — no stub") {
