@@ -213,7 +213,18 @@ object DedupOps {
   def incrementalNearDup(existing: DataFrame, incoming: DataFrame, n: Int = 3,
                          threshold: Double = 0.5, maxDf: Int = 100,
                          textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    incrementalSharedPairs(existing, incoming, n, maxDf, textCol, idCol)
+    incrementalNearDupAgainst(
+      buildNearDupIndex(existing, n, maxDf, textCol, idCol),
+      incoming, n, threshold, textCol, idCol)
+
+  /** [[incrementalNearDup]] against a MAINTAINED [[NearDupIndex]] — the
+    * rolling-ingest loop that keeps one corpus index alive across batches
+    * (build once, append/retract as the corpus changes) instead of
+    * re-deriving it from the full corpus per batch. */
+  def incrementalNearDupAgainst(index: NearDupIndex, incoming: DataFrame, n: Int = 3,
+                                threshold: Double = 0.5,
+                                textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    sharedPairsAgainstIndex(index, incoming, n, textCol, idCol)
       .withColumn("jaccard",
         col("shared").cast("double") / (col("ni") + col("ne") - col("shared")))
       .where(col("jaccard") >= threshold)
@@ -230,40 +241,87 @@ object DedupOps {
   def incrementalContainment(existing: DataFrame, incoming: DataFrame, n: Int = 4,
                              threshold: Double = 0.8, maxDf: Int = 100,
                              textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    incrementalSharedPairs(existing, incoming, n, maxDf, textCol, idCol)
+    incrementalContainmentAgainst(
+      buildNearDupIndex(existing, n, maxDf, textCol, idCol),
+      incoming, n, threshold, textCol, idCol)
+
+  /** [[incrementalContainment]] against a maintained [[NearDupIndex]] —
+    * see [[incrementalNearDupAgainst]]. */
+  def incrementalContainmentAgainst(index: NearDupIndex, incoming: DataFrame, n: Int = 4,
+                                    threshold: Double = 0.8,
+                                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    sharedPairsAgainstIndex(index, incoming, n, textCol, idCol)
       .withColumn("containment",
         col("shared").cast("double") / least(col("ni"), col("ne")))
       .where(col("containment") >= threshold)
       .select("new_id", "old_id", "containment")
 
-  /** Batch-vs-corpus candidate pairs (new_id, old_id, shared, ni, ne) from
-    * the corpus's capped posting-list index — the shared core of
-    * [[incrementalNearDup]] and [[incrementalContainment]]. */
-  private def incrementalSharedPairs(existing: DataFrame, incoming: DataFrame,
-                                     n: Int, maxDf: Int,
-                                     textCol: String, idCol: String): DataFrame = {
+  /** The corpus side of incremental dedup as a MAINTAINED artifact:
+    * `postings` = capped shingle posting lists (s → old_ids, saturated
+    * shingles dropped), `sizes` = per-doc distinct-shingle counts. Both
+    * halves persist/restore as plain parquet; [[removeFromNearDupIndex]]
+    * retracts deleted docs; the `*Against` checkers join ingest batches
+    * against it. */
+  final case class NearDupIndex(postings: DataFrame, sizes: DataFrame)
+
+  /** Build the [[NearDupIndex]] — one pass over the corpus, same
+    * saturation contract as [[ngramJaccard]]: a corpus-hot shingle's
+    * aggregation state caps at maxDf+1 ids instead of buffering its full
+    * posting list, and size > maxDf identifies (and drops) it exactly. */
+  def buildNearDupIndex(existing: DataFrame, n: Int = 3, maxDf: Int = 100,
+                        textCol: String = "text", idCol: String = "doc_id"): NearDupIndex = {
     val exE = shingleHashed(existing, textCol, idCol, n).distinct()
-    val exI = shingleHashed(incoming, textCol, idCol, n).distinct()
     val szE = exE.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val szI = exI.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    // corpus inverted index as BOUNDED posting lists (same saturation
-    // contract as [[ngramJaccard]]): a corpus-hot shingle's aggregation
-    // state caps at maxDf+1 ids instead of buffering its full posting list,
-    // and size > maxDf identifies (and drops) it exactly. The batch then
-    // joins the bounded index and fans out old_ids map-side — the corpus
-    // index is built in ONE pass (szE reuses the same distinct exchange)
-    // instead of the previous df-count + anti-join + index-join trio.
     val cappedIds = udaf(new graft.functions.CappedSetAggregator(maxDf + 1))
     val postE = exE.groupBy("s").agg(cappedIds(col("id")).as("old_ids"))
       .where(size(col("old_ids")) <= maxDf)
+    NearDupIndex(postE, szE)
+  }
+
+  /** RETRACTION for the incremental-dedup corpus index: without it the
+    * index is append-only and a deleted document's postings keep
+    * suppressing new near-dups as ghosts. The removal batch aggregates to
+    * a single broadcast array (deletion batches are model-sized next to
+    * the corpus — the Bloom-blob pattern); only posting lists that
+    * actually contain a removed id are rewritten (`arrays_overlap` gate),
+    * emptied lists drop out, and the sizes table anti-joins the removals.
+    * Saturation is NOT reversible by design: a shingle dropped at build
+    * time for df > maxDf stays dropped even if deletions bring its true
+    * df under maxDf — scores remain tight lower bounds, exactly the
+    * [[ngramJaccard]] contract. */
+  def removeFromNearDupIndex(index: NearDupIndex, removedIds: DataFrame,
+                             idCol: String = "doc_id"): NearDupIndex = {
+    val rmArr = broadcast(removedIds.select(col(idCol).as("__rm_id")).distinct()
+      .agg(sort_array(collect_list(col("__rm_id"))).as("__rm")))
+    val postings = index.postings.crossJoin(rmArr)
+      .withColumn("old_ids",
+        when(arrays_overlap(col("old_ids"), col("__rm")),
+          array_except(col("old_ids"), col("__rm")))
+          .otherwise(col("old_ids")))
+      .where(size(col("old_ids")) > 0)
+      .drop("__rm")
+    val sizes = index.sizes.join(
+      broadcast(removedIds.select(col(idCol).as("id")).distinct()), Seq("id"), "left_anti")
+    NearDupIndex(postings, sizes)
+  }
+
+  /** Batch-vs-index candidate pairs (new_id, old_id, shared, ni, ne): the
+    * batch joins the bounded posting lists and fans out old_ids map-side —
+    * cost proportional to the batch's shingle instances × their bounded
+    * corpus df, never |corpus|². Shared core of the incremental
+    * checkers. */
+  private def sharedPairsAgainstIndex(index: NearDupIndex, incoming: DataFrame,
+                                      n: Int, textCol: String, idCol: String): DataFrame = {
+    val exI = shingleHashed(incoming, textCol, idCol, n).distinct()
+    val szI = exI.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val cand = exI.select(col("id").as("new_id"), col("s"))
-      .join(postE, Seq("s"))
+      .join(index.postings, Seq("s"))
       .select(col("new_id"), explode(col("old_ids")).as("old_id"))
       .groupBy("new_id", "old_id")
       .agg(count(lit(1)).as("shared"))
     cand
       .join(szI.select(col("id").as("new_id"), col("n_sh").as("ni")), Seq("new_id"))
-      .join(szE.select(col("id").as("old_id"), col("n_sh").as("ne")), Seq("old_id"))
+      .join(index.sizes.select(col("id").as("old_id"), col("n_sh").as("ne")), Seq("old_id"))
   }
 
   /** MinHash signature of the shingle set: `numHashes` min-hash values from

@@ -112,9 +112,11 @@ object SimilarityOps {
     * result (or a prefix-extending superset truncated to the right size by
     * the caller), or the fit constant changes. */
   private def fitCoarseQuantizerFromSample(sample: Array[Seq[Double]], nCentroids: Int,
-                                           kmeansIters: Int): Array[(Int, Seq[Double], Double)] = {
+                                           kmeansIters: Int,
+                                           spreadInit: Boolean = false)
+      : Array[(Int, Seq[Double], Double)] = {
     var centroids: Array[(Int, Seq[Double], Double)] =
-      sample.take(nCentroids).zipWithIndex.map { case (v, i) =>
+      initPicks(sample, nCentroids, spreadInit).zipWithIndex.map { case (v, i) =>
         (i, v, math.sqrt(v.map(x => x * x).sum))
       }
     for (_ <- 1 to kmeansIters) {
@@ -528,16 +530,31 @@ object SimilarityOps {
     * search, coding ([[ivfPqCode]]) and evaluation ([[recallAtK]]). */
   def fitIvfPq(emb: DataFrame, nCentroids: Int = 16, nSub: Int = 4,
                nPqCentroids: Int = 16, kmeansIters: Int = 0,
-               vecCol: String = "embedding", idCol: String = "vec_id")
+               vecCol: String = "embedding", idCol: String = "vec_id",
+               spreadInit: Boolean = false)
       : (Array[(Int, Seq[Double], Double)], Array[Array[Seq[Double]]]) = {
     val p = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
     val sample = fitSample(p, math.max(nCentroids, nPqCentroids))
     val coarse = fitCoarseQuantizerFromSample(
-      sample.take(FitSamplePerCentroid * nCentroids), nCentroids, kmeansIters)
+      sample.take(FitSamplePerCentroid * nCentroids), nCentroids, kmeansIters, spreadInit)
     val books = pqFitBooksFromSample(
-      sample.take(FitSamplePerCentroid * nPqCentroids), nSub, nPqCentroids, kmeansIters)
+      sample.take(FitSamplePerCentroid * nPqCentroids), nSub, nPqCentroids, kmeansIters,
+      spreadInit)
     (coarse, books)
   }
+
+  /** Strided init for a Lloyd fit: every (|sample|/n)-th sample vector
+    * instead of the id-prefix. Still deterministic and a constant of the
+    * corpus — but distribution-aware: when the corpus is a mix of an old
+    * and a new region (the refit scenario), prefix init seeds every
+    * centroid in whichever region owns the low ids, and Lloyd can never
+    * split the single entry that captures the other region (all its points
+    * stay nearest that one entry). Striding seeds proportionally to mass
+    * across the id range, so shifted regions get entries to refine. */
+  private def initPicks(sample: Array[Seq[Double]], n: Int,
+                        spread: Boolean): Array[Seq[Double]] =
+    if (!spread || sample.length <= n) sample.take(n)
+    else Array.tabulate(n)(i => sample((i.toLong * sample.length / n).toInt))
 
   /** [[ivfPqTopK]] against ALREADY-FITTED models — the search half of the
     * fit-once contract ([[fitIvfPq]]): an evaluation like [[recallAtK]]'s
@@ -609,6 +626,87 @@ object SimilarityOps {
       .select(col(idCol).as("id"), col("cell").cast("int").as("cell"),
         split(col("codes"), ",").as("cs"))
     searchCoded(coded, queries, centroids, books, k, nProbe, vecCol, idCol)
+  }
+
+  /** Retract vectors from a persisted [[writeIvfPqIndex]] layout — the
+    * DELETION half of index maintenance ([[writeIvfPqIndex]]'s append mode
+    * is the other half): compaction touches ONLY the inverted lists that
+    * contain a removed id. Mechanics: the removal set (broadcast — a
+    * deletion batch is model-sized next to the index) joins the index to
+    * find touched cells (≤ nCentroids rows); survivors of those cells are
+    * materialized off the files (executor-local checkpoint — plain parquet
+    * has no transactions, and Spark refuses an overwrite of a path it is
+    * reading), then written back under DYNAMIC partition overwrite, so
+    * untouched cell directories are never rewritten; a cell whose every
+    * row was removed — which dynamic overwrite alone would leave stale on
+    * disk — has its directory dropped explicitly (a driver-side metadata
+    * op over ≤ touched-cell names). Post-delete, search can never return
+    * a removed id: its rows are physically gone, not tombstoned. */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                           removedIds: DataFrame, idCol: String = "vec_id"): Unit = {
+    val idx = spark.read.parquet(path)
+    val rm = broadcast(removedIds.select(col(idCol)).distinct())
+    val touched = idx.join(rm, Seq(idCol)).select(col("cell")).distinct()
+      .localCheckpoint(true)
+    val survivors = idx
+      .join(broadcast(touched), Seq("cell"))
+      .join(rm, Seq(idCol), "left_anti")
+      .select(col(idCol), col("codes"), col("cell"))
+      .localCheckpoint(true)
+    // fully-emptied inverted lists: touched cells with zero survivors —
+    // bounded by the coarse-quantizer size, a metadata collect
+    val emptied = touched
+      .join(survivors.groupBy("cell").agg(count(lit(1))), Seq("cell"), "left_anti")
+      .collect().map(_.get(0))
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.write.partitionBy("cell").mode("overwrite").parquet(path)
+    finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    emptied.foreach(c =>
+      fs.delete(new org.apache.hadoop.fs.Path(hPath, s"cell=$c"), true))
+  }
+
+  /** Refit policy predicate for [[refitIvfPqIndex]]: does any dimension's
+    * mean shift between the reference distribution (what the frozen models
+    * were fitted on) and the current ingest exceed `maxShift`? Rides
+    * [[QualityOps.embeddingDrift]] (one pass over both samples, dims-sized
+    * output) and reduces to one scalar driver-side. Frozen quantizers
+    * mis-assign cells under distribution shift — recall decays silently
+    * while searches keep succeeding — so index maintenance polls this
+    * between ingest batches and triggers the refit when it fires. */
+  def driftExceeds(ref: DataFrame, cur: DataFrame, maxShift: Double,
+                   vecCol: String = "embedding"): Boolean =
+    QualityOps.embeddingDrift(ref, cur, vecCol)
+      .agg(max(col("shift"))).head().getDouble(0) > maxShift
+
+  /** Drift-triggered REFIT: fit fresh quantizers on the CURRENT corpus and
+    * rewrite the persisted index under them — the heavyweight, rare event
+    * of the index lifecycle (vs. the per-batch stateless append of
+    * [[ivfPqCode]] and the cell-local compaction of
+    * [[deleteFromIvfPqIndex]]). The whole index is rewritten by design:
+    * new quantizer geometry can move every inverted list, so there is
+    * nothing incremental to preserve. Returns the new models — every
+    * subsequent append/search MUST use them (the old models now describe
+    * nothing on disk). The corpus is the caller's source of truth for
+    * vectors; the index never stores them. The refit fits with STRIDED
+    * init ([[initPicks]]): a refit exists precisely because the corpus
+    * distribution changed, and the default id-prefix init would seed every
+    * centroid in the old region — Lloyd can then never split the single
+    * entry that captures the drifted mass, and recall stays decayed. */
+  def refitIvfPqIndex(emb: DataFrame, path: String,
+                      nCentroids: Int = 16, nSub: Int = 4, nPqCentroids: Int = 16,
+                      kmeansIters: Int = 0, vecCol: String = "embedding",
+                      idCol: String = "vec_id")
+      : (Array[(Int, Seq[Double], Double)], Array[Array[Seq[Double]]]) = {
+    val (centroids, books) =
+      fitIvfPq(emb, nCentroids, nSub, nPqCentroids, kmeansIters, vecCol, idCol,
+        spreadInit = true)
+    ivfPqCode(emb, centroids, books, vecCol, idCol)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+    (centroids, books)
   }
 
   /** [[fitCoarseQuantizer]] from raw embeddings — the public model-fit
@@ -689,8 +787,9 @@ object SimilarityOps {
     * [[fitSample]] — same caller contract as
     * [[fitCoarseQuantizerFromSample]]. */
   private def pqFitBooksFromSample(sample: Array[Seq[Double]], nSub: Int,
-                                   nCentroids: Int, kmeansIters: Int): Array[Array[Seq[Double]]] = {
-    val init = sample.take(nCentroids)
+                                   nCentroids: Int, kmeansIters: Int,
+                                   spreadInit: Boolean = false): Array[Array[Seq[Double]]] = {
+    val init = initPicks(sample, nCentroids, spreadInit)
     val dim = init.head.length
     require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
     val sd = dim / nSub
