@@ -66,23 +66,41 @@ object GraphOps {
       .groupBy("g").agg(collect_set(col("item")).as("items"))
       .where(size(col("items")) <= maxBasket)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // the group count stays IN the plan as a broadcast 1-row aggregate
-    // instead of a driver-side count(): one job fewer per query, and the
-    // first broadcast build materializes the persisted sets exactly like
-    // the eager count used to (job-count discipline — ARCHITECTURE,
-    // "Driver-box bench divergence")
-    val nGroups = sets.agg(count(lit(1)).as("n_groups"))
-    val itemCnt = sets.select(explode(col("items")).as("item"))
+    // item counts AND the basket count out of ONE shuffle: each basket
+    // contributes its items plus a NULL marker row, so the per-item
+    // aggregation's null group IS the basket count — no separate 1-row
+    // aggregate pass over `sets` (r10 measured the separate-scalar form
+    // at 14 jobs: the extra agg + its AQE stage; this folds the scalar
+    // into the existing exchange, and the count() never blocks the
+    // driver either — job-count discipline, ARCHITECTURE "Driver-box
+    // bench divergence")
+    val itemType = sets.schema("items").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val marker = array(lit(null).cast(itemType))
+    // materialized once (executor-local checkpoint): its three consumers
+    // filter on the grouping key, and those predicates push BELOW the
+    // aggregation's exchange — three divergent copies of the same shuffle
+    // without the barrier (measured; the filters are cheap, the repeated
+    // explode+shuffle is not). The relation is item-vocabulary-sized.
+    val counted = sets
+      .select(explode(concat(col("items"), marker)).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val itemCnt = counted.where(col("item").isNotNull)
+    val nGroups = counted.where(col("item").isNull).select(col("cnt").as("n_groups"))
     val edges = sets
       .select(explode(col("items")).as("src"), col("items"))
       .select(col("src"), explode(col("items")).as("dst"))
       .where(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    // the 1-row basket count rides INSIDE the src-side broadcast build
+    // (itemCnt × 1 row) instead of as a third broadcast against the edge
+    // stream: one fewer AQE broadcast stage on the big side
+    val srcStats = itemCnt.crossJoin(nGroups)
+      .select(col("item").as("src"), col("cnt").as("src_cnt"), col("n_groups"))
     edges
-      .join(broadcast(itemCnt.select(col("item").as("src"), col("cnt").as("src_cnt"))), Seq("src"))
+      .join(broadcast(srcStats), Seq("src"))
       .join(broadcast(itemCnt.select(col("item").as("dst"), col("cnt").as("dst_cnt"))), Seq("dst"))
-      .crossJoin(broadcast(nGroups)) // 1-row scalar
       .select(col("src"), col("dst"),
         col("w").as("pair_cnt"),
         round(col("w") / col("n_groups").cast("double"), 6).as("support"),

@@ -586,7 +586,7 @@ class PlanQualitySpec extends SparkSpec {
       "q_chi_square"         -> "broadcast grand total + table dims (1 row)",
       "q_bloom_prefilter"    -> "broadcast Bloom blob (1 row, m-bit array)",
       "q_dsir_sample"        -> "broadcast raw/target token totals (1 row)",
-      "q_market_basket"      -> "crossJoin(broadcast(nGroups)) — 1-row basket count",
+      "q_market_basket"      -> "1-row basket count folded into the src-stats broadcast build",
       "q_mutual_info"        -> "broadcast grand total (1 row, q_chi_square's shape)",
       "q_ks_test"            -> "broadcast sample totals + value range (1 row)"
     )
