@@ -173,6 +173,206 @@ object MultimodalOps {
   private def sha256Hex(bytes: Array[Byte], md: MessageDigest): String =
     md.digest(bytes).map("%02x".format(_)).mkString
 
+  // ---------------------------------------------------------------- audio
+
+  /** A decoded PCM clip: rate/channel layout plus 16-bit samples in
+    * channel-interleaved frame order. */
+  final case class DecodedAudio(sampleRate: Int, channels: Int, samples: Array[Int])
+
+  /** REAL audio decode via the JDK's built-in `javax.sound.sampled` WAV
+    * codec (no external library — the audio analog of [[decodeImage]]).
+    * Accepts signed 16-bit PCM (either endianness); anything else —
+    * non-audio bytes, compressed codecs the JDK lacks (MP3/AAC/OGG) —
+    * classifies as None. At 100 TB the compressed formats route to a
+    * dedicated decode service by [[sniffContainer]] format; WAV/PCM is
+    * the interchange format a pipeline normalizes into. */
+  def decodeWav(bytes: Array[Byte]): Option[DecodedAudio] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          val samples = new Array[Int](n)
+          val be = f.isBigEndian
+          var i = 0
+          while (i < n) {
+            val lo = data(2 * i) & 0xFF
+            val hi = data(2 * i + 1) & 0xFF
+            samples(i) = (if (be) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+            i += 1
+          }
+          Some(DecodedAudio(f.getSampleRate.toInt, f.getChannels, samples))
+        }
+      } finally ais.close()
+    } catch { case _: Throwable => None }
+
+  /** Encode signed 16-bit PCM samples (interleaved if multi-channel) as a
+    * real WAV container via the JDK encoder — the fixture/normalize
+    * helper paired with [[decodeWav]] (PCM is lossless, so decode∘encode
+    * recovers samples exactly). */
+  def encodePcmWav(sampleRate: Int, channels: Int, samples: Array[Int]): Array[Byte] = {
+    require(samples.length % channels == 0, "samples must be whole frames")
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decoded-audio features over a binary column: real rate/channels/frame
+    * count plus EXACT integer energy statistics (sum of squared samples,
+    * peak magnitude) — integers end-to-end, so results are engine- and
+    * layout-independent with no floating-point rounding contract. NULL
+    * columns for undecodable payloads. Per-partition decode; downstream
+    * sees (id, 5 scalars), never sample arrays. */
+  def audioFeatures(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeWav(bytes) match {
+          case Some(a) =>
+            var sumSq = 0L
+            var peak = 0L
+            var i = 0
+            while (i < a.samples.length) {
+              val s = a.samples(i).toLong
+              sumSq += s * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              i += 1
+            }
+            (id, true, Some(a.sampleRate), Some(a.channels),
+              Some(a.samples.length.toLong / a.channels), Some(sumSq), Some(peak))
+          case None => (id, false, None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[Long], None: Option[Long])
+        }
+      })
+      .toDF(idCol, "decoded", "sample_rate", "channels", "n_frames", "sum_sq", "peak_abs")
+  }
+
+  /** Windowed audio energy: decode, then one row per `windowFrames`-frame
+    * window with its EXACT integer sum of squared samples — the audio
+    * counterpart of [[frameSlices]] (feature extraction over time, e.g.
+    * silence detection / voice-activity gating ahead of an ASR stage).
+    * Tail windows are short and report their own frame count. Channel
+    * samples within a frame fold into that frame's window. */
+  def audioWindowEnergy(df: DataFrame, binCol: String, idCol: String,
+                        windowFrames: Int): DataFrame = {
+    require(windowFrames > 0, s"windowFrames must be positive, got $windowFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeWav(bytes).iterator.flatMap { a =>
+          val frames = a.samples.length / a.channels
+          Iterator.range(0, frames, windowFrames).map { w0 =>
+            val w1 = math.min(w0 + windowFrames, frames)
+            var sumSq = 0L
+            var i = w0 * a.channels
+            while (i < w1 * a.channels) {
+              val s = a.samples(i).toLong
+              sumSq += s * s
+              i += 1
+            }
+            (id, (w0 / windowFrames).toLong, (w1 - w0).toLong, sumSq)
+          }
+        }
+      }
+      .toDF(idCol, "win", "n_frames", "sum_sq")
+  }
+
+  // --------------------------------------------------------- multi-frame
+
+  /** REAL frame count for multi-image containers (animated GIF; 1 for
+    * PNG/JPEG) via the JDK `ImageReader` — `getNumImages(true)` walks the
+    * container's frame directory. None when no installed reader accepts
+    * the bytes. */
+  def imageFrameCount(bytes: Array[Byte]): Option[Int] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); Some(r.getNumImages(true)) }
+          finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Throwable => None }
+
+  /** Encode an animated grayscale GIF (one global 256-gray palette per
+    * frame, lossless for 8-bit gray) via the JDK writer — the multi-frame
+    * fixture helper paired with [[imageFrameCount]]. */
+  def encodeGrayGifFrames(width: Int, height: Int, frames: Int,
+                          pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { raster.setSample(x, y, 0, pixel(x, y, f) & 0xFF); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Multi-frame container summary: REAL frame count plus frame-0 decoded
+    * dimensions and exact gray-sum checksum — the routing metadata a video/
+    * animation ingest records before per-frame feature extraction. NULLs
+    * for undecodable payloads; one per-partition decode pass. */
+  def frameSummary(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          (imageFrameCount(bytes), decodeImage(bytes)) match {
+            case (Some(n), Some(d)) =>
+              (id, Some(n), Some(d.width), Some(d.height),
+                Some(d.gray.foldLeft(0L)(_ + _)))
+            case _ => (id, None: Option[Int], None: Option[Int],
+              None: Option[Int], None: Option[Long])
+          }
+        }
+      }
+      .toDF(idCol, "n_frames", "width", "height", "f0_gray_sum")
+  }
+
   /** Per-partition feature extraction: one digest + codec context per
     * partition, batch-shaped iteration — expensive init (digest instance,
     * ImageIO disk cache off) amortised across the partition, and the real

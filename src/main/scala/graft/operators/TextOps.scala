@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -519,5 +519,45 @@ object TextOps {
       round(covar_pop(col("y"), col("x")) / var_pop(col("x")), 6).as("slope"),
       round(avg(col("y")) - covar_pop(col("y"), col("x")) / var_pop(col("x")) * avg(col("x")), 6)
         .as("intercept"))
+  }
+
+  /** URL canonicalization — the web-curation normalizer that makes
+    * crawl-duplicate detection an EXACT groupBy instead of fuzzy matching:
+    * scheme/authority lowercased, a leading `www.` and the scheme's
+    * default port dropped (non-default ports are real routing and stay),
+    * trailing path slashes stripped, tracking parameters (utm_*, fbclid,
+    * gclid, ref, mc_cid/mc_eid) removed, surviving query params sorted so
+    * parameter order stops mattering, fragments dropped (parse_url never
+    * surfaces them). Pure codegen'd expressions over `parse_url` — a
+    * narrow map in the scan, no shuffle; the canonical string is what
+    * reaches the dedup exchange. Malformed URLs (no authority) canonicalize
+    * to NULL and can be routed out. */
+  def canonicalizeUrl(url: Column): Column = {
+    val proto = lower(try_parse_url(url, lit("PROTOCOL")))
+    val auth0 = regexp_replace(lower(try_parse_url(url, lit("AUTHORITY"))), "^www\\.", "")
+    val auth = when(proto === "http", regexp_replace(auth0, ":80$", ""))
+      .when(proto === "https", regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val path0 = try_parse_url(url, lit("PATH"))
+    val path = when(path0.isNull, lit("")).otherwise(regexp_replace(path0, "/+$", ""))
+    val keep = filter(split(coalesce(try_parse_url(url, lit("QUERY")), lit("")), "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)="))
+    val canonQ = array_join(sort_array(keep), "&")
+    when(proto.isNull || auth.isNull, lit(null).cast("string"))
+      .otherwise(concat(proto, lit("://"), auth, path,
+        when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ))))
+  }
+
+  /** Exact URL dedup over the canonical form: [[canonicalizeUrl]] then the
+    * [[DedupOps.exact]] keeper pattern — one narrow canonicalization in
+    * the scan, one hash-partitioned window on the canonical string. The
+    * crawl-frontier "have we fetched this page" primitive at 100 TB:
+    * only (id, canonical string) crosses the exchange. */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("canon_url"))
+    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .withColumn("keeper_id", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("keeper_id"))
   }
 }

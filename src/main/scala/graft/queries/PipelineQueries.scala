@@ -362,6 +362,27 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // URL canonicalization + exact dedup (the crawl-curation "same page in
+    // disguise" primitive): five planted disguise variants per page — case
+    // games, explicit default port + tracking params, www + trailing slash
+    // + shuffled params — collapse to one canonical form, while an https
+    // variant correctly stays its own group. The oracle re-derives the
+    // expected CANONICAL STRING per (page, variant) closed-form, so the
+    // canonicalizer's actual output is compared, not just group structure.
+    "q_url_dedup" -> { t =>
+      val n = col("event_id") % 50
+      val v = col("event_id") % 5
+      val url = when(v === 0, concat(lit("http://example.com/p"), n, lit("?a=1&b=2")))
+        .when(v === 1, concat(lit("HTTP://Example.COM/p"), n, lit("?a=1&b=2")))
+        .when(v === 2, concat(lit("http://example.com:80/p"), n,
+          lit("?a=1&b=2&utm_source=feed")))
+        .when(v === 3, concat(lit("http://www.example.com/p"), n, lit("/?b=2&a=1")))
+        .otherwise(concat(lit("https://example.com/p"), n, lit("?a=1&b=2")))
+      graft.operators.TextOps.urlDedup(
+          t.events.select(col("event_id"), url.as("url")), "url", "event_id")
+        .orderBy("event_id")
+    },
+
     // Hourly resample + forward fill per user (ts pre-truncated to µs so
     // bucket edges agree with the µs-precision oracle).
     "q_resample_fill" -> { t =>
@@ -751,6 +772,23 @@ object PipelineQueries {
         |FROM o FULL JOIN n ON o.event_id = n.event_id)
         |SELECT event_id, change_type FROM d WHERE change_type IS NOT NULL
         |ORDER BY event_id""".stripMargin.replaceAll("\\s+", " "),
+
+    // The oracle re-derives the canonical string per (page, variant)
+    // closed-form — variants 0-3 all canonicalize to the http form with
+    // sorted params and no tracking/port/www/slash noise; variant 4 keeps
+    // its https scheme and stays a separate group.
+    "q_url_dedup" ->
+      """WITH c AS (SELECT event_id,
+        |  CASE WHEN event_id % 5 = 4
+        |    THEN 'https://example.com/p' || (event_id % 50) || '?a=1&b=2'
+        |    ELSE 'http://example.com/p' || (event_id % 50) || '?a=1&b=2'
+        |  END AS canon_url FROM events),
+        |g AS (SELECT canon_url, min(event_id) AS keeper_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies FROM c GROUP BY 1)
+        |SELECT c.event_id, c.canon_url, g.keeper_id, g.n_copies,
+        |  c.event_id <> g.keeper_id AS is_dup
+        |FROM c JOIN g USING (canon_url) ORDER BY c.event_id""".stripMargin
+        .replaceAll("\\s+", " "),
 
     "q_cdc_apply" ->
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),

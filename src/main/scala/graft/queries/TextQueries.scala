@@ -505,6 +505,65 @@ object TextQueries {
         .orderBy("ida", "idb")
     },
 
+    // REAL audio decode (JDK javax.sound.sampled, no external codec): each
+    // doc gets a genuine 16-bit PCM WAV with closed-form samples, encoded
+    // with the JDK encoder; the engine DECODES it back and reports real
+    // rate/channels/frame count plus EXACT integer energy stats. The
+    // oracle recomputes everything from the sample formula — any drift in
+    // the container roundtrip, endianness handling, or sample parsing
+    // mismatches the integer sums.
+    "q_audio_decode" -> { t =>
+      val s = t.spark
+      import s.implicits._
+      val wavs = t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 64 + (id % 32).toInt
+          val samples = Array.tabulate(n)(i => ((id * 7 + i * 31) % 2003 - 1001).toInt)
+          (id, graft.operators.MultimodalOps.encodePcmWav(8000, 1, samples))
+        }).toDF("doc_id", "wav")
+      graft.operators.MultimodalOps.audioFeatures(wavs, "wav", "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("sum_sq"), col("peak_abs"))
+        .orderBy("doc_id")
+    },
+
+    // Windowed audio energy over really-decoded PCM (silence-detection /
+    // VAD shape): 16-frame windows with exact integer sums, short tails
+    // reporting their own frame count. Same shared-construction oracle.
+    "q_audio_energy" -> { t =>
+      val s = t.spark
+      import s.implicits._
+      val wavs = t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 64 + (id % 32).toInt
+          val samples = Array.tabulate(n)(i => ((id * 7 + i * 31) % 2003 - 1001).toInt)
+          (id, graft.operators.MultimodalOps.encodePcmWav(8000, 1, samples))
+        }).toDF("doc_id", "wav")
+      graft.operators.MultimodalOps.audioWindowEnergy(wavs, "wav", "doc_id",
+          windowFrames = 16)
+        .orderBy("doc_id", "win")
+    },
+
+    // REAL multi-frame decode: per-doc animated grayscale GIF (2 + id%4
+    // frames) via the JDK writer; the engine counts frames through the
+    // ImageReader's frame directory and decodes frame 0 (palette gray is
+    // lossless) for dims + an exact gray-sum checksum. Oracle closed-form.
+    "q_gif_frames" -> { t =>
+      val s = t.spark
+      import s.implicits._
+      val gifs = t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          javax.imageio.ImageIO.setUseCache(false)
+          ids.map { id =>
+            (id, graft.operators.MultimodalOps.encodeGrayGifFrames(7, 5,
+              frames = 2 + (id % 4).toInt,
+              pixel = (x, y, f) => ((id % 199).toInt + x * 20 + y * 10 + f * 40) % 256))
+          }
+        }.toDF("doc_id", "gif")
+      graft.operators.MultimodalOps.frameSummary(gifs, "gif", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // Tokenizer-coverage diagnostic: OOV rate per document against the
     // corpus's own top-50 token vocabulary (ties lexicographic — a total
     // order, so the vocab is a deterministic constant the oracle
@@ -1177,6 +1236,39 @@ object TextQueries {
     // raster cell (the bpeApplyOracle precedent for built oracles).
     "q_image_decode" -> imageDecodeOracle,
     "q_image_neardup" -> imageNeardupOracle,
+
+    // The engine ENCODES a real WAV per doc and DECODES it with the JDK
+    // codec; the oracle recomputes frame counts and exact integer energy
+    // stats from the closed-form sample formula.
+    "q_audio_decode" ->
+      """WITH f AS (SELECT doc_id, 64 + doc_id % 32 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM f),
+        |v AS (SELECT doc_id, n, (doc_id * 7 + i * 31) % 2003 - 1001 AS smp FROM s)
+        |SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+        |  CAST(max(n) AS BIGINT) AS n_frames,
+        |  CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_audio_energy" ->
+      """WITH f AS (SELECT doc_id, 64 + doc_id % 32 AS n FROM documents),
+        |s AS (SELECT doc_id, unnest(range(0, n)) AS i FROM f),
+        |v AS (SELECT doc_id, i // 16 AS win,
+        |  (doc_id * 7 + i * 31) % 2003 - 1001 AS smp FROM s)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(smp * smp) AS BIGINT) AS sum_sq
+        |FROM v GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin.replaceAll("\\s+", " "),
+
+    // Frame directory + frame-0 raster recomputed from the closed form the
+    // engine encoded (palette gray roundtrips losslessly).
+    "q_gif_frames" ->
+      """WITH gy AS (SELECT doc_id, unnest(range(0, 5)) AS y FROM documents),
+        |gx AS (SELECT doc_id, y, unnest(range(0, 7)) AS x FROM gy)
+        |SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS n_frames,
+        |  7 AS width, 5 AS height,
+        |  CAST(sum((doc_id % 199 + x * 20 + y * 10) % 256) AS BIGINT) AS f0_gray_sum
+        |FROM gx GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
 
     // Vocab = top-50 tokens by count, ties lexicographic — the same total
     // order the engine fits, so membership is deterministic.

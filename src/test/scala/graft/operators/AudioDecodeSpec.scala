@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.MultimodalOps._
+
+/** Real JDK `javax.sound.sampled` audio path and the multi-frame ImageIO
+  * path: WAV PCM roundtrips, exact integer energy features, windowing,
+  * channel handling, and animated-GIF frame counting.
+  */
+class AudioDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WAV encode→decode roundtrip recovers exact 16-bit samples, rate, channels") {
+    val samples = Array.tabulate(100)(i => (i * 31) % 2003 - 1001)
+    val wav = encodePcmWav(8000, 1, samples)
+    // a real RIFF/WAVE container
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val d = decodeWav(wav).get
+    assert(d.sampleRate == 8000 && d.channels == 1)
+    assert(d.samples.toSeq == samples.toSeq)
+    // full signed range survives (min/max 16-bit values)
+    val extremes = Array(-32768, 32767, 0, -1, 1)
+    assert(decodeWav(encodePcmWav(44100, 1, extremes)).get.samples.toSeq == extremes.toSeq)
+  }
+
+  test("stereo: interleaved samples, frame count = samples / channels") {
+    val interleaved = Array(10, -20, 30, -40, 50, -60) // 3 frames × 2 channels
+    val d = decodeWav(encodePcmWav(16000, 2, interleaved)).get
+    assert(d.channels == 2 && d.samples.toSeq == interleaved.toSeq)
+    val feats = audioFeatures(
+      Seq((1L, encodePcmWav(16000, 2, interleaved))).toDF("id", "wav"), "wav", "id")
+      .collect().head
+    assert(feats.getInt(2) == 16000 && feats.getInt(3) == 2)
+    assert(feats.getLong(4) == 3L, "n_frames must be samples/channels")
+    assert(feats.getLong(5) == interleaved.map(s => s.toLong * s).sum)
+    assert(feats.getLong(6) == 60L)
+  }
+
+  test("undecodable payloads classify as NULL rows, never crash") {
+    val df = Seq(
+      (1L, "not audio".getBytes("UTF-8")),
+      (2L, Array.empty[Byte]),
+      (3L, encodePcmWav(8000, 1, Array(5, -5)))).toDF("id", "wav")
+    val out = audioFeatures(df, "wav", "id").orderBy("id").collect()
+    assert(!out(0).getBoolean(1) && out(0).isNullAt(2) && out(0).isNullAt(5))
+    assert(!out(1).getBoolean(1))
+    assert(out(2).getBoolean(1) && out(2).getLong(5) == 50L)
+  }
+
+  test("windowed energy: exact sums per window, short tail reports its own size") {
+    // 10 frames, window 4 → windows of 4, 4, 2
+    val samples = Array.tabulate(10)(i => i + 1) // 1..10
+    val df = Seq((7L, encodePcmWav(8000, 1, samples))).toDF("id", "wav")
+    val out = audioWindowEnergy(df, "wav", "id", windowFrames = 4)
+      .orderBy("win").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (7L, 0L, 4L, (1 + 4 + 9 + 16).toLong),
+      (7L, 1L, 4L, (25 + 36 + 49 + 64).toLong),
+      (7L, 2L, 2L, (81 + 100).toLong)))
+  }
+
+  test("animated GIF: real frame count via the reader; frame 0 decodes losslessly") {
+    val gif = encodeGrayGifFrames(7, 5, frames = 3,
+      pixel = (x, y, f) => (x * 20 + y * 10 + f * 40) % 256)
+    assert(imageFrameCount(gif).contains(3))
+    // single-frame formats count 1; garbage counts None
+    assert(imageFrameCount(encodeGrayPng(4, 4, (_, _) => 9)).contains(1))
+    assert(imageFrameCount("nope".getBytes("UTF-8")).isEmpty)
+    // frame 0 pixels roundtrip exactly through the gray palette
+    val d = decodeImage(gif).get
+    assert(d.width == 7 && d.height == 5)
+    for (y <- 0 until 5; x <- 0 until 7)
+      assert(d.gray(y * 7 + x) == (x * 20 + y * 10) % 256, s"pixel ($x,$y)")
+    val summary = frameSummary(Seq((1L, gif)).toDF("id", "blob"), "blob", "id")
+      .collect().head
+    assert(summary.getInt(1) == 3 && summary.getInt(2) == 7 && summary.getInt(3) == 5)
+    assert(summary.getLong(4) == (for (y <- 0 until 5; x <- 0 until 7)
+      yield (x * 20 + y * 10) % 256).sum.toLong)
+  }
+}
