@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** `vec_dot(array<double>, array<double>) → double` — a native Catalyst
   * expression with whole-stage codegen.
@@ -384,6 +384,48 @@ object BloomMightContain {
   val NumHashes = 7
 }
 
+/** `nfc_normalize(string) → string` — Unicode NFC normalization as a native
+  * codegen expression (JDK `java.text.Normalizer`, no external library).
+  *
+  * The curation-pipeline text normalizer: crawled text mixes precomposed
+  * (U+00E9 é) and combining-sequence (e + U+0301) encodings of the SAME
+  * glyphs, so exact dedup, shingling, and token counting silently treat
+  * identical documents as different until the corpus is normalized to one
+  * canonical form. No Spark built-in exposes Unicode normalization; a
+  * Scala UDF would serialize through the encoder per row — this stays
+  * inside whole-stage codegen with an `isNormalized` fast path, so the
+  * (dominant) already-NFC case costs one verification scan and zero
+  * allocation of a new string. Matches DuckDB's `nfc_normalize` (both
+  * implement UAX #15 NFC), which is what makes it oracle-checkable. */
+case class NfcNormalize(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override def inputTypes = Seq(StringType)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      s"""
+         |String $s = $a.toString();
+         |${ev.value} = java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)
+         |  ? $a
+         |  : UTF8String.fromString(java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session extensions registering graft's native functions. Enabled via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (set by
   * [[graft.GraftSession]]), so `call_function("vec_dot", a, b)` and SQL
@@ -414,5 +456,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
   }
 }

@@ -505,6 +505,23 @@ object TextQueries {
         .orderBy("ida", "idb")
     },
 
+    // Unicode NFC normalization (native codegen expression over the JDK
+    // normalizer): each doc's text gets a combining-sequence prefix
+    // (e + U+0301), which must fold to the precomposed é while the ASCII
+    // tail passes through untouched — the canonical-form step exact dedup
+    // and shingling depend on. Oracle = DuckDB's own nfc_normalize (both
+    // implement UAX #15), an INDEPENDENT normalizer implementation.
+    "q_nfc_normalize" -> { t =>
+      val raw = concat(lit("e\u0301"), substring(col("text"), 1, 12))
+      t.documents.select(
+          col("doc_id"),
+          call_function("nfc_normalize", raw).as("norm_text"),
+          (call_function("nfc_normalize", raw) =!= raw).as("changed"),
+          (call_function("nfc_normalize", substring(col("text"), 1, 12))
+            === substring(col("text"), 1, 12)).as("ascii_unchanged"))
+        .orderBy("doc_id")
+    },
+
     // REAL audio decode (JDK javax.sound.sampled, no external codec): each
     // doc gets a genuine 16-bit PCM WAV with closed-form samples, encoded
     // with the JDK encoder; the engine DECODES it back and reports real
@@ -1236,6 +1253,14 @@ object TextQueries {
     // raster cell (the bpeApplyOracle precedent for built oracles).
     "q_image_decode" -> imageDecodeOracle,
     "q_image_neardup" -> imageNeardupOracle,
+
+    "q_nfc_normalize" ->
+      """SELECT doc_id,
+        |nfc_normalize('e' || chr(769) || substr(text, 1, 12)) AS norm_text,
+        |nfc_normalize('e' || chr(769) || substr(text, 1, 12))
+        |  <> ('e' || chr(769) || substr(text, 1, 12)) AS changed,
+        |nfc_normalize(substr(text, 1, 12)) = substr(text, 1, 12) AS ascii_unchanged
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
 
     // The engine ENCODES a real WAV per doc and DECODES it with the JDK
     // codec; the oracle recomputes frame counts and exact integer energy

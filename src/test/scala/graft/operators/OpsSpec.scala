@@ -616,8 +616,31 @@ class OpsSpec extends SparkSpec {
     rejects(call_function("vec_lsh_bits", col("ad"), lit(8L)))
     rejects(call_function("simhash64", col("ad")))
     rejects(call_function("sorted_intersect_count", col("ai"), col("ai")))
+    rejects(call_function("nfc_normalize", col("ai")))
     // correctly-typed calls still resolve
     assert(df.select(call_function("vec_dot", col("ad"), col("ad"))).head().getDouble(0) == 14.0)
+  }
+
+  test("native nfc_normalize: UAX #15 composition, ASCII fast-path identity, null passthrough") {
+    val df = Seq(
+      (1L, Some("e\u0301cole")),        // combining acute -> precomposed e-acute
+      (2L, Some("already ascii")),       // NFC fast path: byte-identical out
+      (3L, Some("cafe\u0301 A\u030a")), // multiple sequences
+      (4L, None: Option[String]))
+      .toDF("id", "s")
+    val out = df.select(col("id"), call_function("nfc_normalize", col("s")).as("n"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "\u00e9cole")
+    assert(out(1).getString(1) == "already ascii")
+    assert(out(2).getString(1) == "caf\u00e9 \u00c5")
+    assert(out(3).isNullAt(1))
+    // the normalized form is what makes exact dedup see through encodings:
+    // both spellings of "ecole" hash identically post-normalization
+    val both = Seq((1L, "\u00e9cole"), (2L, "e\u0301cole")).toDF("doc_id", "text")
+      .withColumn("text", call_function("nfc_normalize", col("text")))
+    val dedup = DedupOps.exact(both).collect()
+    assert(dedup.length == 1 && dedup.head.getAs[Long]("n_dupes") == 2L,
+      "NFC-normalized spellings must collapse to one exact-dedup group")
   }
 
   test("hard negatives exclude the query's own label and rank by similarity") {
