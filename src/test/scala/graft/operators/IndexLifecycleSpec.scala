@@ -137,6 +137,46 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(still == Seq((12L, 2L)), "surviving docs must still match")
   }
 
+  test("snapshotDiff's removed class drives both index retractions end-to-end") {
+    // corpus republishes a full snapshot; the diff's `removed` keys are the
+    // retraction feed for BOTH maintained indexes — no hand-built removal
+    // list anywhere in this test
+    val oldDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "kept kept kept kept kept kept")).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (2L, "one two three four five six"),
+      (3L, "kept kept kept kept kept kept")).toDF("doc_id", "text")
+    val removed = PipelineOps.snapshotDiff(oldDocs, newDocs, "doc_id", Seq("text"))
+      .where(col("change_type") === "removed")
+      .select("doc_id")
+
+    // (a) incremental-dedup index: the deleted doc's ghost stops matching
+    val index = DedupOps.buildNearDupIndex(oldDocs, n = 3, maxDf = 100)
+    val probe = Seq((10L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
+    assert(DedupOps.incrementalNearDupAgainst(index, probe, n = 3, threshold = 0.4)
+      .collect().map(_.getLong(1)).toSeq == Seq(1L))
+    val compacted = DedupOps.removeFromNearDupIndex(index, removed)
+    assert(DedupOps.incrementalNearDupAgainst(compacted, probe, n = 3, threshold = 0.4)
+      .collect().isEmpty)
+
+    // (b) persisted IVF-PQ index: the same diff feed, via the vec_id key
+    val rnd = new scala.util.Random(61)
+    val emb = Seq(1L, 2L, 3L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val (cs, bs) = SimilarityOps.fitIvfPq(emb, nCentroids = 2, nSub = 2,
+      nPqCentroids = 2, kmeansIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-diff-delete").toString
+    SimilarityOps.writeIvfPqIndex(emb, cs, bs, dir)
+    SimilarityOps.deleteFromIvfPqIndex(spark, dir,
+      removed.withColumnRenamed("doc_id", "vec_id"))
+    val surfaced = SimilarityOps.readIvfPqIndexTopK(spark, dir, emb, cs, bs,
+      k = 3, nProbe = 2).select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!surfaced.contains(1L), "diff-removed id must be gone from search")
+    assert(surfaced.nonEmpty, "survivors still searchable")
+  }
+
   test("containment checker works against a maintained index too") {
     val existing = Seq((1L, "q w e r t y u i o p")).toDF("doc_id", "text")
     val incoming = Seq((20L, "zz q w e r t y u i o p zz")).toDF("doc_id", "text")
