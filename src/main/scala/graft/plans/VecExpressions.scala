@@ -426,6 +426,63 @@ case class NfcNormalize(child: Expression) extends UnaryExpression with ExpectsI
     copy(child = newChild)
 }
 
+/** `char_entropy(string) → double` — per-document Shannon entropy (bits)
+  * over code points, as a single codegen pass.
+  *
+  * The repetitiveness/gibberish quality signal (the cheap proxy for the
+  * compression-ratio heuristic of web-corpus filters): near-zero entropy
+  * flags mashed-key and template spam, abnormally high entropy flags
+  * binary-as-text. The relational formulation explodes every CHARACTER
+  * into a row and shuffles a (doc, char) aggregation — corpus-character
+  * row volume through an exchange; this expression folds the histogram in
+  * one primitive loop per document, NO shuffle, no generator. Summation
+  * runs in ascending-code-point order (a defined order, so the double is
+  * a constant of the text); empty/whitespace-only inputs yield 0. */
+case class CharEntropy(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+  override def inputTypes = Seq(StringType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharEntropy.entropyBits(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.CharEntropy.entropyBits($a.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  /** Shared by interpreted eval and generated code: histogram over code
+    * points, then −Σ p·log2 p with terms added in ascending code-point
+    * order. */
+  def entropyBits(s: String): Double = {
+    val counts = new java.util.TreeMap[Integer, Integer]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1, (x: Integer, y: Integer) => Integer.valueOf(x + y))
+      i += Character.charCount(cp)
+      n += 1
+    }
+    if (n == 0L) 0.0
+    else {
+      var h = 0.0
+      val it = counts.values().iterator()
+      val ln2 = math.log(2.0)
+      while (it.hasNext) {
+        val p = it.next().doubleValue() / n
+        h -= p * (math.log(p) / ln2)
+      }
+      h
+    }
+  }
+}
+
 /** Session extensions registering graft's native functions. Enabled via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (set by
   * [[graft.GraftSession]]), so `call_function("vec_dot", a, b)` and SQL
@@ -460,5 +517,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    extensions.injectFunction((
+      new FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (children: Seq[Expression]) => CharEntropy(children.head)))
   }
 }

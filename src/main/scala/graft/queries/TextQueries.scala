@@ -505,6 +505,20 @@ object TextQueries {
         .orderBy("ida", "idb")
     },
 
+    // Per-document character entropy (native codegen expression — one
+    // histogram pass per doc, NO character explode/shuffle): the
+    // repetitiveness/gibberish quality signal. Exact char count rides
+    // along; the oracle recomputes both via the relational explode
+    // formulation — an independent evaluation strategy for the same
+    // definition.
+    "q_char_entropy" -> { t =>
+      t.documents.select(
+          col("doc_id"),
+          round(call_function("char_entropy", col("text")), 6).as("entropy_bits"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // Unicode NFC normalization (native codegen expression over the JDK
     // normalizer): each doc's text gets a combining-sequence prefix
     // (e + U+0301), which must fold to the precomposed é while the ASCII
@@ -1253,6 +1267,22 @@ object TextQueries {
     // raster cell (the bpeApplyOracle precedent for built oracles).
     "q_image_decode" -> imageDecodeOracle,
     "q_image_neardup" -> imageNeardupOracle,
+
+    // Independent evaluation strategy: the oracle computes the same
+    // definition via character explode + two-level aggregation.
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substr(text, i, 1) AS c
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, length(text) + 1)) AS i FROM documents)),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1)
+        |SELECT doc_id,
+        |  round(-sum((k / CAST(n AS DOUBLE)) * log2(k / CAST(n AS DOUBLE))), 6) + 0
+        |    AS entropy_bits,
+        |  CAST(max(n) AS BIGINT) AS n_chars
+        |FROM cnt JOIN tot USING (doc_id)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_nfc_normalize" ->
       """SELECT doc_id,

@@ -621,6 +621,28 @@ class OpsSpec extends SparkSpec {
     assert(df.select(call_function("vec_dot", col("ad"), col("ad"))).head().getDouble(0) == 14.0)
   }
 
+  test("native char_entropy: hand values, code-point (not UTF-16) counting, empty/null") {
+    val df = Seq(
+      (1L, Some("aabb")),   // two symbols, equal mass → 1 bit
+      (2L, Some("abcd")),   // four equal symbols → 2 bits
+      (3L, Some("aaaa")),   // constant → 0
+      (4L, Some("")),       // empty → 0 by convention
+      (5L, Some("𝄞𝄞a")), // U+1D11E twice + 'a': 3 code points
+      (6L, None: Option[String]))
+      .toDF("id", "s")
+    val out = df.select(col("id"), call_function("char_entropy", col("s")).as("h"))
+      .orderBy("id").collect()
+    assert(out(0).getDouble(1) == 1.0)
+    assert(out(1).getDouble(1) == 2.0)
+    assert(out(2).getDouble(1) == 0.0)
+    assert(out(3).getDouble(1) == 0.0)
+    // surrogate pairs count as ONE symbol: {2/3, 1/3} mix, not a 4-symbol mess
+    val exp = -(2.0 / 3 * math.log(2.0 / 3) / math.log(2.0) +
+      1.0 / 3 * math.log(1.0 / 3) / math.log(2.0))
+    assert(math.abs(out(4).getDouble(1) - exp) < 1e-12)
+    assert(out(5).isNullAt(1))
+  }
+
   test("native nfc_normalize: UAX #15 composition, ASCII fast-path identity, null passthrough") {
     val df = Seq(
       (1L, Some("e\u0301cole")),        // combining acute -> precomposed e-acute
