@@ -590,27 +590,14 @@ object DedupOps {
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
     * prefiltered by exact match on one of four 16-bit chunks (pigeonhole: any
     * pair within Hamming 3 of 64 bits shares at least one chunk; maxHamming
-    * above 3 trades recall for speed). */
+    * above 3 trades recall for speed). The banding/verify machinery is
+    * [[MultimodalOps.hammingPairs]] — one implementation of the pigeonhole
+    * invariant serves every 64-bit fingerprint family (SimHash here,
+    * perceptual dHash for images). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sigs = simhash(docs, textCol, idCol)
-    val chunked = sigs.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    // Hamming test BEFORE the pair distinct: a pair sharing k chunks
-    // surfaces k times, and bit_count is a codegen'd map — filtering in the
-    // join stage shrinks the distinct's shuffle to surviving near-dup pairs
-    // instead of every candidate with both 64-bit signatures in tow.
-    chunked.as("a").join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.id") < col("b.id"))
-      .withColumn("hamming",
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
-      .where(col("hamming") <= maxHamming)
-      .select(col("a.id").as("ida"), col("b.id").as("idb"), col("hamming"))
-      .distinct()
-  }
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    MultimodalOps.hammingPairs(simhash(docs, textCol, idCol), maxHamming,
+      idCol = "id", hashCol = "simhash")
 
   /** Exact-substring duplication stats (the Lee et al. 2021 "Deduplicating
     * Training Data" signal, position-resolved): a token position is

@@ -50,42 +50,54 @@ object MultimodalOps {
   def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val gray = new Array[Int](w * h)
-        val cm = img.getColorModel
-        // Single-channel 8-bit images: read raster samples directly —
-        // getRGB would route them through AWT color management (linear
-        // gray → sRGB gamma), silently remapping 37 → 106. Raw samples
-        // are what the codec decoded; gray-in = gray-out, exactly.
-        if (cm.getNumComponents == 1 && cm.getComponentSize(0) == 8) {
-          val raster = img.getRaster
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { gray(y * w + x) = raster.getSample(x, y, 0); x += 1 }
-            y += 1
-          }
-        } else {
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val r = (rgb >> 16) & 0xFF
-              val g = (rgb >> 8) & 0xFF
-              val b = rgb & 0xFF
-              gray(y * w + x) = (77 * r + 150 * g + 29 * b) >> 8
-              x += 1
-            }
-            y += 1
-          }
-        }
-        Some(DecodedImage(w, h, gray))
-      }
+      if (img == null) None else grayOf(img)
     } catch { case _: Throwable => None }
+
+  /** BufferedImage → deterministic gray raster (shared by [[decodeImage]]
+    * and the single-reader multi-frame path). */
+  private def grayOf(img: java.awt.image.BufferedImage): Option[DecodedImage] =
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val gray = new Array[Int](w * h)
+      val cm = img.getColorModel
+      // Grayscale images (1 component, or 2 = gray+alpha): read raster
+      // band 0 directly — getRGB would route them through AWT color
+      // management (linear gray → sRGB gamma), silently remapping
+      // 37 → 106, so two exports of the SAME raster (gray vs gray+alpha,
+      // 8- vs 16-bit) would hash far apart. Raw samples are what the
+      // codec decoded; 16-bit gray scales to 8 by dropping the low byte.
+      val grayBits = if (cm.getNumComponents <= 2) cm.getComponentSize(0) else 0
+      if (grayBits == 8 || grayBits == 16) {
+        val raster = img.getRaster
+        val shift = grayBits - 8
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            gray(y * w + x) = raster.getSample(x, y, 0) >> shift
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            gray(y * w + x) = (77 * r + 150 * g + 29 * b) >> 8
+            x += 1
+          }
+          y += 1
+        }
+      }
+      Some(DecodedImage(w, h, gray))
+    }
 
   /** Deterministic area-average downsample to `w2` × `h2`: target cell
     * (i, j) averages the integer-floored source box [i·w/w2, (i+1)·w/w2) ×
@@ -361,17 +373,39 @@ object MultimodalOps {
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, bytes) =>
-          (imageFrameCount(bytes), decodeImage(bytes)) match {
-            case (Some(n), Some(d)) =>
+          frameCountAndFirst(bytes) match {
+            case Some((n, d)) =>
               (id, Some(n), Some(d.width), Some(d.height),
                 Some(d.gray.foldLeft(0L)(_ + _)))
-            case _ => (id, None: Option[Int], None: Option[Int],
+            case None => (id, None: Option[Int], None: Option[Int],
               None: Option[Int], None: Option[Long])
           }
         }
       }
       .toDF(idCol, "n_frames", "width", "height", "f0_gray_sum")
   }
+
+  /** One ImageReader serves both the frame-directory walk and the frame-0
+    * decode — parsing the container twice (separate count + decode calls)
+    * roughly doubles decode CPU on the ingest path for multi-frame
+    * payloads. */
+  private def frameCountAndFirst(bytes: Array[Byte]): Option[(Int, DecodedImage)] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            grayOf(r.read(0)).map(d => (n, d))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Throwable => None }
 
   /** Per-partition feature extraction: one digest + codec context per
     * partition, batch-shaped iteration — expensive init (digest instance,

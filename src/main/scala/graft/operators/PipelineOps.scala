@@ -59,7 +59,13 @@ object PipelineOps {
     val spark = docs.sparkSession
     val threads = spark.sparkContext.defaultParallelism
     val maxPart = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
-    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(maxPart) * threads)
+    // the sharded form needs integral ids for its block arithmetic; a
+    // non-integral id must stay on the window form AT ANY SIZE rather than
+    // start throwing once the corpus grows past the crossover (the window
+    // form is correct for any orderable id, just bucket-bound in
+    // parallelism — a documented trade, not a failure)
+    if (!hasIntegralId(docs, idCol) ||
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(maxPart) * threads)
       windowLengthBuckets(docs, batchSize, textCol, idCol)
     else
       shardedLengthBuckets(docs, batchSize, 4096L, textCol, idCol)
@@ -85,13 +91,15 @@ object PipelineOps {
     * numeric string id can order blocks differently than the id itself —
     * breaking the bit-identity contract with the single-window form. Fail
     * loudly at plan time instead. */
-  private def requireIntegralId(docs: DataFrame, idCol: String, who: String): Unit = {
+  private def hasIntegralId(docs: DataFrame, idCol: String): Boolean = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val dt = docs.schema(idCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"$who derives id-blocks arithmetically and requires an integral id " +
-        s"column; '$idCol' is $dt")
+    Seq(ByteType, ShortType, IntegerType, LongType).contains(docs.schema(idCol).dataType)
   }
+
+  private def requireIntegralId(docs: DataFrame, idCol: String, who: String): Unit =
+    require(hasIntegralId(docs, idCol),
+      s"$who derives id-blocks arithmetically and requires an integral id " +
+        s"column; '$idCol' is ${docs.schema(idCol).dataType}")
 
   /** Waste accounting over ranked docs: batch = ⌊(rank−1)/batchSize⌋. */
   private def packBatches(ranked: DataFrame, batchSize: Int): DataFrame =

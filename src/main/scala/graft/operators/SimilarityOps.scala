@@ -678,9 +678,13 @@ object SimilarityOps {
     * while searches keep succeeding — so index maintenance polls this
     * between ingest batches and triggers the refit when it fires. */
   def driftExceeds(ref: DataFrame, cur: DataFrame, maxShift: Double,
-                   vecCol: String = "embedding"): Boolean =
-    QualityOps.embeddingDrift(ref, cur, vecCol)
-      .agg(max(col("shift"))).head().getDouble(0) > maxShift
+                   vecCol: String = "embedding"): Boolean = {
+    // an empty side yields NULL means → NULL max-shift: that is "no
+    // evidence of drift", not a crash in the polling loop
+    val row = QualityOps.embeddingDrift(ref, cur, vecCol)
+      .agg(max(col("shift"))).head()
+    !row.isNullAt(0) && row.getDouble(0) > maxShift
+  }
 
   /** Drift-triggered REFIT: fit fresh quantizers on the CURRENT corpus and
     * rewrite the persisted index under them — the heavyweight, rare event
@@ -704,8 +708,17 @@ object SimilarityOps {
     val (centroids, books) =
       fitIvfPq(emb, nCentroids, nSub, nPqCentroids, kmeansIters, vecCol, idCol,
         spreadInit = true)
-    ivfPqCode(emb, centroids, books, vecCol, idCol)
+    // the rewrite must be a FULL overwrite: pin STATIC partition-overwrite
+    // mode for this write, because under a session-level dynamic setting
+    // mode("overwrite") only replaces cells present in the new coding — a
+    // cell emptied by the new quantizer geometry would keep its old
+    // directory, whose codes decode as garbage under the new books
+    val conf = emb.sparkSession.conf
+    val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try ivfPqCode(emb, centroids, books, vecCol, idCol)
       .write.partitionBy("cell").mode("overwrite").parquet(path)
+    finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     (centroids, books)
   }
 

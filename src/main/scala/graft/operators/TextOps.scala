@@ -552,12 +552,19 @@ object TextOps {
     * [[DedupOps.exact]] keeper pattern — one narrow canonicalization in
     * the scan, one hash-partitioned window on the canonical string. The
     * crawl-frontier "have we fetched this page" primitive at 100 TB:
-    * only (id, canonical string) crosses the exchange. */
+    * only (id, canonical string) crosses the exchange. Malformed URLs
+    * (NULL canonical form) each stay their OWN singleton group — the
+    * partition key falls back to a per-row sentinel, so two distinct
+    * unparseable URLs are never declared duplicates of each other (and
+    * the NULL class can't become one skewed window partition). */
   def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col("canon_url"))
+    val w = Window.partitionBy(col("__grp"))
     df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .withColumn("__grp", coalesce(col("canon_url"),
+        concat(lit(" id:"), col(idCol).cast("string"))))
       .withColumn("keeper_id", min(col(idCol)).over(w))
       .withColumn("n_copies", count(lit(1)).over(w))
       .withColumn("is_dup", col(idCol) =!= col("keeper_id"))
+      .drop("__grp")
   }
 }

@@ -371,7 +371,11 @@ object PipelineQueries {
     // canonicalizer's actual output is compared, not just group structure.
     "q_url_dedup" -> { t =>
       val n = col("event_id") % 50
-      val v = col("event_id") % 5
+      // variant derives from id DIV 50, so every page cycles through all
+      // five disguises across the corpus — a canonicalizer bug that broke
+      // cross-variant convergence could not slip past the group compare
+      // (id % 5 would alias variant to page: 5 divides 50)
+      val v = expr("(event_id div 50) % 5")
       val url = when(v === 0, concat(lit("http://example.com/p"), n, lit("?a=1&b=2")))
         .when(v === 1, concat(lit("HTTP://Example.COM/p"), n, lit("?a=1&b=2")))
         .when(v === 2, concat(lit("http://example.com:80/p"), n,
@@ -779,7 +783,7 @@ object PipelineQueries {
     // its https scheme and stays a separate group.
     "q_url_dedup" ->
       """WITH c AS (SELECT event_id,
-        |  CASE WHEN event_id % 5 = 4
+        |  CASE WHEN (event_id // 50) % 5 = 4
         |    THEN 'https://example.com/p' || (event_id % 50) || '?a=1&b=2'
         |    ELSE 'http://example.com/p' || (event_id % 50) || '?a=1&b=2'
         |  END AS canon_url FROM events),

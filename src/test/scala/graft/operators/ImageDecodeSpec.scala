@@ -36,6 +36,40 @@ class ImageDecodeSpec extends SparkSpec {
     assert(d.gray(5 * 16 + 1) < 64 && d.gray(5 * 16 + 14) > 191)
   }
 
+  test("gray, gray+alpha, and 16-bit gray exports of the same raster decode identically") {
+    def pix(x: Int, y: Int) = (x * 37 + y * 101) % 256
+    // gray+alpha export (TYPE_BYTE_GRAY has no alpha — build a 2-band image)
+    val ga = {
+      val cs = java.awt.color.ColorSpace.getInstance(java.awt.color.ColorSpace.CS_GRAY)
+      val cm = new java.awt.image.ComponentColorModel(cs, true, false,
+        java.awt.Transparency.TRANSLUCENT, java.awt.image.DataBuffer.TYPE_BYTE)
+      val raster = cm.createCompatibleWritableRaster(6, 4)
+      for (y <- 0 until 4; x <- 0 until 6) {
+        raster.setSample(x, y, 0, pix(x, y)); raster.setSample(x, y, 1, 255)
+      }
+      val img = new java.awt.image.BufferedImage(cm, raster, false, null)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // 16-bit gray export of the same raster (high byte = the 8-bit value)
+    val g16 = {
+      val img = new java.awt.image.BufferedImage(6, 4,
+        java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+      for (y <- 0 until 4; x <- 0 until 6)
+        img.getRaster.setSample(x, y, 0, pix(x, y) << 8)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val expected = (for (y <- 0 until 4; x <- 0 until 6) yield pix(x, y)).toSeq
+    assert(decodeImage(encodeGrayPng(6, 4, pix)).get.gray.toSeq == expected)
+    assert(decodeImage(ga).get.gray.toSeq == expected,
+      "gray+alpha must read raster band 0, not go through sRGB color management")
+    assert(decodeImage(g16).get.gray.toSeq == expected,
+      "16-bit gray must scale to 8 bits, not gamma-remap")
+  }
+
   test("undecodable payloads classify as None, never crash") {
     assert(decodeImage("not an image at all".getBytes("UTF-8")).isEmpty)
     assert(decodeImage(Array.empty[Byte]).isEmpty)

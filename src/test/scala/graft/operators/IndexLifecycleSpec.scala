@@ -137,6 +137,50 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(still == Seq((12L, 2L)), "surviving docs must still match")
   }
 
+  test("driftExceeds: empty samples mean no evidence of drift, not a crash") {
+    val some = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val none = some.where(col("vec_id") < 0)
+    assert(!SimilarityOps.driftExceeds(some, none, maxShift = 0.1))
+    assert(!SimilarityOps.driftExceeds(none, some, maxShift = 0.1))
+    assert(!SimilarityOps.driftExceeds(none, none, maxShift = 0.1))
+  }
+
+  test("refit is a FULL rewrite even under a session-level dynamic overwrite mode") {
+    // with dynamic partition overwrite set session-wide, a naive
+    // mode("overwrite") only replaces cells present in the new coding —
+    // cells emptied by the new quantizer geometry would keep stale
+    // directories whose codes decode as garbage under the new books
+    val rnd = new scala.util.Random(67)
+    val emb = (0 until 48).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val (c0, b0) = SimilarityOps.fitIvfPq(emb, nCentroids = 8, nSub = 4,
+      nPqCentroids = 8, kmeansIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-refit-static").toString
+    SimilarityOps.writeIvfPqIndex(emb, c0, b0, dir)
+    val cellsBefore = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(cellsBefore > 2, "need more initial cells than the refit target")
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // refit to a 2-cell quantizer: at most 2 cell dirs may survive
+      val (c1, b1) = SimilarityOps.refitIvfPqIndex(emb, dir, nCentroids = 2,
+        nSub = 4, nPqCentroids = 8, kmeansIters = 1)
+      val dirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+      assert(dirs.size <= 2, s"stale old-geometry cells survived: $dirs")
+      // and the index is consistent under the new models
+      val q = emb.where(col("vec_id") < 2)
+      val got = SimilarityOps.readIvfPqIndexTopK(spark, dir, q, c1, b1,
+        k = 3, nProbe = 2).collect().toSet
+      val want = SimilarityOps.ivfPqTopKWith(emb, q, k = 3, c1, b1, nProbe = 2)
+        .collect().toSet
+      assert(got == want)
+      assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "dynamic",
+        "caller's session setting must be restored")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
   test("snapshotDiff's removed class drives both index retractions end-to-end") {
     // corpus republishes a full snapshot; the diff's `removed` keys are the
     // retraction feed for BOTH maintained indexes — no hand-built removal

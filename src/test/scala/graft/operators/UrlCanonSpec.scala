@@ -62,4 +62,18 @@ class UrlCanonSpec extends SparkSpec {
       (2L, "http://example.com/x", 1L, 2L, true),
       (3L, "http://example.com/y", 3L, 1L, false)))
   }
+
+  test("urlDedup: distinct malformed URLs are NOT duplicates of each other") {
+    // NULL canonical forms must each be their own singleton group — a
+    // window partitioned on the raw NULL would lump every unparseable URL
+    // (common in crawl data) into one group and silently drop all but one
+    val df = Seq(
+      (1L, "complete garbage"),
+      (2L, "also not a url"),
+      (3L, "http://example.com/ok")).toDF("id", "url")
+    val out = TextOps.urlDedup(df, "url", "id").orderBy("id").collect()
+    assert(out(0).isNullAt(1) && out(1).isNullAt(1))
+    assert(out.forall(r => !r.getBoolean(4)), "no row may be marked dup")
+    assert(out.forall(r => r.getLong(3) == 1L), "all singleton groups")
+  }
 }
