@@ -503,6 +503,28 @@ object RelationalQueries {
           |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
           |GROUP BY n_name
           |ORDER BY n_name""".stripMargin)
+    },
+
+    // Correlated LATERAL subquery (ANSI SQL surface): per-group top-k as a
+    // lateral per-outer-row subplan — Catalyst decorrelates it into a
+    // ranked join (DecorrelateInnerQuery), so no per-row re-execution
+    // survives into the physical plan; the oracle runs the same LATERAL
+    // text through DuckDB's independent decorrelation.
+    "q_lateral_topk" -> { t =>
+      Seq("region" -> t.region, "nation" -> t.nation, "customer" -> t.customer)
+        .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+      t.spark.sql(
+        """SELECT r.r_name, t.n_name, t.total_bal
+          |FROM region r,
+          |LATERAL (
+          |  SELECT n.n_name, round(sum(c.c_acctbal), 2) AS total_bal
+          |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+          |  WHERE n.n_regionkey = r.r_regionkey
+          |  GROUP BY n.n_name
+          |  ORDER BY total_bal DESC, n_name
+          |  LIMIT 2
+          |) t
+          |ORDER BY r.r_name, t.total_bal DESC, t.n_name""".stripMargin)
     }
   )
 
@@ -796,6 +818,21 @@ object RelationalQueries {
         |JOIN region   ON n_regionkey = r_regionkey
         |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
         |AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
-        |GROUP BY n_name ORDER BY n_name""".stripMargin.replaceAll("\\s+", " ")
+        |GROUP BY n_name ORDER BY n_name""".stripMargin.replaceAll("\\s+", " "),
+
+    // same LATERAL text, independently decorrelated by DuckDB
+    "q_lateral_topk" ->
+      """SELECT r.r_name, t.n_name, t.total_bal
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n.n_name, round(sum(c.c_acctbal), 2) AS total_bal
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY total_bal DESC, n_name
+        |  LIMIT 2
+        |) t
+        |ORDER BY r.r_name, t.total_bal DESC, t.n_name""".stripMargin
+      .replaceAll("\\s+", " ")
   )
 }
