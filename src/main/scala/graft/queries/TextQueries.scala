@@ -505,6 +505,41 @@ object TextQueries {
         .orderBy("ida", "idb")
     },
 
+    // End-to-end IMAGE dedup: decoded perceptual hashes → banded Hamming
+    // pairs → connected components → min-id keeper — the full mirror of
+    // the text near-dup clustering pipeline over really-decoded pixels.
+    // Singletons keep their own label; the oracle re-derives reachability
+    // with a recursive CTE over its independently recomputed pairs.
+    "q_image_dedup_groups" -> { t =>
+      val s = t.spark
+      import s.implicits._
+      val imgs = t.documents.select(col("doc_id")).where(col("doc_id") < 96).as[Long]
+        .mapPartitions { ids =>
+          javax.imageio.ImageIO.setUseCache(false)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          ids.map { id =>
+            val g = id % 12
+            val m = (id / 12).toInt
+            (id, graft.operators.MultimodalOps.encodeGrayPng(9, 8, (x, y) => {
+              val base = md.digest(s"g:$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
+              val bump = if (x == m % 9 && y == (m / 9) % 8) 1 else 0
+              (base + bump) % 256
+            }))
+          }
+        }.toDF("doc_id", "png")
+      val feats = graft.operators.MultimodalOps.imageFeatures(imgs, "png", "doc_id")
+      val pairs = graft.operators.MultimodalOps.hammingPairs(
+        feats.select(col("doc_id").as("id"), col("dhash").as("h")), maxHamming = 3)
+      val cc = graft.operators.DedupOps.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      feats.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"),
+          (coalesce(col("cluster"), col("doc_id")) === col("doc_id")).as("is_keeper"))
+        .orderBy("doc_id")
+    },
+
     // Per-document character entropy (native codegen expression — one
     // histogram pass per doc, NO character explode/shuffle): the
     // repetitiveness/gibberish quality signal. Exact char count rides
@@ -652,12 +687,10 @@ object TextQueries {
       s"($ahash) AS ahash, dhash FROM mn ORDER BY doc_id"
   }
 
-  /** q_image_neardup oracle, generated: closed-form md5-derived pixels
-    * (matching the bytes the Spark side encodes), dHash packing, then the
-    * SAME band-bucket candidate join + full-popcount verify the engine
-    * runs — re-derived in SQL, so the banding's exactness (pigeonhole at
-    * Hamming ≤ 3 over 4×16-bit bands) is itself cross-checked. */
-  private val imageNeardupOracle: String = {
+  /** Shared CTE prefix for the planted-image oracles: closed-form
+    * md5-derived pixels (matching the bytes the Spark side encodes),
+    * dHash packing, and the band table for the pigeonhole join. */
+  private def imageHashCte(recursive: Boolean): String = {
     def p(x: Int, y: Int) =
       s"(('0x' || substr(md5('g:' || (doc_id % 12) || ':$x:$y'), 1, 2))::UBIGINT + " +
         s"CASE WHEN (doc_id // 12) % 9 = $x AND ((doc_id // 12) // 9) % 8 = $y " +
@@ -667,14 +700,43 @@ object TextQueries {
     val dhash = (for (y <- 0 until 8; x <- 0 until 8) yield
       s"CASE WHEN c${x + 1}_$y > c${x}_$y THEN ${bitPow(y * 8 + x)} ELSE 0 END")
       .mkString(" + ")
-    s"WITH px AS (SELECT doc_id, $pxCols FROM documents WHERE doc_id < 96), " +
+    s"WITH ${if (recursive) "RECURSIVE " else ""}px AS " +
+      s"(SELECT doc_id, $pxCols FROM documents WHERE doc_id < 96), " +
       s"h AS (SELECT doc_id AS id, ($dhash) AS h FROM px), " +
       "b AS (SELECT id, h, band, (h >> (band * 16)) & 65535 AS bv FROM h " +
-      "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands) " +
+      "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands)"
+  }
+
+  /** q_image_neardup oracle: the SAME band-bucket candidate join +
+    * full-popcount verify the engine runs — re-derived in SQL, so the
+    * banding's exactness (pigeonhole at Hamming ≤ 3 over 4×16-bit bands)
+    * is itself cross-checked. */
+  private val imageNeardupOracle: String =
+    imageHashCte(recursive = false) + " " +
       "SELECT DISTINCT a.id AS ida, c.id AS idb, bit_count(xor(a.h, c.h)) AS hamming " +
       "FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.id < c.id " +
       "WHERE bit_count(xor(a.h, c.h)) <= 3 ORDER BY ida, idb"
-  }
+
+  /** q_image_dedup_groups oracle: transitive closure over the verified
+    * near-dup pairs (recursive CTE — DuckDB's independent reachability),
+    * min-id cluster labels, singletons self-labelled. */
+  private val imageDedupGroupsOracle: String =
+    imageHashCte(recursive = true) + """,
+      |pr AS (
+      |  SELECT DISTINCT a.id AS ida, c.id AS idb
+      |  FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.id < c.id
+      |  WHERE bit_count(xor(a.h, c.h)) <= 3),
+      |edges AS (SELECT ida AS src, idb AS dst FROM pr
+      |  UNION SELECT idb, ida FROM pr),
+      |closure AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT c2.id, e.dst AS r FROM closure c2 JOIN edges e ON e.src = c2.r),
+      |lab AS (SELECT id, min(r) AS cluster FROM closure GROUP BY id)
+      |SELECT h.id AS doc_id, coalesce(lab.cluster, h.id) AS cluster,
+      |  coalesce(lab.cluster, h.id) = h.id AS is_keeper
+      |FROM h LEFT JOIN lab ON lab.id = h.id
+      |ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " ")
 
   /** Deterministic container envelope for [[MultimodalOps.sniffContainer]]'s
     * declared query: doc_id % 6 selects PNG (with a genuine IHDR carrying
@@ -1267,6 +1329,7 @@ object TextQueries {
     // raster cell (the bpeApplyOracle precedent for built oracles).
     "q_image_decode" -> imageDecodeOracle,
     "q_image_neardup" -> imageNeardupOracle,
+    "q_image_dedup_groups" -> imageDedupGroupsOracle,
 
     // Independent evaluation strategy: the oracle computes the same
     // definition via character explode + two-level aggregation.
