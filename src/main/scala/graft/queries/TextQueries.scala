@@ -483,25 +483,8 @@ object TextQueries {
     // by construction (the corpus scan is pruned by the pushed doc_id
     // filter).
     "q_image_neardup" -> { t =>
-      val s = t.spark
-      import s.implicits._
-      val imgs = t.documents.select(col("doc_id")).where(col("doc_id") < 96).as[Long]
-        .mapPartitions { ids =>
-          javax.imageio.ImageIO.setUseCache(false)
-          val md = java.security.MessageDigest.getInstance("MD5")
-          ids.map { id =>
-            val g = id % 12
-            val m = (id / 12).toInt
-            (id, graft.operators.MultimodalOps.encodeGrayPng(9, 8, (x, y) => {
-              val base = md.digest(s"g:$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
-              val bump = if (x == m % 9 && y == (m / 9) % 8) 1 else 0
-              (base + bump) % 256
-            }))
-          }
-        }.toDF("doc_id", "png")
-      val feats = graft.operators.MultimodalOps.imageFeatures(imgs, "png", "doc_id")
       graft.operators.MultimodalOps.hammingPairs(
-          feats.select(col("doc_id").as("id"), col("dhash").as("h")), maxHamming = 3)
+          plantedNeardupHashes(t), maxHamming = 3)
         .orderBy("ida", "idb")
     },
 
@@ -511,28 +494,13 @@ object TextQueries {
     // Singletons keep their own label; the oracle re-derives reachability
     // with a recursive CTE over its independently recomputed pairs.
     "q_image_dedup_groups" -> { t =>
-      val s = t.spark
-      import s.implicits._
-      val imgs = t.documents.select(col("doc_id")).where(col("doc_id") < 96).as[Long]
-        .mapPartitions { ids =>
-          javax.imageio.ImageIO.setUseCache(false)
-          val md = java.security.MessageDigest.getInstance("MD5")
-          ids.map { id =>
-            val g = id % 12
-            val m = (id / 12).toInt
-            (id, graft.operators.MultimodalOps.encodeGrayPng(9, 8, (x, y) => {
-              val base = md.digest(s"g:$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
-              val bump = if (x == m % 9 && y == (m / 9) % 8) 1 else 0
-              (base + bump) % 256
-            }))
-          }
-        }.toDF("doc_id", "png")
-      val feats = graft.operators.MultimodalOps.imageFeatures(imgs, "png", "doc_id")
       val pairs = graft.operators.MultimodalOps.hammingPairs(
-        feats.select(col("doc_id").as("id"), col("dhash").as("h")), maxHamming = 3)
+        plantedNeardupHashes(t), maxHamming = 3)
       val cc = graft.operators.DedupOps.connectedComponents(pairs)
         .withColumnRenamed("id", "doc_id")
-      feats.select(col("doc_id"))
+      // the id universe comes from the pruned corpus scan directly — NOT
+      // from re-executing the encode→decode→hash subtree a second time
+      t.documents.select(col("doc_id")).where(col("doc_id") < 96)
         .join(cc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster"), col("doc_id")).as("cluster"),
@@ -685,6 +653,33 @@ object TextQueries {
       s"mn AS (SELECT *, $meanExpr AS mean FROM ds) " +
       "SELECT doc_id, 9 AS width, 8 AS height, " +
       s"($ahash) AS ahash, dhash FROM mn ORDER BY doc_id"
+  }
+
+  /** The ONE engine-side construction of the planted near-dup images
+    * (shared by q_image_neardup and q_image_dedup_groups, exactly as
+    * [[imageHashCte]] is the one oracle-side pixel formula — the two must
+    * stay in lockstep, so neither side may fork): 96 real PNGs in 12
+    * md5-pattern groups, member m bumping one pixel by +1 luma; encoded,
+    * REALLY decoded, and reduced to (id, dhash). */
+  private def plantedNeardupHashes(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+    val s = t.spark
+    import s.implicits._
+    val imgs = t.documents.select(col("doc_id")).where(col("doc_id") < 96).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        ids.map { id =>
+          val g = id % 12
+          val m = (id / 12).toInt
+          (id, graft.operators.MultimodalOps.encodeGrayPng(9, 8, (x, y) => {
+            val base = md.digest(s"g:$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
+            val bump = if (x == m % 9 && y == (m / 9) % 8) 1 else 0
+            (base + bump) % 256
+          }))
+        }
+      }.toDF("doc_id", "png")
+    graft.operators.MultimodalOps.imageFeatures(imgs, "png", "doc_id")
+      .select(col("doc_id").as("id"), col("dhash").as("h"))
   }
 
   /** Shared CTE prefix for the planted-image oracles: closed-form
