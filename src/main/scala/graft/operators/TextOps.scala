@@ -567,4 +567,49 @@ object TextOps {
       .withColumn("is_dup", col(idCol) =!= col("keeper_id"))
       .drop("__grp")
   }
+
+  /** Multi-pattern keyword spotting: which dictionary phrases occur in each
+    * document (substring semantics), plus the hit count. The curation
+    * primitive behind phrase blocklists, benchmark-contamination phrase
+    * lists, and PII keyword dictionaries.
+    *
+    * Scale shape: ONE Aho–Corasick automaton pass per document
+    * ([[graft.plans.KeywordMatches]] — amortized O(text bytes), independent
+    * of dictionary size), versus O(text × patterns) for per-phrase
+    * `contains` or a regex alternation. The automaton is built once on the
+    * driver and ships inside the serialized plan; the scan itself is a
+    * narrow map at scan parallelism — NO shuffle, no join against the
+    * dictionary. The matched list is emitted BOTH ways a consumer wants it:
+    * the raw array (for downstream `array_contains` routing) and a sorted
+    * comma-joined string (stable, hash-comparable). Evaluated ONCE per row:
+    * the expression is bound to a single projected attribute and the
+    * derived columns reference the attribute (the q_mask_tokens lesson —
+    * filter/project pushdown re-evaluates per REFERENCE otherwise). */
+  def keywordSpot(docs: DataFrame, phrases: Seq[String],
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phrases.nonEmpty, "keywordSpot: need at least one phrase")
+    docs.select(
+        col(idCol),
+        call_function("keyword_matches", col(textCol),
+          lit(phrases.distinct.sorted.toArray)).as("hits_arr"))
+      .select(
+        col(idCol),
+        col("hits_arr"),
+        array_join(col("hits_arr"), ",").as("hits"),
+        size(col("hits_arr")).cast("long").as("n_hits"))
+  }
+
+  /** Phrase-blocklist filter: drop every document containing ANY deny
+    * phrase. Written as the natural `size(keyword_matches(…)) === 0`
+    * predicate; the [[graft.plans.SimplifyKeywordPredicates]] optimizer
+    * rule rewrites it to the early-exit `keyword_any` probe, so a denied
+    * document costs only its prefix up to the first offending phrase and
+    * no hit array is ever materialized. Narrow filter at scan parallelism
+    * — the 100-TB blocklist pass is one map stage. */
+  def keywordFilter(docs: DataFrame, denyPhrases: Seq[String],
+                    textCol: String = "text"): DataFrame = {
+    require(denyPhrases.nonEmpty, "keywordFilter: need at least one phrase")
+    docs.where(size(call_function("keyword_matches", col(textCol),
+      lit(denyPhrases.distinct.sorted.toArray))) === 0)
+  }
 }

@@ -1,0 +1,335 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level Aho–Corasick automaton (Aho & Corasick 1975, CACM 18(6)):
+  * finds every dictionary phrase occurring as a substring of a text in ONE
+  * pass over the text, independent of dictionary size.
+  *
+  * This is the scale-correct kernel for phrase blocklists, contamination
+  * phrase lists, and PII keyword dictionaries: the naive formulations are
+  * O(text × patterns) per row — `contains` once per phrase, or one giant
+  * regex alternation whose NFA backtracks per position — and both get
+  * linearly worse as the curation dictionary grows. The automaton is built
+  * ONCE on the driver (O(total pattern bytes)), ships to executors inside
+  * the serialized plan as a codegen reference object, and matching is
+  * amortized O(text bytes): the fail-chain loop can only descend as far as
+  * previous bytes ascended.
+  *
+  * Matching runs over UTF-8 BYTES, not decoded code points — no per-row
+  * `toString` allocation. Byte-exact matching is substring-correct for
+  * UTF-8: a valid encoded pattern can only match at code-point boundaries
+  * because UTF-8 lead/continuation bytes are disjoint ranges.
+  *
+  * Representation: the root's transitions are a dense 256-entry table (most
+  * scan positions sit at the root); inner nodes hold sorted parallel
+  * key/next arrays probed by binary search — O(log fanout) per step instead
+  * of 1 KiB per node, so a 100k-phrase dictionary stays a few MiB, not
+  * gigabytes. Output lists are merged through fail links at BUILD time, so
+  * emission at match time is a plain array walk.
+  *
+  * Patterns are deduplicated and sorted at construction; `matchArray`
+  * therefore emits matched phrases in sorted order (what the DuckDB
+  * oracle's `string_agg(... ORDER BY ...)` produces) and short-circuits the
+  * scan once every pattern has been seen.
+  */
+final class AhoCorasick private (
+    val patterns: Array[String],
+    rootNext: Array[Int],
+    keys: Array[Array[Int]],
+    next: Array[Array[Int]],
+    fail: Array[Int],
+    out: Array[Array[Int]]) extends Serializable {
+
+  @transient private lazy val utf8Patterns: Array[UTF8String] =
+    patterns.map(UTF8String.fromString)
+  // immutable and row-independent, so one instance serves every zero-hit row
+  @transient private lazy val emptyResult = new GenericArrayData(Array.empty[Any])
+
+  /** Sorted distinct matched phrases of `text`, as Catalyst array data. */
+  def matchArray(text: UTF8String): ArrayData = {
+    val nPat = patterns.length
+    val hit = new Array[Boolean](nPat)
+    var nHit = 0
+    var state = 0
+    val n = text.numBytes()
+    var i = 0
+    while (i < n && nHit < nPat) {
+      val b = text.getByte(i) & 0xff
+      var s = state
+      var nx = step(s, b)
+      while (nx < 0 && s != 0) { s = fail(s); nx = step(s, b) }
+      state = if (nx >= 0) nx else 0
+      val o = out(state)
+      var j = 0
+      while (j < o.length) {
+        val id = o(j)
+        if (!hit(id)) { hit(id) = true; nHit += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    if (nHit == 0) emptyResult
+    else {
+      val res = new Array[Any](nHit)
+      var k = 0
+      var p = 0
+      while (p < nPat) {
+        if (hit(p)) { res(k) = utf8Patterns(p); k += 1 }
+        p += 1
+      }
+      new GenericArrayData(res)
+    }
+  }
+
+  /** Test/REPL convenience over JVM strings. */
+  def matched(s: String): Seq[String] = {
+    val arr = matchArray(UTF8String.fromString(s))
+    Seq.tabulate(arr.numElements())(i => arr.getUTF8String(i).toString)
+  }
+
+  /** Does ANY dictionary phrase occur in `text`? Early-exits at the first
+    * emission — the blocklist-filter fast path: a denied document is
+    * recognized at its first offending byte, not after a full scan that
+    * collects every hit into an array. */
+  def matchesAny(text: UTF8String): Boolean = {
+    var state = 0
+    val n = text.numBytes()
+    var i = 0
+    while (i < n) {
+      val b = text.getByte(i) & 0xff
+      var s = state
+      var nx = step(s, b)
+      while (nx < 0 && s != 0) { s = fail(s); nx = step(s, b) }
+      state = if (nx >= 0) nx else 0
+      if (out(state).length > 0) return true
+      i += 1
+    }
+    false
+  }
+
+  private def step(s: Int, b: Int): Int =
+    if (s == 0) rootNext(b)
+    else {
+      val ks = keys(s)
+      var lo = 0
+      var hi = ks.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val k = ks(mid)
+        if (k == b) return next(s)(mid)
+        else if (k < b) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
+}
+
+object AhoCorasick {
+
+  /** Builds the goto/fail/output automaton: trie insert, then a BFS that
+    * resolves fail links and merges each node's output list with its fail
+    * target's (already-final, since BFS visits shallower nodes first). */
+  def build(patternsIn: Seq[String]): AhoCorasick = {
+    val patterns = patternsIn.distinct.sorted.toArray
+    require(patterns.nonEmpty, "keyword scan: pattern list must be non-empty")
+    require(patterns.forall(_.nonEmpty), "keyword scan: empty-string pattern")
+
+    val children = mutable.ArrayBuffer(mutable.TreeMap.empty[Int, Int])
+    val ownOut = mutable.ArrayBuffer[List[Int]](Nil)
+    patterns.zipWithIndex.foreach { case (p, id) =>
+      var node = 0
+      p.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { byte =>
+        val b = byte & 0xff
+        node = children(node).getOrElse(b, {
+          children += mutable.TreeMap.empty[Int, Int]
+          ownOut += Nil
+          children(node).put(b, children.length - 1)
+          children.length - 1
+        })
+      }
+      ownOut(node) = id :: ownOut(node)
+    }
+
+    val nNodes = children.length
+    val fail = new Array[Int](nNodes)
+    val out = new Array[Array[Int]](nNodes)
+    out(0) = Array.emptyIntArray // no empty patterns, so the root emits nothing
+    val queue = mutable.Queue.empty[Int]
+    children(0).valuesIterator.foreach { v =>
+      fail(v) = 0
+      out(v) = ownOut(v).sorted.toArray
+      queue += v
+    }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      children(u).foreach { case (b, v) =>
+        var f = fail(u)
+        while (f != 0 && !children(f).contains(b)) f = fail(f)
+        fail(v) = children(f).get(b).filter(_ != v).getOrElse(0)
+        // own ids and the fail target's ids are disjoint (distinct patterns,
+        // proper-suffix relation), so concat+sort is a set union
+        out(v) = (ownOut(v) ++ out(fail(v))).sorted.toArray
+        queue += v
+      }
+    }
+
+    val rootNext = Array.fill(256)(-1)
+    children(0).foreach { case (b, v) => rootNext(b) = v }
+    val keysArr = new Array[Array[Int]](nNodes)
+    val nextArr = new Array[Array[Int]](nNodes)
+    var i = 0
+    while (i < nNodes) {
+      val kv = children(i).toArray // TreeMap iterates key-sorted
+      keysArr(i) = kv.map(_._1)
+      nextArr(i) = kv.map(_._2)
+      i += 1
+    }
+    new AhoCorasick(patterns, rootNext, keysArr, nextArr, fail, out)
+  }
+}
+
+/** `keyword_matches(text, array<string> patterns) → array<string>` — every
+  * dictionary phrase occurring in `text` (substring semantics, identical to
+  * `contains` per phrase), sorted and distinct, in ONE automaton pass.
+  *
+  * The pattern argument must be a foldable literal: the automaton is built
+  * once at plan time from its value and rides to executors as a codegen
+  * reference object — per-row work never touches the pattern array. A
+  * non-foldable pattern column would force a rebuild per row, which is the
+  * O(text × patterns) trap this expression exists to remove, so it is
+  * rejected at analysis time.
+  */
+case class KeywordMatches(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "keyword_matches"
+  // see VecDotProduct: wrong-typed SQL input must fail at analysis time
+  override def inputTypes = Seq(StringType, ArrayType(StringType))
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "keyword_matches requires a foldable (literal) pattern array — " +
+          "a per-row pattern column would rebuild the automaton per row")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  /** Built once per plan on the driver; serialized to executors. */
+  @transient private lazy val automaton: AhoCorasick =
+    KeywordScan.automatonFrom(right, prettyName)
+
+  override def nullSafeEval(text: Any, pats: Any): Any =
+    automaton.matchArray(text.asInstanceOf[UTF8String])
+
+  // One virtual call into the shared automaton keeps the expression inside
+  // whole-stage codegen without inlining the matcher as a string template
+  // (the NgramHashes.compute precedent).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ac = ctx.addReferenceObj("ahoCorasick", automaton, classOf[AhoCorasick].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ac.matchArray($a);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `keyword_any(text, array<string> patterns) → boolean` — does any
+  * dictionary phrase occur in `text`? The existence-only sibling of
+  * [[KeywordMatches]]: the automaton EARLY-EXITS at the first hit instead
+  * of scanning the whole document and materializing the hit array. This is
+  * what a blocklist filter actually needs, and what
+  * [[SimplifyKeywordPredicates]] rewrites `size(keyword_matches(…)) > 0`
+  * predicates into. */
+case class KeywordAny(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "keyword_any"
+  // see VecDotProduct: wrong-typed SQL input must fail at analysis time
+  override def inputTypes = Seq(StringType, ArrayType(StringType))
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "keyword_any requires a foldable (literal) pattern array — " +
+          "a per-row pattern column would rebuild the automaton per row")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  /** Built once per plan on the driver; serialized to executors. */
+  @transient private lazy val automaton: AhoCorasick =
+    KeywordScan.automatonFrom(right, prettyName)
+
+  override def nullSafeEval(text: Any, pats: Any): Any =
+    automaton.matchesAny(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ac = ctx.addReferenceObj("ahoCorasick", automaton, classOf[AhoCorasick].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $ac.matchesAny($a);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+private[plans] object KeywordScan {
+  /** Shared pattern-literal extraction for the two keyword expressions:
+    * evaluates the foldable array child once at plan time. */
+  def automatonFrom(right: Expression, name: String): AhoCorasick = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    require(arr != null, s"$name: pattern array must not be null")
+    val pats = Seq.tabulate(arr.numElements()) { i =>
+      val s = arr.getUTF8String(i)
+      require(s != null, s"$name: null pattern")
+      s.toString
+    }
+    AhoCorasick.build(pats)
+  }
+}
+
+/** Optimizer rule: existence-only uses of the keyword scan drop the
+  * hit-collection work.
+  *
+  * `size(keyword_matches(t, p)) > 0` (and its `= 0` negation) forces the
+  * full-document scan plus per-row array materialization, then throws the
+  * array away — but a filter only needs EXISTENCE, and blocklist scans are
+  * overwhelmingly written as filters. The rewrite to [[KeywordAny]]
+  * early-exits at the first hit (a denied document costs only its prefix up
+  * to the first offending phrase) and allocates nothing.
+  *
+  * Null-parity: with the default non-legacy `size` (matched via
+  * `legacySizeOfNull = false`), `size(null) = null` and comparisons with 0
+  * stay null — exactly what the null-propagating [[KeywordAny]] produces,
+  * so the rewrite is safe in ANY expression context, not just filters.
+  * Legacy-mode plans (`size(null) = -1`, a non-null FALSE) are left alone.
+  */
+object SimplifyKeywordPredicates
+    extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan, IntegerLiteral, LessThan, Not, Size}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case GreaterThan(Size(km: KeywordMatches, false), IntegerLiteral(0)) =>
+      KeywordAny(km.left, km.right)
+    case LessThan(IntegerLiteral(0), Size(km: KeywordMatches, false)) =>
+      KeywordAny(km.left, km.right)
+    case EqualTo(Size(km: KeywordMatches, false), IntegerLiteral(0)) =>
+      Not(KeywordAny(km.left, km.right))
+    case EqualTo(IntegerLiteral(0), Size(km: KeywordMatches, false)) =>
+      Not(KeywordAny(km.left, km.right))
+  }
+}

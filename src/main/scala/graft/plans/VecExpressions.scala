@@ -521,5 +521,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("char_entropy"),
       new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
       (children: Seq[Expression]) => CharEntropy(children.head)))
+    extensions.injectFunction((
+      new FunctionIdentifier("keyword_matches"),
+      new ExpressionInfo(classOf[KeywordMatches].getName, "keyword_matches"),
+      (children: Seq[Expression]) => KeywordMatches(children(0), children(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("keyword_any"),
+      new ExpressionInfo(classOf[KeywordAny].getName, "keyword_any"),
+      (children: Seq[Expression]) => KeywordAny(children(0), children(1))))
+    // existence-only keyword predicates early-exit instead of collecting hits
+    extensions.injectOptimizerRule(_ => SimplifyKeywordPredicates)
   }
 }

@@ -58,7 +58,45 @@ object TextQueries {
     "t" -> "h", "th" -> "e", "e" -> "r", "i" -> "n", "in" -> "e",
     "a" -> "t", "at" -> "a", "s" -> "t", "o" -> "w", "a" -> "r")
 
+  /** Dictionary for q_keyword_spot: multi-word phrases from the corpus
+    * vocabulary, single words, substring-nested pairs that exercise the
+    * automaton's fail-link emission ("able" ⊂ "table" ⊂ "fast table";
+    * "he" ⊂ "the"), a repeated-word phrase, and one phrase that never
+    * occurs. Order here is irrelevant — both engine and oracle sort. */
+  private val keywordPhrases = Seq(
+    "hash value", "fast table", "table", "able", "scan slow",
+    "customer query", "merge batch", "stream", "he", "vector",
+    "big data", "sort", "group value", "window window", "quantum flux")
+
+  /** Deny list for q_keyword_filter — rare-ish phrases so the filter keeps
+    * ~80% of the corpus at every SF (checked at sf0.001/0.01/0.1). */
+  private val keywordDenyPhrases = Seq(
+    "hash value", "customer query", "window window", "scan slow", "quantum flux")
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    // Multi-pattern keyword spotting (phrase blocklists / contamination
+    // phrase lists / PII dictionaries): ONE native Aho–Corasick pass per
+    // document — amortized O(text bytes) independent of dictionary size,
+    // no shuffle, no per-phrase scan. The oracle recomputes every phrase
+    // with an INDEPENDENT per-phrase `contains` (the O(text × patterns)
+    // formulation the automaton replaces) — any fail-link or emission bug
+    // diverges.
+    "q_keyword_spot" -> { t =>
+      TextOps.keywordSpot(t.documents, keywordPhrases)
+        .drop("hits_arr") // array cells are unhashable driver-side; the string form rides
+        .orderBy("doc_id")
+    },
+
+    // Phrase-blocklist filter: the `size(keyword_matches) === 0` predicate
+    // is REWRITTEN by the SimplifyKeywordPredicates optimizer rule into the
+    // early-exit keyword_any probe (pinned in PlanQualitySpec) — a denied
+    // doc costs its prefix up to the first hit, and no hit array exists.
+    "q_keyword_filter" -> { t =>
+      TextOps.keywordFilter(t.documents, keywordDenyPhrases)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // Tokenizer inference: apply the trained BPE merge table (bpeMerges) in
     // rank order — pure narrow codegen'd string chain, no shuffle, no UDF
     // (TextOps.bpeApply; q_bpe_pairs is the training-side statistic).
@@ -767,6 +805,28 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Independent evaluation strategy: one `contains` branch per phrase
+    // (exactly the naive formulation the Aho–Corasick kernel replaces),
+    // then a sorted string_agg per doc; zero-hit docs ride via LEFT JOIN.
+    "q_keyword_spot" -> {
+      val branches = keywordPhrases.sorted.map(p =>
+        s"SELECT doc_id, '$p' AS hit FROM documents WHERE contains(text, '$p')")
+        .mkString(" UNION ALL ")
+      s"WITH hits AS ($branches), " +
+        "agg AS (SELECT doc_id, string_agg(hit, ',' ORDER BY hit) AS hits, " +
+        "count(*) AS n_hits FROM hits GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(a.hits, '') AS hits, " +
+        "coalesce(a.n_hits, 0) AS n_hits " +
+        "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+    },
+
+    // Independent evaluation strategy: an OR of per-phrase `contains`.
+    "q_keyword_filter" -> {
+      val anyHit = keywordDenyPhrases.sorted
+        .map(p => s"contains(text, '$p')").mkString(" OR ")
+      s"SELECT doc_id, n_chars FROM documents WHERE NOT ($anyHit) ORDER BY doc_id"
+    },
+
     "q_bpe_apply" -> bpeApplyOracle,
     "q_text_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_dupes

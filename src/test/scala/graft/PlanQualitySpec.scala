@@ -202,6 +202,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("*("), s"sniff projection fell out of codegen:\n$plan")
   }
 
+  test("keyword spotting is one narrow codegen pass: no shuffle, no per-phrase scan") {
+    val df = graft.operators.TextOps.keywordSpot(
+      t.documents, Seq("fast table", "table", "hash value", "stream"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // dictionary size must never show up as plan structure: one scan, no
+    // joins against the phrase list, no exchange
+    assert(!plan.contains("Exchange"), s"keywordSpot shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"keywordSpot joins the dictionary:\n$plan")
+    val line = plan.linesIterator.find(_.contains("keyword_matches")).getOrElse("")
+    assert(line.contains("*("), s"keyword_matches fell out of codegen:\n$plan")
+  }
+
+  test("blocklist filter rewrites to the early-exit keyword_any probe") {
+    val df = graft.operators.TextOps.keywordFilter(
+      t.documents, Seq("hash value", "customer query"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // SimplifyKeywordPredicates must have replaced size(keyword_matches)=0:
+    // existence-only predicates never materialize the hit array
+    assert(plan.contains("keyword_any"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("keyword_matches"), s"full hit-collection survived:\n$plan")
+    val line = plan.linesIterator.find(_.contains("keyword_any")).getOrElse("")
+    assert(line.contains("*("), s"keyword_any fell out of codegen:\n$plan")
+  }
+
   test("native vec_dot expression participates in codegen (no fallback)") {
     val df = t.embeddings
       .select(graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
