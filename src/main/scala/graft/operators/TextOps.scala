@@ -612,4 +612,36 @@ object TextOps {
     docs.where(size(call_function("keyword_matches", col(textCol),
       lit(denyPhrases.distinct.sorted.toArray))) === 0)
   }
+
+  /** Dictionary span extraction: one row per OCCURRENCE of any phrase —
+    * (doc, 1-based byte offset, phrase), overlaps and nestings included.
+    * The tagging/audit companion to [[keywordSpot]] (which reports only
+    * WHICH phrases hit): still one automaton pass per document, then a
+    * narrow generator — the only shuffle a consumer pays is whatever it
+    * aggregates afterwards. Offsets are BYTE offsets (no per-row decode;
+    * equal to character offsets for ASCII corpora). */
+  def keywordSpans(docs: DataFrame, phrases: Seq[String],
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phrases.nonEmpty, "keywordSpans: need at least one phrase")
+    docs.select(col(idCol),
+        explode(call_function("keyword_spans", col(textCol),
+          lit(phrases.distinct.sorted.toArray))).as("__s"))
+      .select(col(idCol),
+        col("__s.pos").cast("long").as("pos"),
+        col("__s.phrase").as("phrase"))
+  }
+
+  /** Dictionary redaction: every byte covered by ANY phrase occurrence
+    * masked to '*' (union-of-spans, length-preserving). The
+    * large-dictionary PII / banned-term masking pass: one automaton scan +
+    * one byte rewrite per document, independent of dictionary size — a
+    * per-phrase `replace` chain re-copies the string once per phrase and
+    * is order-dependent under overlap; union masking is order-free. */
+  def keywordRedact(docs: DataFrame, denyPhrases: Seq[String],
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(denyPhrases.nonEmpty, "keywordRedact: need at least one phrase")
+    docs.select(col(idCol),
+      call_function("keyword_redact", col(textCol),
+        lit(denyPhrases.distinct.sorted.toArray)).as("masked"))
+  }
 }

@@ -95,6 +95,85 @@ final class AhoCorasick private (
     Seq.tabulate(arr.numElements())(i => arr.getUTF8String(i).toString)
   }
 
+  /** Every occurrence of every dictionary phrase in `text`, as (pos, id)
+    * pairs sorted by (pos, id) — pos is the 1-BASED BYTE offset of the
+    * occurrence start (byte = the scale-correct unit: no per-row decode;
+    * for ASCII corpora byte and character offsets coincide). Overlapping
+    * and nested occurrences all emit — this is the span-extraction
+    * primitive dictionary tagging and redaction build on. Packs (pos, id)
+    * into one long per occurrence so the sort is a primitive
+    * `Arrays.sort`. */
+  def occurrences(text: UTF8String): Array[Long] = {
+    var buf = new Array[Long](8)
+    var nOcc = 0
+    var state = 0
+    val n = text.numBytes()
+    var i = 0
+    while (i < n) {
+      val b = text.getByte(i) & 0xff
+      var s = state
+      var nx = step(s, b)
+      while (nx < 0 && s != 0) { s = fail(s); nx = step(s, b) }
+      state = if (nx >= 0) nx else 0
+      val o = out(state)
+      var j = 0
+      while (j < o.length) {
+        val id = o(j)
+        val start = i - patternByteLens(id) + 2 // 1-based byte offset
+        if (nOcc == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        buf(nOcc) = (start.toLong << 32) | id.toLong
+        nOcc += 1
+        j += 1
+      }
+      i += 1
+    }
+    val occ = java.util.Arrays.copyOf(buf, nOcc)
+    java.util.Arrays.sort(occ) // (pos, id) ascending — ids are pre-sorted phrases
+    occ
+  }
+
+  /** Catalyst rows (pos int, phrase string) for [[occurrences]]. */
+  def spanArray(text: UTF8String): ArrayData = {
+    val occ = occurrences(text)
+    val rows = new Array[Any](occ.length)
+    var i = 0
+    while (i < occ.length) {
+      val pos = (occ(i) >>> 32).toInt
+      val id = (occ(i) & 0xffffffffL).toInt
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](pos, utf8Patterns(id)))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  /** `text` with every byte covered by ANY phrase occurrence replaced by
+    * '*'. Union-of-spans masking — the dictionary-PII policy: if any
+    * pattern claims a byte, it is gone, regardless of which occurrence
+    * found it first. Masking is per BYTE (a covered 2-byte code point
+    * becomes "**"): output stays valid UTF-8 because patterns only match
+    * at code-point boundaries and always cover whole code points. */
+  def redact(text: UTF8String): UTF8String = {
+    val occ = occurrences(text)
+    if (occ.length == 0) return text
+    val n = text.numBytes()
+    val bytes = new Array[Byte](n)
+    var i = 0
+    while (i < n) { bytes(i) = text.getByte(i); i += 1 }
+    var k = 0
+    while (k < occ.length) {
+      val start = (occ(k) >>> 32).toInt - 1 // back to 0-based
+      val len = patternByteLens((occ(k) & 0xffffffffL).toInt)
+      var j = start
+      while (j < start + len) { bytes(j) = '*'; j += 1 }
+      k += 1
+    }
+    UTF8String.fromBytes(bytes)
+  }
+
+  @transient private lazy val patternByteLens: Array[Int] =
+    patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+
   /** Does ANY dictionary phrase occur in `text`? Early-exits at the first
     * emission — the blocklist-filter fast path: a denied document is
     * recognized at its first offending byte, not after a full scan that
@@ -215,15 +294,8 @@ case class KeywordMatches(left: Expression, right: Expression)
   // see VecDotProduct: wrong-typed SQL input must fail at analysis time
   override def inputTypes = Seq(StringType, ArrayType(StringType))
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val base = super.checkInputDataTypes()
-    if (base.isFailure) base
-    else if (!right.foldable)
-      TypeCheckResult.TypeCheckFailure(
-        "keyword_matches requires a foldable (literal) pattern array — " +
-          "a per-row pattern column would rebuild the automaton per row")
-    else TypeCheckResult.TypeCheckSuccess
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    KeywordScan.requireFoldablePatterns(super.checkInputDataTypes(), right, prettyName)
 
   /** Built once per plan on the driver; serialized to executors. */
   @transient private lazy val automaton: AhoCorasick =
@@ -260,15 +332,8 @@ case class KeywordAny(left: Expression, right: Expression)
   // see VecDotProduct: wrong-typed SQL input must fail at analysis time
   override def inputTypes = Seq(StringType, ArrayType(StringType))
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val base = super.checkInputDataTypes()
-    if (base.isFailure) base
-    else if (!right.foldable)
-      TypeCheckResult.TypeCheckFailure(
-        "keyword_any requires a foldable (literal) pattern array — " +
-          "a per-row pattern column would rebuild the automaton per row")
-    else TypeCheckResult.TypeCheckSuccess
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    KeywordScan.requireFoldablePatterns(super.checkInputDataTypes(), right, prettyName)
 
   /** Built once per plan on the driver; serialized to executors. */
   @transient private lazy val automaton: AhoCorasick =
@@ -287,7 +352,18 @@ case class KeywordAny(left: Expression, right: Expression)
 }
 
 private[plans] object KeywordScan {
-  /** Shared pattern-literal extraction for the two keyword expressions:
+
+  /** Shared analysis-time check: the pattern child must be a literal. */
+  def requireFoldablePatterns(base: TypeCheckResult, right: Expression,
+                              name: String): TypeCheckResult =
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$name requires a foldable (literal) pattern array — " +
+          "a per-row pattern column would rebuild the automaton per row")
+    else TypeCheckResult.TypeCheckSuccess
+
+  /** Shared pattern-literal extraction for the keyword expressions:
     * evaluates the foldable array child once at plan time. */
   def automatonFrom(right: Expression, name: String): AhoCorasick = {
     val arr = right.eval(null).asInstanceOf[ArrayData]
@@ -299,6 +375,79 @@ private[plans] object KeywordScan {
     }
     AhoCorasick.build(pats)
   }
+}
+
+/** `keyword_spans(text, array<string> patterns) →
+  * array<struct<pos:int, phrase:string>>` — EVERY occurrence of every
+  * dictionary phrase, with its 1-based byte offset, sorted by (pos,
+  * phrase). Overlapping and nested occurrences all emit. The
+  * span-extraction primitive under dictionary tagging, span-level audits,
+  * and redaction review — still ONE automaton pass per document. */
+case class KeywordSpans(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("phrase", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "keyword_spans"
+  // see VecDotProduct: wrong-typed SQL input must fail at analysis time
+  override def inputTypes = Seq(StringType, ArrayType(StringType))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    KeywordScan.requireFoldablePatterns(super.checkInputDataTypes(), right, prettyName)
+
+  /** Built once per plan on the driver; serialized to executors. */
+  @transient private lazy val automaton: AhoCorasick =
+    KeywordScan.automatonFrom(right, prettyName)
+
+  override def nullSafeEval(text: Any, pats: Any): Any =
+    automaton.spanArray(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ac = ctx.addReferenceObj("ahoCorasick", automaton, classOf[AhoCorasick].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ac.spanArray($a);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `keyword_redact(text, array<string> patterns) → string` — `text` with
+  * every byte covered by ANY dictionary-phrase occurrence replaced by '*'
+  * (union-of-spans masking, length-preserving). The large-dictionary PII /
+  * banned-term masking pass: one automaton scan + one byte rewrite per
+  * document, independent of dictionary size — versus a chain of
+  * per-phrase `replace` calls that re-copies the string once PER PHRASE
+  * and whose output depends on application order when phrases overlap
+  * (union masking is order-free by construction). */
+case class KeywordRedact(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "keyword_redact"
+  // see VecDotProduct: wrong-typed SQL input must fail at analysis time
+  override def inputTypes = Seq(StringType, ArrayType(StringType))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    KeywordScan.requireFoldablePatterns(super.checkInputDataTypes(), right, prettyName)
+
+  /** Built once per plan on the driver; serialized to executors. */
+  @transient private lazy val automaton: AhoCorasick =
+    KeywordScan.automatonFrom(right, prettyName)
+
+  override def nullSafeEval(text: Any, pats: Any): Any =
+    automaton.redact(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ac = ctx.addReferenceObj("ahoCorasick", automaton, classOf[AhoCorasick].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $ac.redact($a);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Optimizer rule: existence-only uses of the keyword scan drop the

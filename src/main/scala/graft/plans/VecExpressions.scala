@@ -529,6 +529,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("keyword_any"),
       new ExpressionInfo(classOf[KeywordAny].getName, "keyword_any"),
       (children: Seq[Expression]) => KeywordAny(children(0), children(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("keyword_spans"),
+      new ExpressionInfo(classOf[KeywordSpans].getName, "keyword_spans"),
+      (children: Seq[Expression]) => KeywordSpans(children(0), children(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("keyword_redact"),
+      new ExpressionInfo(classOf[KeywordRedact].getName, "keyword_redact"),
+      (children: Seq[Expression]) => KeywordRedact(children(0), children(1))))
     // existence-only keyword predicates early-exit instead of collecting hits
     extensions.injectOptimizerRule(_ => SimplifyKeywordPredicates)
   }

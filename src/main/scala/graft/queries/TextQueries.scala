@@ -73,6 +73,12 @@ object TextQueries {
   private val keywordDenyPhrases = Seq(
     "hash value", "customer query", "window window", "scan slow", "quantum flux")
 
+  /** Compact dictionary for q_keyword_spans (every occurrence emits a row,
+    * so the list is kept small): nested pair ("table" ⊂ "fast table"),
+    * an in-word hit ("he" ⊂ "the"), a self-overlapping phrase, a never-hit. */
+  private val keywordSpanPhrases = Seq(
+    "he", "table", "fast table", "hash value", "window window", "quantum flux")
+
   val queries: Map[String, Tables => DataFrame] = Map(
     // Multi-pattern keyword spotting (phrase blocklists / contamination
     // phrase lists / PII dictionaries): ONE native Aho–Corasick pass per
@@ -94,6 +100,25 @@ object TextQueries {
     "q_keyword_filter" -> { t =>
       TextOps.keywordFilter(t.documents, keywordDenyPhrases)
         .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Dictionary span extraction: one row per OCCURRENCE (overlaps and
+    // nestings included) with its 1-based offset — still one automaton
+    // pass per doc. Oracle re-derives every occurrence positionally:
+    // substr(text, i, len(p)) = p over the full position × phrase grid,
+    // the O(text × patterns) formulation the automaton replaces.
+    "q_keyword_spans" -> { t =>
+      TextOps.keywordSpans(t.documents, keywordSpanPhrases)
+        .orderBy("doc_id", "pos", "phrase")
+    },
+
+    // Dictionary redaction: union-of-spans masking (every byte covered by
+    // any phrase occurrence -> '*', length-preserving). The oracle rebuilds
+    // each document character-by-character with an independent
+    // coverage-join formulation.
+    "q_keyword_redact" -> { t =>
+      TextOps.keywordRedact(t.documents, keywordDenyPhrases)
         .orderBy("doc_id")
     },
 
@@ -818,6 +843,35 @@ object TextQueries {
         "SELECT d.doc_id, coalesce(a.hits, '') AS hits, " +
         "coalesce(a.n_hits, 0) AS n_hits " +
         "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+    },
+
+    // Independent evaluation strategy: the full position × phrase grid,
+    // one substr comparison per cell.
+    "q_keyword_spans" -> {
+      val vals = keywordSpanPhrases.sorted.map(p => s"('$p')").mkString(", ")
+      "WITH pos AS (SELECT doc_id, text, " +
+        "unnest(range(1, length(text) + 1)) AS i FROM documents), " +
+        s"pats(p) AS (VALUES $vals) " +
+        "SELECT doc_id, i AS pos, p AS phrase FROM pos CROSS JOIN pats " +
+        "WHERE substr(text, i, length(p)) = p ORDER BY doc_id, pos, phrase"
+    },
+
+    // Independent evaluation strategy: positional coverage join, then a
+    // per-character CASE rebuild of the masked string.
+    "q_keyword_redact" -> {
+      val vals = keywordDenyPhrases.sorted.map(p => s"('$p')").mkString(", ")
+      "WITH pos AS (SELECT doc_id, text, " +
+        "unnest(range(1, length(text) + 1)) AS i FROM documents), " +
+        s"pats(p) AS (VALUES $vals), " +
+        "occ AS (SELECT doc_id, i AS s, i + length(p) - 1 AS e " +
+        "FROM pos CROSS JOIN pats WHERE substr(text, i, length(p)) = p), " +
+        "cov AS (SELECT DISTINCT pos.doc_id, pos.i " +
+        "FROM pos JOIN occ ON pos.doc_id = occ.doc_id AND pos.i BETWEEN occ.s AND occ.e) " +
+        "SELECT pos.doc_id, string_agg(" +
+        "CASE WHEN cov.i IS NOT NULL THEN '*' ELSE substr(pos.text, pos.i, 1) END, " +
+        "'' ORDER BY pos.i) AS masked " +
+        "FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.i = cov.i " +
+        "GROUP BY pos.doc_id ORDER BY pos.doc_id"
     },
 
     // Independent evaluation strategy: an OR of per-phrase `contains`.

@@ -125,6 +125,63 @@ class KeywordScanSpec extends SparkSpec {
     assert(kept2.toSeq === Seq(1L, 4L)) // null-text row dropped by both paths
   }
 
+  test("spans: every occurrence emits, overlaps and nestings included, sorted by (pos, phrase)") {
+    def spans(pats: Seq[String], text: String): Seq[(Int, String)] = {
+      val arr = AhoCorasick.build(pats)
+        .spanArray(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      Seq.tabulate(arr.numElements()) { i =>
+        val r = arr.getStruct(i, 2)
+        (r.getInt(0), r.getUTF8String(1).toString)
+      }
+    }
+    // self-overlap: 'aa' occurs at 1,2,3 in 'aaaa'
+    assert(spans(Seq("aa"), "aaaa") === Seq((1, "aa"), (2, "aa"), (3, "aa")))
+    // nesting: 'table' sits inside 'fast table'; 'he' inside 'the'
+    assert(spans(Seq("table", "fast table", "he"), "the fast table") ===
+      Seq((2, "he"), (5, "fast table"), (10, "table")))
+    assert(spans(Seq("zz"), "abc") === Seq.empty)
+  }
+
+  test("spans: offsets are 1-based BYTE offsets (pinned on multibyte text)") {
+    def spans(pats: Seq[String], text: String): Seq[(Int, String)] = {
+      val arr = AhoCorasick.build(pats)
+        .spanArray(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      Seq.tabulate(arr.numElements()) { i =>
+        val r = arr.getStruct(i, 2)
+        (r.getInt(0), r.getUTF8String(1).toString)
+      }
+    }
+    // é is 2 UTF-8 bytes, so 'x' starts at byte 4, not character 3
+    assert(spans(Seq("x", "é"), "é x") === Seq((1, "é"), (4, "x")))
+  }
+
+  test("redact: union-of-spans masking, length-preserving, order-free") {
+    def red(pats: Seq[String], text: String): String =
+      AhoCorasick.build(pats)
+        .redact(org.apache.spark.unsafe.types.UTF8String.fromString(text)).toString
+    assert(red(Seq("fast table"), "the fast table scan") === "the ********** scan")
+    // overlapping occurrences union: 'ab' + 'bc' cover all of 'abc'
+    assert(red(Seq("ab", "bc"), "xabcx") === "x***x")
+    // nested: masking 'table' and 'fast table' covers the same union
+    assert(red(Seq("table", "fast table"), "a fast table") === "a **********")
+    assert(red(Seq("zz"), "untouched") === "untouched")
+    // multibyte: a covered 2-byte code point becomes two mask bytes
+    assert(red(Seq("é"), "café x") === "caf** x")
+  }
+
+  test("spans and redact DataFrame paths match the automaton") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "the fast table"), (2L, "plain")).toDF("doc_id", "text")
+    val sp = TextOps.keywordSpans(docs, Seq("he", "fast table", "table"))
+      .orderBy("doc_id", "pos", "phrase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(sp.toSeq === Seq((1L, 2L, "he"), (1L, 5L, "fast table"), (1L, 10L, "table")))
+    val rd = TextOps.keywordRedact(docs, Seq("fast table"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(rd.toSeq === Seq("the **********", "plain"))
+  }
+
   test("keywordSpot emits sorted joined hits and counts, one row per doc") {
     val s = spark
     import s.implicits._
