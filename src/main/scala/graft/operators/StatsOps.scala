@@ -186,4 +186,36 @@ object StatsOps {
       .select(col("ks_stat"), col("n_a").cast("long").as("n_a"),
         col("n_b").cast("long").as("n_b"))
   }
+
+  /** Pre-aggregated HLL sketch rollup: one DataSketches HLL sketch of
+    * `valueCol` per `keyCols` group (Spark's built-in `hll_sketch_agg`).
+    *
+    * The sketch-table pattern for distinct counting at 100 TB: the raw
+    * history is reduced ONCE to a per-key sketch table (kilobytes per key),
+    * and any later "distinct over key range" readout merges the stored
+    * sketches instead of rescanning history — HLL registers are per-item
+    * maxima, so merge is associative, commutative, and order-independent:
+    * merging per-day sketches gives EXACTLY the sketch a direct scan of
+    * the union produces (pinned in `SketchRollupSpec`). The rollup shuffles
+    * only (key, sketch-update) partial states; raw values never cross the
+    * exchange twice. */
+  def hllRollup(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                lgK: Int = 12): DataFrame = {
+    require(keyCols.nonEmpty, "hllRollup: need at least one key column")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("hll"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Distinct-count readout over a sketch table: merges the per-key HLL
+    * sketches of each `groupCols` group (`hll_union_agg`) and estimates.
+    * Scans only the (tiny) sketch table — the raw history is never touched,
+    * which is the entire point of maintaining the rollup. */
+  def hllMergedDistinct(rollup: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val merged =
+      if (groupCols.isEmpty) rollup.agg(hll_union_agg(col("hll")).as("hll"))
+      else rollup.groupBy(groupCols.map(col): _*).agg(hll_union_agg(col("hll")).as("hll"))
+    merged.withColumn("distinct_est", hll_sketch_estimate(col("hll")).cast("long"))
+      .drop("hll")
+  }
 }

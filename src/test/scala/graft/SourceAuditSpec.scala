@@ -28,7 +28,10 @@ class SourceAuditSpec extends AnyFunSuite {
         "then ≤ 2·quantiles boundary rows per group — both output-sized, " +
         "never data-sized (the result itself is one row per group)"),
     "tools/DiagPlan.scala" ->
-      (1, "dev-only plan-dump utility, never on the query path")
+      (1, "dev-only plan-dump utility, never on the query path"),
+    "tools/ProfileKeyword.scala" ->
+      (2, "dev-only profiler: two 1-row scalar aggregates (sum of hit counts) " +
+        "read for timing printouts, never on the query path")
   )
 
   test("driver-side materialization only at allowlisted bounded-metadata sites") {
