@@ -33,12 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * key/next arrays probed by binary search — O(log fanout) per step instead
   * of 1 KiB per node, so a 100k-phrase dictionary stays a few MiB, not
   * gigabytes. Output lists are merged through fail links at BUILD time, so
-  * emission at match time is a plain array walk.
+  * emission at match time is a plain array walk. Per-row work never scales
+  * with dictionary size either: hits collect into a growable buffer sized
+  * by the MATCHES, not an nPatterns-wide scratch array.
   *
-  * Patterns are deduplicated and sorted at construction; `matchArray`
-  * therefore emits matched phrases in sorted order (what the DuckDB
-  * oracle's `string_agg(... ORDER BY ...)` produces) and short-circuits the
-  * scan once every pattern has been seen.
+  * Patterns are deduplicated and sorted at construction, so pattern id
+  * order IS lexicographic order — `matchArray` emits matched phrases
+  * sorted (what the DuckDB oracle's `string_agg(... ORDER BY ...)`
+  * produces) without comparing strings at match time.
   */
 final class AhoCorasick private (
     val patterns: Array[String],
@@ -52,41 +54,32 @@ final class AhoCorasick private (
     patterns.map(UTF8String.fromString)
   // immutable and row-independent, so one instance serves every zero-hit row
   @transient private lazy val emptyResult = new GenericArrayData(Array.empty[Any])
+  @transient private lazy val patternByteLens: Array[Int] =
+    patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
 
-  /** Sorted distinct matched phrases of `text`, as Catalyst array data. */
+  /** Sorted distinct matched phrases of `text`, as Catalyst array data.
+    * Cost: O(text bytes + hits log hits) — hit ids buffer up per EMISSION
+    * and dedupe in one sorted sweep, so a huge dictionary costs nothing
+    * per row beyond its actual matches (no nPatterns-sized scratch; a
+    * shared scratch array would race across concurrent tasks sharing this
+    * plan-referenced instance). */
   def matchArray(text: UTF8String): ArrayData = {
-    val nPat = patterns.length
-    val hit = new Array[Boolean](nPat)
-    var nHit = 0
-    var state = 0
-    val n = text.numBytes()
-    var i = 0
-    while (i < n && nHit < nPat) {
-      val b = text.getByte(i) & 0xff
-      var s = state
-      var nx = step(s, b)
-      while (nx < 0 && s != 0) { s = fail(s); nx = step(s, b) }
-      state = if (nx >= 0) nx else 0
-      val o = out(state)
-      var j = 0
-      while (j < o.length) {
-        val id = o(j)
-        if (!hit(id)) { hit(id) = true; nHit += 1 }
-        j += 1
-      }
+    val ids = collectIds(text, perOccurrence = false)
+    val nIds = ids.length
+    if (nIds == 0) return emptyResult
+    java.util.Arrays.sort(ids)
+    var distinct = 1
+    var i = 1
+    while (i < nIds) { if (ids(i) != ids(i - 1)) distinct += 1; i += 1 }
+    val res = new Array[Any](distinct)
+    res(0) = utf8Patterns(ids(0).toInt)
+    var k = 1
+    i = 1
+    while (i < nIds) {
+      if (ids(i) != ids(i - 1)) { res(k) = utf8Patterns(ids(i).toInt); k += 1 }
       i += 1
     }
-    if (nHit == 0) emptyResult
-    else {
-      val res = new Array[Any](nHit)
-      var k = 0
-      var p = 0
-      while (p < nPat) {
-        if (hit(p)) { res(k) = utf8Patterns(p); k += 1 }
-        p += 1
-      }
-      new GenericArrayData(res)
-    }
+    new GenericArrayData(res)
   }
 
   /** Test/REPL convenience over JVM strings. */
@@ -104,8 +97,17 @@ final class AhoCorasick private (
     * into one long per occurrence so the sort is a primitive
     * `Arrays.sort`. */
   def occurrences(text: UTF8String): Array[Long] = {
+    val occ = collectIds(text, perOccurrence = true)
+    java.util.Arrays.sort(occ) // (pos, id) ascending — ids are pre-sorted phrases
+    occ
+  }
+
+  /** The shared scan loop: emitted pattern ids, either one entry per
+    * EMISSION (`perOccurrence = false`, plain ids) or packed
+    * (startPos << 32 | id) per occurrence (`perOccurrence = true`). */
+  private def collectIds(text: UTF8String, perOccurrence: Boolean): Array[Long] = {
     var buf = new Array[Long](8)
-    var nOcc = 0
+    var nOut = 0
     var state = 0
     val n = text.numBytes()
     var i = 0
@@ -119,17 +121,16 @@ final class AhoCorasick private (
       var j = 0
       while (j < o.length) {
         val id = o(j)
-        val start = i - patternByteLens(id) + 2 // 1-based byte offset
-        if (nOcc == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
-        buf(nOcc) = (start.toLong << 32) | id.toLong
-        nOcc += 1
+        if (nOut == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        buf(nOut) =
+          if (perOccurrence) ((i - patternByteLens(id) + 2).toLong << 32) | id.toLong
+          else id.toLong
+        nOut += 1
         j += 1
       }
       i += 1
     }
-    val occ = java.util.Arrays.copyOf(buf, nOcc)
-    java.util.Arrays.sort(occ) // (pos, id) ascending — ids are pre-sorted phrases
-    occ
+    java.util.Arrays.copyOf(buf, nOut)
   }
 
   /** Catalyst rows (pos int, phrase string) for [[occurrences]]. */
@@ -157,6 +158,8 @@ final class AhoCorasick private (
     val occ = occurrences(text)
     if (occ.length == 0) return text
     val n = text.numBytes()
+    // manual byte copy: UTF8String.getBytes may return its BACKING array,
+    // which must never be mutated in place
     val bytes = new Array[Byte](n)
     var i = 0
     while (i < n) { bytes(i) = text.getByte(i); i += 1 }
@@ -170,9 +173,6 @@ final class AhoCorasick private (
     }
     UTF8String.fromBytes(bytes)
   }
-
-  @transient private lazy val patternByteLens: Array[Int] =
-    patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
 
   /** Does ANY dictionary phrase occur in `text`? Early-exits at the first
     * emission — the blocklist-filter fast path: a denied document is
@@ -275,40 +275,93 @@ object AhoCorasick {
   }
 }
 
-/** `keyword_matches(text, array<string> patterns) → array<string>` — every
-  * dictionary phrase occurring in `text` (substring semantics, identical to
-  * `contains` per phrase), sorted and distinct, in ONE automaton pass.
-  *
-  * The pattern argument must be a foldable literal: the automaton is built
-  * once at plan time from its value and rides to executors as a codegen
-  * reference object — per-row work never touches the pattern array. A
-  * non-foldable pattern column would force a rebuild per row, which is the
-  * O(text × patterns) trap this expression exists to remove, so it is
-  * rejected at analysis time.
-  */
-case class KeywordMatches(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+/** Shared shape of the four keyword expressions: (text: string, patterns:
+  * foldable array<string>) with a plan-time-built automaton shipped to
+  * executors as a codegen reference object. The pattern argument must be a
+  * LITERAL — a per-row pattern column would rebuild the automaton per row,
+  * which is the O(text × patterns) trap these expressions exist to remove —
+  * and its CONTENTS are validated at analysis time too (non-empty list, no
+  * null/empty phrases): the value is foldable, so there is no reason to
+  * defer those errors to execution. */
+trait KeywordExpression extends BinaryExpression with ExpectsInputTypes {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "keyword_matches"
   // see VecDotProduct: wrong-typed SQL input must fail at analysis time
   override def inputTypes = Seq(StringType, ArrayType(StringType))
 
   override def checkInputDataTypes(): TypeCheckResult =
-    KeywordScan.requireFoldablePatterns(super.checkInputDataTypes(), right, prettyName)
+    KeywordScan.validatePatterns(super.checkInputDataTypes(), right, prettyName)
 
   /** Built once per plan on the driver; serialized to executors. */
-  @transient private lazy val automaton: AhoCorasick =
+  @transient protected lazy val automaton: AhoCorasick =
     KeywordScan.automatonFrom(right, prettyName)
+
+  /** Codegen accessor for the shared automaton (the NgramHashes precedent:
+    * one virtual call keeps the expression inside whole-stage codegen
+    * without inlining the matcher as a string template). */
+  protected def automatonRef(ctx: CodegenContext): String =
+    ctx.addReferenceObj("ahoCorasick", automaton, classOf[AhoCorasick].getName)
+}
+
+private[plans] object KeywordScan {
+
+  /** Analysis-time validation: the pattern child must be a literal with
+    * usable contents. Everything here is knowable at analysis time (the
+    * value is foldable), so malformed dictionaries fail as
+    * TypeCheckFailure, not as a runtime exception out of the automaton
+    * build. */
+  def validatePatterns(base: TypeCheckResult, right: Expression,
+                       name: String): TypeCheckResult = {
+    if (base.isFailure) return base
+    if (!right.foldable)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$name requires a foldable (literal) pattern array — " +
+          "a per-row pattern column would rebuild the automaton per row")
+    val arr = right.eval(null)
+    if (arr == null)
+      return TypeCheckResult.TypeCheckFailure(s"$name: pattern array must not be null")
+    val data = arr.asInstanceOf[ArrayData]
+    if (data.numElements() == 0)
+      return TypeCheckResult.TypeCheckFailure(s"$name: pattern array must be non-empty")
+    var i = 0
+    while (i < data.numElements()) {
+      val s = data.getUTF8String(i)
+      if (s == null)
+        return TypeCheckResult.TypeCheckFailure(s"$name: pattern $i is null")
+      if (s.numBytes() == 0)
+        return TypeCheckResult.TypeCheckFailure(s"$name: pattern $i is the empty string")
+      i += 1
+    }
+    TypeCheckResult.TypeCheckSuccess
+  }
+
+  /** Pattern-literal extraction for the keyword expressions: evaluates the
+    * foldable array child once at plan time (contents already validated at
+    * analysis time; the build's require()s remain as a backstop). */
+  def automatonFrom(right: Expression, name: String): AhoCorasick = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    require(arr != null, s"$name: pattern array must not be null")
+    val pats = Seq.tabulate(arr.numElements()) { i =>
+      val s = arr.getUTF8String(i)
+      require(s != null, s"$name: null pattern")
+      s.toString
+    }
+    AhoCorasick.build(pats)
+  }
+}
+
+/** `keyword_matches(text, array<string> patterns) → array<string>` — every
+  * dictionary phrase occurring in `text` (substring semantics, identical to
+  * `contains` per phrase), sorted and distinct, in ONE automaton pass. */
+case class KeywordMatches(left: Expression, right: Expression) extends KeywordExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "keyword_matches"
 
   override def nullSafeEval(text: Any, pats: Any): Any =
     automaton.matchArray(text.asInstanceOf[UTF8String])
 
-  // One virtual call into the shared automaton keeps the expression inside
-  // whole-stage codegen without inlining the matcher as a string template
-  // (the NgramHashes.compute precedent).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ac = ctx.addReferenceObj("ahoCorasick", automaton, classOf[AhoCorasick].getName)
+    val ac = automatonRef(ctx)
     nullSafeCodeGen(ctx, ev, (a, _) =>
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ac.matchArray($a);")
   }
@@ -324,57 +377,21 @@ case class KeywordMatches(left: Expression, right: Expression)
   * what a blocklist filter actually needs, and what
   * [[SimplifyKeywordPredicates]] rewrites `size(keyword_matches(…)) > 0`
   * predicates into. */
-case class KeywordAny(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+case class KeywordAny(left: Expression, right: Expression) extends KeywordExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "keyword_any"
-  // see VecDotProduct: wrong-typed SQL input must fail at analysis time
-  override def inputTypes = Seq(StringType, ArrayType(StringType))
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    KeywordScan.requireFoldablePatterns(super.checkInputDataTypes(), right, prettyName)
-
-  /** Built once per plan on the driver; serialized to executors. */
-  @transient private lazy val automaton: AhoCorasick =
-    KeywordScan.automatonFrom(right, prettyName)
 
   override def nullSafeEval(text: Any, pats: Any): Any =
     automaton.matchesAny(text.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ac = ctx.addReferenceObj("ahoCorasick", automaton, classOf[AhoCorasick].getName)
+    val ac = automatonRef(ctx)
     nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $ac.matchesAny($a);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
-}
-
-private[plans] object KeywordScan {
-
-  /** Shared analysis-time check: the pattern child must be a literal. */
-  def requireFoldablePatterns(base: TypeCheckResult, right: Expression,
-                              name: String): TypeCheckResult =
-    if (base.isFailure) base
-    else if (!right.foldable)
-      TypeCheckResult.TypeCheckFailure(
-        s"$name requires a foldable (literal) pattern array — " +
-          "a per-row pattern column would rebuild the automaton per row")
-    else TypeCheckResult.TypeCheckSuccess
-
-  /** Shared pattern-literal extraction for the keyword expressions:
-    * evaluates the foldable array child once at plan time. */
-  def automatonFrom(right: Expression, name: String): AhoCorasick = {
-    val arr = right.eval(null).asInstanceOf[ArrayData]
-    require(arr != null, s"$name: pattern array must not be null")
-    val pats = Seq.tabulate(arr.numElements()) { i =>
-      val s = arr.getUTF8String(i)
-      require(s != null, s"$name: null pattern")
-      s.toString
-    }
-    AhoCorasick.build(pats)
-  }
 }
 
 /** `keyword_spans(text, array<string> patterns) →
@@ -383,8 +400,7 @@ private[plans] object KeywordScan {
   * phrase). Overlapping and nested occurrences all emit. The
   * span-extraction primitive under dictionary tagging, span-level audits,
   * and redaction review — still ONE automaton pass per document. */
-case class KeywordSpans(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+case class KeywordSpans(left: Expression, right: Expression) extends KeywordExpression {
 
   override def dataType: DataType = ArrayType(
     org.apache.spark.sql.types.StructType(Seq(
@@ -392,21 +408,12 @@ case class KeywordSpans(left: Expression, right: Expression)
       org.apache.spark.sql.types.StructField("phrase", StringType, nullable = false))),
     containsNull = false)
   override def prettyName: String = "keyword_spans"
-  // see VecDotProduct: wrong-typed SQL input must fail at analysis time
-  override def inputTypes = Seq(StringType, ArrayType(StringType))
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    KeywordScan.requireFoldablePatterns(super.checkInputDataTypes(), right, prettyName)
-
-  /** Built once per plan on the driver; serialized to executors. */
-  @transient private lazy val automaton: AhoCorasick =
-    KeywordScan.automatonFrom(right, prettyName)
 
   override def nullSafeEval(text: Any, pats: Any): Any =
     automaton.spanArray(text.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ac = ctx.addReferenceObj("ahoCorasick", automaton, classOf[AhoCorasick].getName)
+    val ac = automatonRef(ctx)
     nullSafeCodeGen(ctx, ev, (a, _) =>
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ac.spanArray($a);")
   }
@@ -423,26 +430,16 @@ case class KeywordSpans(left: Expression, right: Expression)
   * per-phrase `replace` calls that re-copies the string once PER PHRASE
   * and whose output depends on application order when phrases overlap
   * (union masking is order-free by construction). */
-case class KeywordRedact(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+case class KeywordRedact(left: Expression, right: Expression) extends KeywordExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "keyword_redact"
-  // see VecDotProduct: wrong-typed SQL input must fail at analysis time
-  override def inputTypes = Seq(StringType, ArrayType(StringType))
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    KeywordScan.requireFoldablePatterns(super.checkInputDataTypes(), right, prettyName)
-
-  /** Built once per plan on the driver; serialized to executors. */
-  @transient private lazy val automaton: AhoCorasick =
-    KeywordScan.automatonFrom(right, prettyName)
 
   override def nullSafeEval(text: Any, pats: Any): Any =
     automaton.redact(text.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ac = ctx.addReferenceObj("ahoCorasick", automaton, classOf[AhoCorasick].getName)
+    val ac = automatonRef(ctx)
     nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $ac.redact($a);")
   }
 
@@ -453,12 +450,15 @@ case class KeywordRedact(left: Expression, right: Expression)
 /** Optimizer rule: existence-only uses of the keyword scan drop the
   * hit-collection work.
   *
-  * `size(keyword_matches(t, p)) > 0` (and its `= 0` negation) forces the
-  * full-document scan plus per-row array materialization, then throws the
-  * array away — but a filter only needs EXISTENCE, and blocklist scans are
-  * overwhelmingly written as filters. The rewrite to [[KeywordAny]]
-  * early-exits at the first hit (a denied document costs only its prefix up
-  * to the first offending phrase) and allocates nothing.
+  * `size(keyword_matches(t, p)) > 0` / `>= 1` (and the `= 0` negation)
+  * forces the full-document scan plus per-row array materialization, then
+  * throws the array away — but a filter only needs EXISTENCE, and blocklist
+  * scans are overwhelmingly written as filters. The rewrite to
+  * [[KeywordAny]] early-exits at the first hit (a denied document costs
+  * only its prefix up to the first offending phrase) and allocates nothing.
+  * `NOT (size(…) = 0)` needs no case of its own: the inner equality
+  * rewrites here and BooleanSimplification collapses the double negation
+  * in the same fixed-point batch.
   *
   * Null-parity: with the default non-legacy `size` (matched via
   * `legacySizeOfNull = false`), `size(null) = null` and comparisons with 0
@@ -468,13 +468,17 @@ case class KeywordRedact(left: Expression, right: Expression)
   */
 object SimplifyKeywordPredicates
     extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan, IntegerLiteral, LessThan, Not, Size}
+  import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, Not, Size}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case GreaterThan(Size(km: KeywordMatches, false), IntegerLiteral(0)) =>
       KeywordAny(km.left, km.right)
+    case GreaterThanOrEqual(Size(km: KeywordMatches, false), IntegerLiteral(1)) =>
+      KeywordAny(km.left, km.right)
     case LessThan(IntegerLiteral(0), Size(km: KeywordMatches, false)) =>
+      KeywordAny(km.left, km.right)
+    case LessThanOrEqual(IntegerLiteral(1), Size(km: KeywordMatches, false)) =>
       KeywordAny(km.left, km.right)
     case EqualTo(Size(km: KeywordMatches, false), IntegerLiteral(0)) =>
       Not(KeywordAny(km.left, km.right))

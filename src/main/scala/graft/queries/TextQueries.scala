@@ -63,7 +63,7 @@ object TextQueries {
     * automaton's fail-link emission ("able" ⊂ "table" ⊂ "fast table";
     * "he" ⊂ "the"), a repeated-word phrase, and one phrase that never
     * occurs. Order here is irrelevant — both engine and oracle sort. */
-  private val keywordPhrases = Seq(
+  private[graft] val keywordPhrases = Seq(
     "hash value", "fast table", "table", "able", "scan slow",
     "customer query", "merge batch", "stream", "he", "vector",
     "big data", "sort", "group value", "window window", "quantum flux")
@@ -846,7 +846,10 @@ object TextQueries {
     },
 
     // Independent evaluation strategy: the full position × phrase grid,
-    // one substr comparison per cell.
+    // one substr comparison per cell. DuckDB's `i` is a CHARACTER index
+    // while the engine reports BYTE offsets — identical on this corpus
+    // (ASCII-only); the byte semantics themselves are pinned on multibyte
+    // text in KeywordScanSpec.
     "q_keyword_spans" -> {
       val vals = keywordSpanPhrases.sorted.map(p => s"('$p')").mkString(", ")
       "WITH pos AS (SELECT doc_id, text, " +
@@ -857,7 +860,12 @@ object TextQueries {
     },
 
     // Independent evaluation strategy: positional coverage join, then a
-    // per-character CASE rebuild of the masked string.
+    // per-character CASE rebuild of the masked string. The rebuild LEFT
+    // JOINs from `documents` so a (hypothetical) empty-text doc still
+    // emits its row, as the engine does. DuckDB's positions are CHARACTER
+    // indices while the engine masks BYTES — identical on this corpus
+    // (ASCII-only, asserted by the multibyte pin in KeywordScanSpec being
+    // the place where byte semantics are exercised instead).
     "q_keyword_redact" -> {
       val vals = keywordDenyPhrases.sorted.map(p => s"('$p')").mkString(", ")
       "WITH pos AS (SELECT doc_id, text, " +
@@ -866,12 +874,15 @@ object TextQueries {
         "occ AS (SELECT doc_id, i AS s, i + length(p) - 1 AS e " +
         "FROM pos CROSS JOIN pats WHERE substr(text, i, length(p)) = p), " +
         "cov AS (SELECT DISTINCT pos.doc_id, pos.i " +
-        "FROM pos JOIN occ ON pos.doc_id = occ.doc_id AND pos.i BETWEEN occ.s AND occ.e) " +
-        "SELECT pos.doc_id, string_agg(" +
+        "FROM pos JOIN occ ON pos.doc_id = occ.doc_id AND pos.i BETWEEN occ.s AND occ.e), " +
+        "built AS (SELECT pos.doc_id, string_agg(" +
         "CASE WHEN cov.i IS NOT NULL THEN '*' ELSE substr(pos.text, pos.i, 1) END, " +
         "'' ORDER BY pos.i) AS masked " +
         "FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.i = cov.i " +
-        "GROUP BY pos.doc_id ORDER BY pos.doc_id"
+        "GROUP BY pos.doc_id) " +
+        "SELECT d.doc_id, coalesce(b.masked, d.text) AS masked " +
+        "FROM documents d LEFT JOIN built b ON d.doc_id = b.doc_id " +
+        "ORDER BY d.doc_id"
     },
 
     // Independent evaluation strategy: an OR of per-phrase `contains`.

@@ -35,9 +35,9 @@ object ProfileKeyword {
 
     // bigram cross product: 29^2 + 29 = 870 phrases, most occur in-corpus
     val bigDict = (for (a <- vocab; b <- vocab) yield s"$a $b") ++ vocab
-    val smallDict = Seq("hash value", "fast table", "table", "able",
-      "scan slow", "customer query", "merge batch", "stream", "he", "vector",
-      "big data", "sort", "group value", "window window", "quantum flux")
+    // the PRODUCTION q_keyword_spot dictionary, referenced so the 15-phrase
+    // profile always measures what the declared query runs
+    val smallDict = graft.queries.TextQueries.keywordPhrases
 
     // worst case for the naive probes: phrases that NEVER occur, so no
     // formulation can early-exit on a hit — per-phrase contains must try

@@ -92,6 +92,41 @@ class KeywordScanSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("foldable"))
   }
 
+  test("malformed literal dictionaries fail at ANALYSIS time, not execution") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("abc").toDF("t")
+    // empty array, null array, null element, empty-string element: all are
+    // knowable from the foldable literal, so all must be analysis errors
+    val empty = intercept[Exception] {
+      df.select(call_function("keyword_any", col("t"),
+        lit(Array.empty[String]))).collect()
+    }
+    assert(empty.getMessage.contains("non-empty"))
+    val nullElem = intercept[Exception] {
+      df.select(call_function("keyword_matches", col("t"),
+        lit(Array("ok", null)))).collect()
+    }
+    assert(nullElem.getMessage.contains("null"))
+    val emptyElem = intercept[Exception] {
+      df.select(call_function("keyword_redact", col("t"),
+        lit(Array("ok", "")))).collect()
+    }
+    assert(emptyElem.getMessage.contains("empty string"))
+  }
+
+  test("rewrite also fires for the >= 1 existence shape") {
+    // parquet-backed input: a local relation would be folded away entirely
+    // by ConvertToLocalRelation, leaving no filter to inspect
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+    val df = docs.where(size(call_function("keyword_matches", col("text"),
+      lit(Array("hash value")))) >= 1)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("keyword_any") && !plan.contains("keyword_matches"),
+      s">= 1 shape not rewritten:\n$plan")
+  }
+
   test("matchesAny agrees with matched.nonEmpty, including early-exit cases") {
     val rnd = new scala.util.Random(7)
     val alphabet = "abc "
