@@ -49,4 +49,29 @@ object TextFunctions {
   def rollingHash(toks: Column): Column =
     aggregate(toks, lit(0L),
       (acc, t) => shiftleft(acc, 5).bitwiseXOR(shiftright(acc, 59)).bitwiseXOR(xxhash64(t)))
+
+  // ---- keyword-scan tier (native Aho–Corasick, graft/plans/KeywordScan.scala):
+  // one automaton pass per row, cost independent of dictionary size. The
+  // phrase list must be a literal (validated at analysis time).
+
+  /** Sorted distinct dictionary phrases occurring in `text`. */
+  def keywordMatches(text: Column, phrases: Seq[String]): Column =
+    call_function("keyword_matches", text, lit(phrases.distinct.sorted.toArray))
+
+  /** Does any dictionary phrase occur in `text`? Early-exits at the first
+    * hit — prefer this (or a `size(keywordMatches(…)) === 0` predicate,
+    * which the SimplifyKeywordPredicates rule rewrites to it) for
+    * blocklist filters. */
+  def keywordAny(text: Column, phrases: Seq[String]): Column =
+    call_function("keyword_any", text, lit(phrases.distinct.sorted.toArray))
+
+  /** Every phrase occurrence as struct<pos:int, phrase:string> (1-based
+    * BYTE offsets; overlaps and nestings included). */
+  def keywordSpans(text: Column, phrases: Seq[String]): Column =
+    call_function("keyword_spans", text, lit(phrases.distinct.sorted.toArray))
+
+  /** `text` with every byte covered by any phrase occurrence masked to '*'
+    * (union-of-spans, length-preserving). */
+  def keywordRedact(text: Column, phrases: Seq[String]): Column =
+    call_function("keyword_redact", text, lit(phrases.distinct.sorted.toArray))
 }

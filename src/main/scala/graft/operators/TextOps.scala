@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -590,8 +591,7 @@ object TextOps {
     require(phrases.nonEmpty, "keywordSpot: need at least one phrase")
     docs.select(
         col(idCol),
-        call_function("keyword_matches", col(textCol),
-          lit(phrases.distinct.sorted.toArray)).as("hits_arr"))
+        TextFunctions.keywordMatches(col(textCol), phrases).as("hits_arr"))
       .select(
         col(idCol),
         col("hits_arr"),
@@ -609,8 +609,7 @@ object TextOps {
   def keywordFilter(docs: DataFrame, denyPhrases: Seq[String],
                     textCol: String = "text"): DataFrame = {
     require(denyPhrases.nonEmpty, "keywordFilter: need at least one phrase")
-    docs.where(size(call_function("keyword_matches", col(textCol),
-      lit(denyPhrases.distinct.sorted.toArray))) === 0)
+    docs.where(size(TextFunctions.keywordMatches(col(textCol), denyPhrases)) === 0)
   }
 
   /** Dictionary span extraction: one row per OCCURRENCE of any phrase —
@@ -624,8 +623,7 @@ object TextOps {
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(phrases.nonEmpty, "keywordSpans: need at least one phrase")
     docs.select(col(idCol),
-        explode(call_function("keyword_spans", col(textCol),
-          lit(phrases.distinct.sorted.toArray))).as("__s"))
+        explode(TextFunctions.keywordSpans(col(textCol), phrases)).as("__s"))
       .select(col(idCol),
         col("__s.pos").cast("long").as("pos"),
         col("__s.phrase").as("phrase"))
@@ -641,7 +639,6 @@ object TextOps {
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(denyPhrases.nonEmpty, "keywordRedact: need at least one phrase")
     docs.select(col(idCol),
-      call_function("keyword_redact", col(textCol),
-        lit(denyPhrases.distinct.sorted.toArray)).as("masked"))
+      TextFunctions.keywordRedact(col(textCol), denyPhrases).as("masked"))
   }
 }
