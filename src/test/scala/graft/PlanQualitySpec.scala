@@ -213,6 +213,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), s"keywordSpot joins the dictionary:\n$plan")
     val line = plan.linesIterator.find(_.contains("keyword_matches")).getOrElse("")
     assert(line.contains("*("), s"keyword_matches fell out of codegen:\n$plan")
+    // the whole family shares the mechanism — spans and redact stay narrow
+    // and codegen'd too
+    val spans = graft.operators.TextOps.keywordSpans(t.documents, Seq("fast table"))
+    val spansPlan = spans.queryExecution.executedPlan.toString
+    assert(!spansPlan.contains("Exchange"), s"keywordSpans shuffles:\n$spansPlan")
+    assert(spansPlan.linesIterator.exists(l =>
+      l.contains("keyword_spans") && l.contains("*(")),
+      s"keyword_spans fell out of codegen:\n$spansPlan")
+    val red = graft.operators.TextOps.keywordRedact(t.documents, Seq("fast table"))
+    val redPlan = red.queryExecution.executedPlan.toString
+    assert(!redPlan.contains("Exchange"), s"keywordRedact shuffles:\n$redPlan")
+    assert(redPlan.linesIterator.exists(l =>
+      l.contains("keyword_redact") && l.contains("*(")),
+      s"keyword_redact fell out of codegen:\n$redPlan")
   }
 
   test("blocklist filter rewrites to the early-exit keyword_any probe") {
