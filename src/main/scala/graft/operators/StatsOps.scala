@@ -187,6 +187,68 @@ object StatsOps {
         col("n_b").cast("long").as("n_b"))
   }
 
+  /** Mann–Whitney AUC: the probability a ranked scorer puts a random
+    * positive above a random negative (ties count ½) — THE evaluation
+    * metric for curation scorers (quality classifiers, dedup signals,
+    * language ID confidence): "does this score actually separate the
+    * classes", threshold-free.
+    *
+    * Scale shape: identical to [[ksTest]] — one conditional aggregation
+    * collapses the corpus to per-distinct-score (nPos, nNeg) counts, then
+    * the below-score negative count comes from the two-phase prefix sum
+    * over in-plan-derived range blocks (the offsets table is provably
+    * ≤ nBlocks rows for any input). The rank-sum accumulates as
+    * 2U = Σ nPos(v)·(2·cumNegBelow(v) + nNeg(v)) in EXACT integers
+    * (decimal against 100-TB-scale products), so AUC is
+    * partition-layout-independent down to the one final division.
+    * Degenerate inputs (one class absent) yield NULL, mirrored in the
+    * oracle. */
+  def aucMannWhitney(df: DataFrame, scoreCol: Column, isPos: Column,
+                     nBlocks: Int = 4096): DataFrame = {
+    require(nBlocks >= 1 && nBlocks <= (1 << 20),
+      s"nBlocks must be in [1, 2^20] (the offsets table must stay model-sized), got $nBlocks")
+    val counts = df
+      .where(scoreCol.isNotNull)
+      .groupBy(scoreCol.as("v"))
+      .agg(
+        sum(when(isPos, 1L).otherwise(0L)).as("np"),
+        sum(when(isPos, 0L).otherwise(1L)).as("nn"))
+    val bounds = counts.agg(
+      sum("np").as("n_pos"), sum("nn").as("n_neg"),
+      min("v").cast("double").as("vmin"), max("v").cast("double").as("vmax"))
+    val blocked = counts.crossJoin(broadcast(bounds))
+      .withColumn("blk",
+        when(col("vmax") <= col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("vmin")) / ((col("vmax") - col("vmin")) / nBlocks)),
+            lit(nBlocks - 1L))))
+    val partials = blocked.groupBy("blk").agg(sum("nn").as("blk_n"))
+    val wOff = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("off_n", coalesce(sum("blk_n").over(wOff), lit(0L)))
+      .select("blk", "off_n")
+    val wBelow = Window.partitionBy("blk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blocked
+      .join(broadcast(offsets), Seq("blk"))
+      .withColumn("cum_below", col("off_n") + coalesce(sum("nn").over(wBelow), lit(0L)))
+      // exact-integer rank sum; decimal(19,0) factors so the product and its
+      // running sum stay exact at 100-TB cardinalities (long² would overflow)
+      .select(
+        (col("np").cast("decimal(19,0)") *
+          (col("cum_below") * 2 + col("nn")).cast("decimal(19,0)")).as("u2"),
+        col("n_pos"), col("n_neg"))
+      .groupBy("n_pos", "n_neg")
+      .agg(sum("u2").as("u2"))
+      .select(
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
+          .otherwise(round(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .as("auc"),
+        col("n_pos").cast("long").as("n_pos"),
+        col("n_neg").cast("long").as("n_neg"))
+  }
+
   /** Pre-aggregated HLL sketch rollup: one DataSketches HLL sketch of
     * `valueCol` per `keyCols` group (Spark's built-in `hll_sketch_agg`).
     *

@@ -106,6 +106,18 @@ object AnalyticsQueries {
         isA = col("event_type") === "purchase")
     },
 
+    // Mann–Whitney AUC of `value` ranking purchases above other events —
+    // the threshold-free scorer-evaluation metric for curation classifiers
+    // and dedup signals. Exact-integer rank sum via the same two-phase
+    // blocked prefix sum as q_ks_test; one final division.
+    "q_score_auc" -> { t =>
+      import org.apache.spark.sql.functions._
+      graft.operators.StatsOps.aucMannWhitney(
+        t.events.where(col("event_type").isNotNull),
+        scoreCol = col("value"),
+        isPos = col("event_type") === "purchase")
+    },
+
     // Mutual information I(event_type; value band) in nats, plus the
     // min-entropy-normalized score — chi-square's information-theoretic
     // sibling for feature-relevance ranking. One corpus aggregation; all
@@ -370,6 +382,25 @@ object AnalyticsQueries {
         |SELECT round(max(abs(cum_a * 1.0 / n_a - cum_b * 1.0 / n_b)), 6) AS ks_stat,
         |  CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b
         |FROM m, t""".stripMargin.replaceAll("\\s+", " "),
+
+    // Exact-integer rank sum (2U), one final division — any engine
+    // difference in cumulative ordering or tie handling shifts an integer.
+    "q_score_auc" ->
+      """WITH e AS (
+        |  SELECT value AS v, event_type = 'purchase' AS p FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT v, sum(CASE WHEN p THEN 1 ELSE 0 END) AS np,
+        |        sum(CASE WHEN p THEN 0 ELSE 1 END) AS nn
+        |      FROM e GROUP BY v),
+        |t AS (SELECT sum(np) AS n_pos, sum(nn) AS n_neg FROM g),
+        |c AS (SELECT v, np, nn,
+        |        coalesce(sum(nn) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM g)
+        |SELECT round(sum(np * (2 * cum + nn)) / (2.0 * max(n_pos) * max(n_neg)), 6) + 0
+        |    AS auc,
+        |  CAST(max(n_pos) AS BIGINT) AS n_pos, CAST(max(n_neg) AS BIGINT) AS n_neg
+        |FROM c, t""".stripMargin.replaceAll("\\s+", " "),
 
     // Same windows-over-the-contingency-table shape as q_chi_square; the
     // per-cell entropy terms divide by the other side's cell count so each

@@ -136,6 +136,47 @@ class AnalyticsOpsSpec extends SparkSpec {
       .as[(Double, Long, Long)].collect().head == ((0.0, 2L, 1L)))
   }
 
+  test("aucMannWhitney: closed forms, tie handling, block invariance, brute-force parity") {
+    def auc(rows: Seq[(Double, Boolean)], blocks: Int = 4096) =
+      StatsOps.aucMannWhitney(rows.toDF("v", "p"), col("v"), col("p"), nBlocks = blocks)
+        .as[(Option[Double], Long, Long)].collect().head
+    // perfect separation → 1.0; inverted → 0.0; identical scores → 0.5
+    assert(auc(Seq((3.0, true), (4.0, true), (1.0, false), (2.0, false)))
+      == ((Some(1.0), 2L, 2L)))
+    assert(auc(Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false)))
+      == ((Some(0.0), 2L, 2L)))
+    assert(auc(Seq((5.0, true), (5.0, true), (5.0, false)))
+      == ((Some(0.5), 2L, 1L)))
+    // textbook mixed case with a tie, checked against the pair count:
+    // pos {1,3,3}, neg {2,3}: pairs won 3 (3>2 twice, 3>2) ... compute
+    // brute force instead of hand-arithmetic
+    val rows = Seq((1.0, true), (3.0, true), (3.0, true), (2.0, false), (3.0, false))
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val brute = (for (a <- pos; b <- neg)
+      yield if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum / (pos.size * neg.size)
+    val got = auc(rows)._1.get
+    assert(math.abs(got - BigDecimal(brute).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // nBlocks shards computation only
+    assert(auc(rows, blocks = 1) == auc(rows, blocks = 4096)
+      && auc(rows, blocks = 3) == auc(rows, blocks = 4096))
+    // degenerate single-class input → NULL auc, not a division error
+    assert(auc(Seq((1.0, true), (2.0, true))) == ((None, 2L, 0L)))
+    // randomized parity with the brute-force pair count
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 10) {
+      val rs = Seq.fill(30)((rnd.nextInt(8).toDouble, rnd.nextBoolean()))
+      val p = rs.filter(_._2).map(_._1)
+      val n = rs.filterNot(_._2).map(_._1)
+      if (p.nonEmpty && n.nonEmpty) {
+        val bf = (for (a <- p; b <- n)
+          yield if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum / (p.size * n.size)
+        val g = auc(rs)._1.get
+        assert(math.abs(g - bf) < 1e-6, s"rows=$rs got=$g brute=$bf")
+      }
+    }
+  }
+
   test("rollingDistinctActives counts trailing-window distinct keys") {
     val day = 86_400_000_000_000L
     // user 1 active day 0; user 2 active days 0 and 2; window = 3 days
