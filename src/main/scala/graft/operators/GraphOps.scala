@@ -176,6 +176,58 @@ object GraphOps {
       .groupBy(col("e.node").as("node")).agg(sum(col("e.c")).as("n_tri"))
   }
 
+  /** k-core decomposition by synchronous iterative peeling (Matula–Beck
+    * 1983 degeneracy peel, batch-synchronous form): drop every node whose
+    * degree in the CURRENT subgraph is < k, recompute degrees over the
+    * survivors, repeat to fixpoint. The survivors are exactly the k-core
+    * — the maximal subgraph where every member keeps ≥ k neighbours — the
+    * community-backbone / spam-farm filter a graph tier runs before
+    * centrality. Returns (node, deg) with `deg` the node's degree WITHIN
+    * the core.
+    *
+    * `edges` must carry both directions of each undirected edge (the
+    * [[coOccurrenceEdges]] contract), so per-src row counts are degrees.
+    *
+    * Scale shape: each round is one key aggregation over the surviving
+    * edge relation plus two semi-joins on node keys — hash-distributed,
+    * AQE-splittable, no driver state beyond the 1-row survivor-count
+    * probe. Rounds = peel depth of the graph, not data size. LAZY
+    * checkpoints truncate the per-round lineage and are materialized by
+    * the very next survivor-count probe — one job per round, the
+    * [[graft.operators.DedupOps.connectedComponents]] job-count pattern.
+    * Convergence is count equality: the survivor set only ever shrinks,
+    * so equal counts ⇒ equal sets. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    var prevNodes = -1L
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint(false) // materialized by the count probe below
+      val n = keep.count()
+      if (n == prevNodes) converged = true
+      else {
+        e = e
+          .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint(false) // materialized by next round's probe
+        prevNodes = n
+      }
+      rounds += 1
+    }
+    require(converged || prevNodes == 0L,
+      s"kCore did not converge within $maxRounds rounds — raise maxRounds")
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
+
   /** Weighted PageRank by fixed-iteration power iteration.
     *
     * rank₀ = 1/N; rankₖ₊₁(v) = (1-d)/N + d·Σ_{(u,v)∈E} rankₖ(u)·w(u,v)/outw(u).

@@ -265,4 +265,47 @@ object QuantileOps {
         round(least(greatest(col(valCol), col("__qlo")), col("__qhi")), scale))
       .drop("__qlo", "__qhi")
   }
+
+  /** Per-group robust (median/MAD) outlier detection — the heavy-tail-safe
+    * counterpart of z-scoring (Iglewicz & Hoaglin 1993's modified z-score):
+    * robust_z = 0.6745·(x − median)/MAD with MAD = median(|x − median|).
+    * Mean/stddev scoring breaks down exactly when outliers are present
+    * (the outliers inflate the stddev that is supposed to flag them);
+    * median and MAD have 50% breakdown, so this is the curation-tier
+    * screen for corrupt numeric features. Emits one row per flagged value
+    * (|robust_z| > cutoff).
+    *
+    * Determinism contract: both medians come from [[exactQuantiles]]
+    * rounded at `scale` BEFORE any arithmetic, so the score is a single
+    * fixed expression over engine-identical inputs — no accumulation
+    * order. Groups with MAD = 0 (over half the values identical) have no
+    * defined scale and are skipped, matching the SQL oracle's `mad > 0`.
+    *
+    * Scale shape: two [[exactQuantiles]] passes (each distribution-safe by
+    * that operator's own crossover) + two broadcast joins of the per-group
+    * stats (|groups| rows) onto the data — the data itself never
+    * shuffles for scoring. */
+  def robustOutliers(df: DataFrame, groupCol: String, idCol: String,
+                     valCol: String, cutoff: Double = 3.5,
+                     scale: Int = 6): DataFrame = {
+    val med = exactQuantiles(df, groupCol, valCol,
+      ps = Seq("__med" -> 0.5), scale = scale)
+    val withMed = df.select(col(groupCol), col(idCol), col(valCol))
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col(valCol) - col("__med")))
+    val mad = exactQuantiles(withMed, groupCol, "__dev",
+      ps = Seq("__mad" -> 0.5), scale = scale)
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .where(col("__mad") > 0)
+      .withColumn("robust_z",
+        lit(0.6745) * (col(valCol) - col("__med")) / col("__mad"))
+      .where(abs(col("robust_z")) > cutoff)
+      // 6 dp, not 4: the 2-decimal source data can land z exactly on a
+      // 4th-decimal half-tie, where Spark's decimal HALF_UP and a
+      // float-multiply round() disagree; at 6 dp the same expansion ends
+      // .99…/.00… — unambiguous for both rounding implementations.
+      .select(col(groupCol), col(idCol), col(valCol),
+        col("__med").as("med"), col("__mad").as("mad"),
+        round(col("robust_z"), 6).as("robust_z"))
+  }
 }

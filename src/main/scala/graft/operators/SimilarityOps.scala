@@ -225,6 +225,38 @@ object SimilarityOps {
         col("lbl").as("neg_label"), col("rank"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Semantic benchmark decontamination: flag every corpus vector whose
+    * cosine against ANY benchmark/eval-set vector reaches `threshold` —
+    * the embedding-space counterpart of n-gram decontamination (an eval
+    * item paraphrased into the training corpus shares no 13-gram but
+    * sits at cosine ≈ 1). Emits one row per contaminated corpus id with
+    * its best-matching benchmark id (max sim, lowest bench id on ties).
+    *
+    * Scale shape: the benchmark set is model-sized (eval suites are
+    * thousands of items, the corpus is the 100-TB side), so it broadcasts
+    * and the corpus is scanned ONCE with the scoring fully codegen'd —
+    * no corpus shuffle before the per-id max aggregation, which carries
+    * only flagged ids (threshold-pruned, ≪ corpus). For benchmark sets
+    * past the broadcast budget, swap the scoring join for [[banded]] LSH
+    * candidates exactly as [[nearDupPairsLsh]] does — the aggregation
+    * composes unchanged. */
+  def contaminationScreen(corpus: DataFrame, benchmark: DataFrame,
+                          threshold: Double,
+                          vecCol: String = "embedding",
+                          idCol: String = "vec_id"): DataFrame = {
+    val c = prepared(corpus, vecCol, idCol)
+    val b = prepared(benchmark, vecCol, idCol)
+      .select(col("id").as("bench_id"), col("v").as("bv"), col("nrm").as("bnrm"))
+    c.join(broadcast(b), col("id") =!= col("bench_id"))
+      .withColumn("sim", cosinePrenormed(col("bv"), col("v"), col("bnrm"), col("nrm")))
+      .where(col("sim") >= threshold)
+      .groupBy(col("id"))
+      .agg(min(struct((lit(-1.0) * col("sim")).as("negSim"),
+        col("bench_id").as("bid"))).as("m"))
+      .select(col("id").as("vec_id"), col("m.bid").as("bench_id"),
+        round(lit(-1.0) * col("m.negSim"), 4).as("sim"))
+  }
+
   /** (id, band, bucket) rows: `bands` bands of `nPlanes` hyperplane sign
     * bits each, one row per band. Only ids and two small ints go through the
     * candidate join — vectors are re-fetched for scoring afterwards, so the

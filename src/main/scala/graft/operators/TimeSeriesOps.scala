@@ -198,4 +198,59 @@ object TimeSeriesOps {
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Per-key seasonal decomposition of an event-count series — the
+    * classical additive split cnt = level + seasonal + trend-residual the
+    * monitoring tier reads before alerting on raw counts (a Monday-morning
+    * surge is seasonality, not drift):
+    *
+    *  - `seasonal(phase)` = mean count at this phase-of-period minus the
+    *    key's overall mean (seasonal-means estimator);
+    *  - `trend` = centered moving average over 2·halfWindow+1 consecutive
+    *    observed buckets (NULL until the frame is full — no partial-frame
+    *    estimates at the series edges);
+    *  - `resid` = cnt − seasonal − trend, the de-seasonalized
+    *    de-trended surprise an anomaly rule thresholds.
+    *
+    * Determinism contract: every estimate is ONE division of an exact
+    * integer window sum (counts are longs; long sums are order-exact), so
+    * no floating-point accumulation order enters the result — the same
+    * discipline as the PSI/chi-square tier. The MA frame is ROWS-based
+    * over observed buckets; run [[resampleFill]] upstream when gaps should
+    * occupy frame slots.
+    *
+    * Scale shape: the input to every window is the (key, bucket) rollup —
+    * calendar-sized, not data-sized (hours × keys rows at bucketNs=1h) —
+    * and all three windows partition by key, so no task ever sees more
+    * than one key's calendar span. */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsNsCol: String,
+                        bucketNs: Long, period: Int, halfWindow: Int): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive, got $bucketNs")
+    require(period > 1, s"period must be > 1 buckets, got $period")
+    require(halfWindow > 0, s"halfWindow must be positive, got $halfWindow")
+    val frameLen = 2 * halfWindow + 1
+    val counts = df
+      .select(col(keyCol).as("k"), floorDiv(col(tsNsCol), bucketNs).as("bucket"))
+      .groupBy("k", "bucket").agg(count(lit(1)).as("n"))
+    val wKey = Window.partitionBy(col("k"))
+    val wPhase = Window.partitionBy(col("k"), col("phase"))
+    val wMa = Window.partitionBy(col("k")).orderBy(col("bucket"))
+      .rowsBetween(-halfWindow, halfWindow)
+    counts
+      .withColumn("phase", pmod(col("bucket"), lit(period.toLong)))
+      .withColumn("key_mean",
+        sum(col("n")).over(wKey) / count(lit(1)).over(wKey))
+      .withColumn("phase_mean",
+        sum(col("n")).over(wPhase) / count(lit(1)).over(wPhase))
+      .withColumn("trend",
+        when(count(lit(1)).over(wMa) === frameLen,
+          sum(col("n")).over(wMa) / lit(frameLen.toDouble)))
+      .select(col("k").as(keyCol),
+        (col("bucket") * lit(bucketNs)).as("bucket_ns"),
+        col("n"),
+        round(col("phase_mean") - col("key_mean"), 6).as("seasonal"),
+        round(col("trend"), 6).as("trend"),
+        round(col("n") - (col("phase_mean") - col("key_mean")) - col("trend"), 6)
+          .as("resid"))
+  }
 }

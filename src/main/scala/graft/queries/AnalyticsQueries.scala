@@ -300,6 +300,37 @@ object AnalyticsQueries {
           GraphOps.coOccurrenceEdges(t.lineitem, "l_orderkey", "l_partkey"),
           iterations = 5)
         .orderBy("node")
+    },
+
+    // 2-core of the support-≥2 co-purchase backbone (the q_triangle_count
+    // graph): iterative peel to fixpoint, degree reported within the core.
+    "q_kcore" -> { t =>
+      import org.apache.spark.sql.functions.col
+      GraphOps.kCore(
+          GraphOps.coOccurrenceEdges(t.lineitem, "l_orderkey", "l_partkey")
+            .where(col("w") >= 2),
+          k = 2)
+        .orderBy("node")
+    },
+
+    // Additive seasonal decomposition of the hourly event-count series per
+    // event type: seasonal-means over a 24-hour period + a 25-point
+    // centered-MA trend; resid is the de-seasonalized surprise. Every
+    // estimate is one division of an exact integer sum (determinism
+    // contract in TimeSeriesOps).
+    "q_seasonal_decompose" -> { t =>
+      TimeSeriesOps.seasonalDecompose(t.events, "event_type", "ts",
+          bucketNs = 3600L * 1000 * 1000 * 1000, period = 24, halfWindow = 12)
+        .orderBy("event_type", "bucket_ns")
+    },
+
+    // Median/MAD robust outlier screen of event values per type (modified
+    // z-score at the standard 3.5 cutoff) — the heavy-tail-safe
+    // counterpart of q_anomaly_zscore's mean/stddev scoring.
+    "q_robust_outliers" -> { t =>
+      QuantileOps.robustOutliers(t.events, "event_type", "event_id", "value",
+          cutoff = 3.5)
+        .orderBy("event_type", "event_id")
     }
   )
 
@@ -332,7 +363,81 @@ object AnalyticsQueries {
       s" FROM r$iters ORDER BY node").replaceAll("\\s+", " ")
   }
 
+  /** DuckDB lacks iterate-to-fixpoint recursion with shrinking sets, so the
+    * k-core oracle unrolls the synchronous peel as chained CTEs — generated,
+    * like the PageRank oracle, so the round bound stays in one place. The
+    * peel is monotone, so any round count ≥ the true peel depth yields the
+    * fixpoint; `rounds` carries >2× headroom over the measured depth at
+    * sf0.1 (5), and the engine side converges by probe, so a depth beyond
+    * the bound would surface as an oracle mismatch, never silently.
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED is load-bearing: each peel references its predecessor
+    // three times, so DuckDB's default CTE inlining would expand the chain
+    // ~5^rounds-fold (observed as an fd-exhaustion error on the base scan).
+    val base =
+      """WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.item AS u, b.item AS v
+        |  FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      s""", n$i AS MATERIALIZED (SELECT n FROM (
+         |    SELECT u AS n FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+         |  GROUP BY n HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN n$i a ON a.n = e.u JOIN n$i b ON b.n = e.v)""".stripMargin
+    }.mkString
+    (base + peels +
+      s" SELECT n AS node, CAST(count(*) AS BIGINT) AS deg FROM (" +
+      s" SELECT u AS n FROM e$rounds UNION ALL SELECT v FROM e$rounds)" +
+      s" GROUP BY n ORDER BY node").replaceAll("\\s+", " ")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_kcore" -> kcoreOracleSql(k = 2, rounds = 12),
+
+    // Every estimate is one division of exact integer sums; +0 folds
+    // DuckDB's -0.0 rounding artifacts to the engine's 0.0.
+    "q_seasonal_decompose" ->
+      """WITH c AS (
+        |  SELECT event_type AS k, epoch_ns(ts) // 3600000000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT k, bucket, n,
+        |    CAST(sum(n) OVER (PARTITION BY k) AS DOUBLE)
+        |      / (count(*) OVER (PARTITION BY k)) AS km,
+        |    CAST(sum(n) OVER (PARTITION BY k, bucket % 24) AS DOUBLE)
+        |      / (count(*) OVER (PARTITION BY k, bucket % 24)) AS pm,
+        |    CASE WHEN count(*) OVER ma = 25
+        |      THEN CAST(sum(n) OVER ma AS DOUBLE) / 25.0 END AS trend
+        |  FROM c
+        |  WINDOW ma AS (PARTITION BY k ORDER BY bucket
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))
+        |SELECT k AS event_type, bucket * 3600000000000 AS bucket_ns, n,
+        |  round(pm - km, 6) + 0 AS seasonal,
+        |  round(trend, 6) + 0 AS trend,
+        |  round(n - (pm - km) - trend, 6) + 0 AS resid
+        |FROM w ORDER BY 1, 2""".stripMargin.replaceAll("\\s+", " "),
+
+    // Both medians round at 6 dp BEFORE any arithmetic (the operator's
+    // determinism contract); robust_z sits beyond ±3.5 so needs no -0 fold.
+    "q_robust_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, round(median(value), 6) AS med
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, e.event_id, e.value, m.med,
+        |    abs(e.value - m.med) AS dev
+        |  FROM events e JOIN m USING (event_type) WHERE e.value IS NOT NULL),
+        |md AS (
+        |  SELECT event_type, round(median(dev), 6) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type, d.event_id, d.value, d.med, md.mad,
+        |  round(0.6745 * (d.value - d.med) / md.mad, 6) AS robust_z
+        |FROM d JOIN md USING (event_type)
+        |WHERE md.mad > 0 AND abs(0.6745 * (d.value - d.med) / md.mad) > 3.5
+        |ORDER BY d.event_type, d.event_id""".stripMargin.replaceAll("\\s+", " "),
+
     "q_ab_test" ->
       """WITH f AS (
         |  SELECT user_id % 4 AS segment, event_type, value FROM events

@@ -71,6 +71,22 @@ object SimilarityQueries {
         .orderBy("ida", "idb")
     },
 
+    // Semantic benchmark decontamination: the "benchmark" is by
+    // construction a leak — a ×2-scaled copy of every 19th corpus vector
+    // (exact in FP, cosine exactly 1 against its source; the planting
+    // convention of q_embedding_neardup_lsh) carried under bench ids
+    // +500000. At τ = 0.8 only the leaked items flag (the corpus's
+    // natural cross-similarity ceiling is 0.52 at sf0.1), so the oracle
+    // re-derives the screen end-to-end from the same parquet.
+    "q_semantic_decontaminate" -> { t =>
+      val bench = t.embeddings.where(col("vec_id") % 19 === 0)
+        .select((col("vec_id") + 500000L).as("vec_id"),
+          transform(graft.functions.VectorFunctions.toDouble(col("embedding")),
+            x => x * lit(2.0d)).as("embedding"))
+      SimilarityOps.contaminationScreen(t.embeddings, bench, threshold = 0.8)
+        .orderBy("vec_id")
+    },
+
     // ANN scale path: banded hyperplane-LSH candidates + exact rescoring.
     // 40 bands × 2 planes drive per-neighbour miss probability below 1e-7
     // even at this corpus's weakest top-5 similarity (0.26), and rescoring
@@ -235,6 +251,26 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The scaled-copy norm is recomputed from the scaled vector exactly as
+    // the engine does (×2 is exact FP scaling, so sqrt(4S) = 2·sqrt(S)
+    // bitwise); dot argument order mirrors cosinePrenormed(bv, v).
+    "q_semantic_decontaminate" ->
+      (dotCte + """,
+        |b AS (
+        |  SELECT vec_id + 500000 AS bench_id, list_transform(e, x -> x * 2.0) AS be
+        |  FROM n WHERE vec_id % 19 = 0),
+        |bn AS (SELECT bench_id, be, sqrt(list_dot_product(be, be)) AS bnrm FROM b),
+        |p AS (
+        |  SELECT c.vec_id, bn.bench_id,
+        |    list_dot_product(bn.be, c.e) / (bn.bnrm * c.nrm) AS sim
+        |  FROM n c JOIN bn ON c.vec_id <> bn.bench_id),
+        |f AS (
+        |  SELECT vec_id, bench_id, sim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id) AS rn
+        |  FROM p WHERE sim >= 0.8)
+        |SELECT vec_id, bench_id, round(sim, 4) AS sim
+        |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin).replaceAll("\\s+", " "),
+
     "q_similarity_topk" ->
       (dotCte + """,
         |p AS (

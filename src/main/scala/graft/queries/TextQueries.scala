@@ -681,6 +681,43 @@ object TextQueries {
     // bounded top-k; the regression runs over k rows only.
     "q_zipf_slope" -> { t =>
       TextOps.zipfSlope(t.documents, k = 100)
+    },
+
+    // Dataset card: the one-row corpus health summary a release ships with
+    // (datasheets-for-datasets tier) — volume, provenance/lang diversity,
+    // exact-dup rate, short-doc rate, dominant language share, length
+    // quantiles. ONE corpus scan carries every distinct aggregate (Expand
+    // multi-distinct plan) + one vocabulary-free lang rollup; the 1-row
+    // summaries meet in broadcast crossJoins. Ratios are single divisions
+    // of exact integers (deterministic); the length quantiles use the
+    // exact `percentile` aggregate — its value-buffering merge is safe
+    // here only because n_chars has bounded cardinality; swap for
+    // QuantileOps.exactQuantiles when the value column is unbounded.
+    "q_dataset_card" -> { t =>
+      import graft.functions.TextFunctions.tokens
+      val d = t.documents
+      val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(size(tokens(col("text"))).cast("long")).as("total_tokens"),
+        sum(when(size(tokens(col("text"))) < lit(20), 1L).otherwise(0L)).as("n_short"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup"),
+        percentile(col("n_chars"), lit(0.5)).as("chars_p50"),
+        percentile(col("n_chars"), lit(0.95)).as("chars_p95"))
+      val topLang = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("lang")).limit(1)
+        .select(col("lang").as("top_lang"), col("c").as("top_lang_docs"))
+      base.crossJoin(broadcast(topLang))
+        .select(
+          col("n_docs"), col("n_sources"), col("n_langs"), col("total_tokens"),
+          round(col("total_tokens") / col("n_docs"), 6).as("mean_doc_tokens"),
+          round(col("n_dup") / col("n_docs"), 6).as("dup_rate"),
+          round(col("n_short") / col("n_docs"), 6).as("short_rate"),
+          col("top_lang"),
+          round(col("top_lang_docs") / col("n_docs"), 6).as("top_lang_share"),
+          round(col("chars_p50"), 6).as("chars_p50"),
+          round(col("chars_p95"), 6).as("chars_p95"))
     }
   )
 
@@ -1550,6 +1587,33 @@ object TextQueries {
         |SELECT CAST(count(*) AS BIGINT) AS n_ranks,
         |  round(covar_pop(y, x) / var_pop(x), 6) + 0 AS slope,
         |  round(avg(y) - covar_pop(y, x) / var_pop(x) * avg(x), 6) + 0 AS intercept
-        |FROM r""".stripMargin.replaceAll("\\s+", " ")
+        |FROM r""".stripMargin.replaceAll("\\s+", " "),
+
+    // Every ratio is one division of exact integers; sums CAST to BIGINT so
+    // DuckDB's HUGEINT sums don't drift to float driver-side. The length
+    // quantiles rely on the q_median/q_percentiles interpolation parity.
+    "q_dataset_card" ->
+      """WITH b AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |    CAST(sum(CASE WHEN len(string_split(text, ' ')) < 20 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_short,
+        |    CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup,
+        |    quantile_cont(n_chars, 0.5) AS chars_p50,
+        |    quantile_cont(n_chars, 0.95) AS chars_p95
+        |  FROM documents),
+        |tl AS (SELECT lang AS top_lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1 ORDER BY c DESC, top_lang LIMIT 1)
+        |SELECT n_docs, n_sources, n_langs, total_tokens,
+        |  round(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS mean_doc_tokens,
+        |  round(CAST(n_dup AS DOUBLE) / n_docs, 6) AS dup_rate,
+        |  round(CAST(n_short AS DOUBLE) / n_docs, 6) AS short_rate,
+        |  top_lang,
+        |  round(CAST(c AS DOUBLE) / n_docs, 6) AS top_lang_share,
+        |  round(chars_p50, 6) AS chars_p50,
+        |  round(chars_p95, 6) AS chars_p95
+        |FROM b, tl""".stripMargin.replaceAll("\\s+", " ")
   )
 }

@@ -617,6 +617,8 @@ class PlanQualitySpec extends SparkSpec {
       "q_psi"                -> "broadcast per-snapshot row totals (1 row each)",
       "q_temperature_sample" -> "broadcast total corpus count (1 row)",
       "q_similarity_topk"    -> "broadcast query vector (k query rows)",
+      "q_semantic_decontaminate" -> "broadcast benchmark/eval panel (model-sized, ≠ predicate)",
+      "q_dataset_card"       -> "broadcast 1-row top-lang summary onto the 1-row corpus aggregate",
       "q_similarity_topk_agg"-> "broadcast query vector (k query rows)",
       "q_hybrid_retrieval"   -> "broadcast query vector (1 row) via bruteForceTopK",
       "q_adc_topk"           -> "broadcast PQ lookup tables (k × nsub × 256 model rows)",

@@ -213,6 +213,79 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
   }
 
+  test("seasonalDecompose: pure periodic series has exact phase seasonals and zero interior residuals") {
+    val hour = 3_600_000_000_000L
+    // one key, 15 hourly buckets tiling THREE full periods of 5 with
+    // counts (1,2,3,4,5) per phase: mean=3, seasonal(phase p)=p+1-3,
+    // and any 5-bucket MA covers each phase once → trend=3 everywhere
+    // the frame is full, so resid = cnt - seasonal - trend = 0 exactly
+    val rows = for {
+      b <- 0 until 15
+      i <- 0 until (b % 5) + 1
+    } yield ("k", b * hour + i)
+    val out = TimeSeriesOps.seasonalDecompose(rows.toDF("event_type", "ts"),
+        "event_type", "ts", bucketNs = hour, period = 5, halfWindow = 2)
+      .orderBy("bucket_ns").collect()
+    assert(out.length == 15)
+    out.foreach { r =>
+      val b = (r.getLong(1) / hour).toInt
+      assert(r.getLong(2) == (b % 5) + 1) // n
+      assert(r.getDouble(3) == (b % 5) + 1 - 3.0, s"seasonal at bucket $b")
+      if (b >= 2 && b <= 12) {
+        assert(r.getDouble(4) == 3.0, s"trend at bucket $b")
+        assert(r.getDouble(5) == 0.0, s"resid at bucket $b")
+      } else {
+        assert(r.isNullAt(4) && r.isNullAt(5), s"edge bucket $b must have null trend/resid")
+      }
+    }
+  }
+
+  test("seasonalDecompose partitions per key: a second key's series never leaks into the first") {
+    val hour = 3_600_000_000_000L
+    val rows = (0 until 15).flatMap { b =>
+      Seq.fill((b % 5) + 1)(("a", b * hour)) ++ Seq.fill(100)(("b", b * hour))
+    }
+    val out = TimeSeriesOps.seasonalDecompose(rows.toDF("event_type", "ts"),
+        "event_type", "ts", bucketNs = hour, period = 5, halfWindow = 2)
+      .where($"event_type" === "a").orderBy("bucket_ns").collect()
+    // key a's decomposition is unchanged by key b's flat 100s
+    assert(out.forall(r => r.getDouble(3) == (r.getLong(1) / hour % 5) + 1 - 3.0))
+  }
+
+  test("robustOutliers flags the heavy tail and skips MAD-zero groups") {
+    val df = (Seq(8.0, 9.0, 10.0, 11.0, 12.0, 1000.0).zipWithIndex.map {
+        case (v, i) => ("g", i.toLong, v)
+      } ++ Seq(5.0, 5.0, 5.0, 5.0, 100.0).zipWithIndex.map {
+        case (v, i) => ("z", 100L + i, v) // MAD = 0: over half identical
+      }).toDF("event_type", "event_id", "value")
+    val out = QuantileOps.robustOutliers(df, "event_type", "event_id", "value",
+      cutoff = 3.5).collect()
+    // group g: median 10.5, MAD 1.5 → only 1000.0 crosses 3.5
+    //   z = 0.6745·(1000−10.5)/1.5 = 444.9451666̄ → 444.945167 at 6 dp
+    assert(out.length == 1, s"expected exactly the planted outlier: ${out.mkString(",")}")
+    val r = out.head
+    assert(r.getString(0) == "g" && r.getLong(1) == 5L)
+    assert(r.getDouble(3) == 10.5 && r.getDouble(4) == 1.5)
+    assert(r.getDouble(5) == 444.945167)
+  }
+
+  test("contaminationScreen flags exactly the leaked vectors, lowest bench id on ties") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // two benchmark items are scaled copies of corpus 2 (ids 20 < 21),
+    // one is orthogonal to everything in the corpus
+    val bench = Seq(
+      (20L, Seq(0.0f, 2.0f, 0.0f)),
+      (21L, Seq(0.0f, 3.0f, 0.0f)),
+      (30L, Seq(0.7f, -0.7f, 0.0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.contaminationScreen(corpus, bench, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((2L, 20L, 1.0)),
+      s"only corpus 2 leaks, matched to bench 20 by tie-break: ${out.mkString(",")}")
+  }
+
   test("transitionCounts builds the per-key consecutive-pair matrix") {
     val e = Seq(
       (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),

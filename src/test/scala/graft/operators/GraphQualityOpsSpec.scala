@@ -46,6 +46,27 @@ class GraphQualityOpsSpec extends SparkSpec {
     assert(!r.keySet.exists { case (a, b) => a == 30L || b == 30L })
   }
 
+  test("kCore peels pendants transitively and reports within-core degrees") {
+    // triangle {1,2,3} + chain 1-4-5: the 2-core is exactly the triangle,
+    // reached only after TWO peel rounds (5 falls first, then 4 — a
+    // one-shot degree filter would wrongly keep 4, whose raw degree is 2)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val core = GraphOps.kCore(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"2-core should be the bare triangle with in-core degree 2: $core")
+  }
+
+  test("kCore on a tree is empty at k=2; k=1 keeps every non-isolated node") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L)) // path graph
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    assert(GraphOps.kCore(edges, k = 2).count() == 0L)
+    val k1 = GraphOps.kCore(edges, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k1 == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("pageRank converges toward degree-proportional mass on a symmetric graph") {
     // path graph a-b-c: b is twice as central as the endpoints
     val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
