@@ -280,4 +280,104 @@ object StatsOps {
     merged.withColumn("distinct_est", hll_sketch_estimate(col("hll")).cast("long"))
       .drop("hll")
   }
+
+  /** Calibration audit (reliability diagram + expected calibration error)
+    * of a probabilistic scorer against observed outcomes — the companion
+    * to [[aucMannWhitney]]: AUC says whether a quality classifier RANKS
+    * well; calibration says whether its probabilities can be TRUSTED as
+    * sampling weights (a curation pipeline that keeps docs with
+    * p(good) ≥ 0.8 needs 0.8 to mean 80%).
+    *
+    * `confUnits` must be the confidence in EXACT fixed-point units of
+    * 1/`scale` (e.g. `least(round(value*100), 10000)` for 2-dp data at
+    * scale 10000). Working in integer units is what makes the audit
+    * deterministic: per-bin accuracy, mean confidence, the signed gap and
+    * ECE are all single divisions of exact integer sums —
+    *   gap_b = (scale·pos_b − Σunits_b) / (scale·n_b)
+    *   ECE   = Σ_b |scale·pos_b − Σunits_b| / (scale·N)
+    * so no floating-point accumulation order enters any output.
+    *
+    * Scale shape: ONE conditional aggregation collapses the corpus to
+    * ≤ nBins rows (the shuffle carries integer partials only), then the
+    * corpus-level ECE joins back as a broadcast 1-row aggregate of that
+    * model-sized bin table — no unpartitioned window, no second scan.
+    * Decimal(38) sums: Σunits can reach scale·|rows| ≈ 10^16 at 100-TB
+    * cardinalities, inside decimal range but past safe long·long products. */
+  def calibration(df: DataFrame, confUnits: Column, isPos: Column,
+                  scale: Long = 10000L, nBins: Int = 10): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    require(nBins >= 2 && nBins <= 10000,
+      s"nBins must be in [2, 10000] (the bin table must stay model-sized), got $nBins")
+    val bins = df
+      .where(confUnits.isNotNull)
+      .groupBy(least(floor((confUnits * nBins) / scale), lit(nBins - 1L))
+        .cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(isPos, 1L).otherwise(0L)).as("n_pos"),
+        sum(confUnits.cast("decimal(38,0)")).as("cs"))
+    val totals = bins.agg(
+      sum("n").as("nn"),
+      sum(abs(col("n_pos").cast("decimal(38,0)") * scale - col("cs"))).as("en"))
+    bins.crossJoin(broadcast(totals))
+      .select(
+        col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("acc"),
+        round(col("cs").cast("double") / (lit(scale.toDouble) * col("n")), 6)
+          .as("mean_conf"),
+        round((col("n_pos").cast("decimal(38,0)") * scale - col("cs")).cast("double") /
+          (lit(scale.toDouble) * col("n")), 6).as("gap"),
+        round(col("en").cast("double") / (lit(scale.toDouble) * col("nn")), 6)
+          .as("ece"))
+  }
+
+  /** Benford first-significant-digit probabilities log10(1 + 1/d),
+    * d = 1..9, as fixed literals so the engine and any SQL oracle use
+    * bit-identical expectations (no cross-engine log10 dependency). */
+  val BenfordP: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  /** Benford's-law conformance screen over a positive 2-dp money/metric
+    * column — the classic fabricated-data / broken-feed detector for a
+    * data-quality tier: naturally occurring multi-magnitude amounts follow
+    * P(d) = log10(1+1/d); synthetic, clipped, or unit-mangled feeds don't.
+    * Emits one row per leading digit with observed count, expected count,
+    * and the digit's chi-square contribution (obs−exp)²/exp.
+    *
+    * Determinism contract: the leading digit comes from the DECIMAL STRING
+    * of the exact integer `round(value·100)` — never from floor(log10(x)),
+    * whose cross-engine boundary behavior at exact powers of ten is not
+    * trustworthy. Counts are exact integers; each emitted term is a fixed
+    * expression of (n_d, N) and the literal [[BenfordP]] table.
+    *
+    * Scale shape: one conditional aggregation to a 9-row digit table (the
+    * shuffle carries 9 integer partials), then the row total joins back as
+    * a broadcast 1-row aggregate — same two-level rollup as
+    * [[calibration]]. */
+  def benfordScreen(df: DataFrame, valCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = df
+      .where(valCol.isNotNull && valCol > 0)
+      .groupBy(substring(round(valCol * 100).cast("decimal(38,0)")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val expected = broadcast(
+      BenfordP.zipWithIndex
+        .map { case (p, i) => (i + 1, p) }
+        .toDF("digit", "p_exp"))
+    val total = digits.agg(sum("n_obs").as("nn"))
+    // (obs-exp)² as an explicit product, not pow(x, 2): IEEE multiplication
+    // is bit-identical across engines; pow's last-ulp freedom is not.
+    val dev = col("n_obs") - col("nn") * col("p_exp")
+    digits.join(expected, Seq("digit"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("digit"), col("n_obs"),
+        round(col("p_exp"), 6).as("p_exp"),
+        round(col("nn") * col("p_exp"), 4).as("n_exp"),
+        round(dev * dev / (col("nn") * col("p_exp")), 6).as("chi2_term"))
+  }
 }

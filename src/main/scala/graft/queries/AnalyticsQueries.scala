@@ -118,6 +118,31 @@ object AnalyticsQueries {
         isPos = col("event_type") === "purchase")
     },
 
+    // Reliability diagram + expected calibration error of value-as-
+    // probability (2-dp value → exact fixed-point units of 1/10000, capped
+    // at 1.0) against purchase outcomes — AUC's companion: does 0.8 mean
+    // 80%? Every output is one division of exact integer sums.
+    "q_calibration" -> { t =>
+      import org.apache.spark.sql.functions._
+      graft.operators.StatsOps.calibration(
+          // value IS NOT NULL up front: least() skips NULL args (both
+          // engines), so a NULL value would otherwise read as conf = 1.0
+          t.events.where(col("value").isNotNull),
+          confUnits = least(round(col("value") * 100), lit(10000.0)).cast("long"),
+          isPos = col("event_type") === "purchase")
+        .orderBy("bin")
+    },
+
+    // Benford first-digit conformance of order totals — the fabricated-
+    // data / broken-feed screen. Leading digit from the decimal string of
+    // exact integer cents (never floor(log10)); expectations are the
+    // shared literal table.
+    "q_benford" -> { t =>
+      import org.apache.spark.sql.functions._
+      graft.operators.StatsOps.benfordScreen(t.orders, col("o_totalprice"))
+        .orderBy("digit")
+    },
+
     // Mutual information I(event_type; value band) in nats, plus the
     // min-entropy-normalized score — chi-square's information-theoretic
     // sibling for feature-relevance ranking. One corpus aggregation; all
@@ -506,6 +531,51 @@ object AnalyticsQueries {
         |    AS auc,
         |  CAST(max(n_pos) AS BIGINT) AS n_pos, CAST(max(n_neg) AS BIGINT) AS n_neg
         |FROM c, t""".stripMargin.replaceAll("\\s+", " "),
+
+    // Mirrors the engine's exact-integer formulation: counts and Σunits
+    // per bin, every readout one division; `+ 0` folds -0.0 on the signed
+    // gap. cu*10//10000 is integer floor division in both engines.
+    "q_calibration" ->
+      """WITH e AS (
+        |  SELECT least(CAST(round(value * 100) AS BIGINT), 10000) AS cu,
+        |    event_type = 'purchase' AS p
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT least(cu * 10 // 10000, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    sum(cu) AS cs
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT sum(n) AS nn, sum(abs(10000 * n_pos - cs)) AS en FROM b)
+        |SELECT bin, n, n_pos,
+        |  round(CAST(n_pos AS DOUBLE) / n, 6) AS acc,
+        |  round(CAST(cs AS DOUBLE) / (10000.0 * n), 6) AS mean_conf,
+        |  round((10000.0 * n_pos - CAST(cs AS DOUBLE)) / (10000.0 * n), 6) + 0 AS gap,
+        |  round(CAST(en AS DOUBLE) / (10000.0 * nn), 6) AS ece
+        |FROM b, t ORDER BY bin""".stripMargin.replaceAll("\\s+", " "),
+
+    // Same shared-literal expectation table as the engine (no cross-engine
+    // log10); (obs-exp)² as an explicit product, pow's ulp freedom avoided.
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        |  GROUP BY 1),
+        |p AS (SELECT * FROM (VALUES
+        |  (1, 0.3010299956639812), (2, 0.17609125905568124),
+        |  (3, 0.12493873660829992), (4, 0.09691001300805642),
+        |  (5, 0.07918124604762482), (6, 0.06694678963061322),
+        |  (7, 0.05799194697768673), (8, 0.05115252244738129),
+        |  (9, 0.04575749056067514)) AS v(digit, p_exp)),
+        |t AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS nn FROM d)
+        |SELECT d.digit, d.n_obs, round(p.p_exp, 6) AS p_exp,
+        |  round(t.nn * p.p_exp, 4) AS n_exp,
+        |  round((d.n_obs - t.nn * p.p_exp) * (d.n_obs - t.nn * p.p_exp)
+        |    / (t.nn * p.p_exp), 6) AS chi2_term
+        |FROM d JOIN p USING (digit), t ORDER BY digit""".stripMargin
+        .replaceAll("\\s+", " "),
 
     // Same windows-over-the-contingency-table shape as q_chi_square; the
     // per-cell entropy terms divide by the other side's cell count so each

@@ -286,6 +286,51 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"only corpus 2 leaks, matched to bench 20 by tie-break: ${out.mkString(",")}")
   }
 
+  test("calibration: closed-form bins, exact-integer gap and ECE") {
+    // scale 100, 2 bins. bin0: units 10 (pos) + 30 (neg) → acc .5,
+    // mean_conf .2, gap (100−40)/200 = .3; bin1: 90 (pos) → acc 1,
+    // mean_conf .9, gap .1. ECE = (|100−40|+|100−90|)/(100·3) = 7/30.
+    val df = Seq((10L, true), (30L, false), (90L, true))
+      .toDF("cu", "pos")
+    val out = StatsOps.calibration(df, col("cu"), col("pos"),
+        scale = 100L, nBins = 2)
+      .orderBy("bin").collect()
+    assert(out.length == 2)
+    val b0 = out(0); val b1 = out(1)
+    assert(b0.getLong(0) == 0L && b0.getLong(1) == 2L && b0.getLong(2) == 1L)
+    assert(b0.getDouble(3) == 0.5 && b0.getDouble(4) == 0.2 && b0.getDouble(5) == 0.3)
+    assert(b1.getLong(0) == 1L && b1.getDouble(3) == 1.0 &&
+      b1.getDouble(4) == 0.9 && b1.getDouble(5) == 0.1)
+    assert(out.forall(_.getDouble(6) == 0.233333)) // ECE repeated per row
+  }
+
+  test("calibration clamps the top edge into the last bin") {
+    // cu = scale lands in bin nBins−1, not a phantom bin nBins
+    val df = Seq((100L, true), (0L, false)).toDF("cu", "pos")
+    val bins = StatsOps.calibration(df, col("cu"), col("pos"),
+        scale = 100L, nBins = 10)
+      .orderBy("bin").collect().map(_.getLong(0)).toSeq
+    assert(bins == Seq(0L, 9L))
+  }
+
+  test("benfordScreen: string-of-cents digit extraction and closed-form terms") {
+    // one value per leading digit (0.05 → cents 5 → digit 5; 123.45 →
+    // 12345 → digit 1; 9000.00 → digit 9); zero/null rows dropped
+    val df = Seq(Some(123.45), Some(0.05), Some(9000.0), Some(0.0), None)
+      .toDF("v")
+    val out = StatsOps.benfordScreen(df, col("v")).orderBy("digit").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 5, 9))
+    assert(out.forall(_.getLong(1) == 1L))
+    // digit 1 with N=3: exp = 3·0.3010299956639812 = 0.9030899869919436
+    val d1 = out(0)
+    assert(d1.getDouble(2) == 0.30103) // p_exp at 6 dp
+    assert(d1.getDouble(3) == 0.9031)  // n_exp at 4 dp
+    val exp1 = 3 * 0.3010299956639812
+    val want = BigDecimal((1 - exp1) * (1 - exp1) / exp1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d1.getDouble(4) == want)
+  }
+
   test("transitionCounts builds the per-key consecutive-pair matrix") {
     val e = Seq(
       (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
