@@ -338,6 +338,20 @@ object AnalyticsQueries {
         .orderBy("node")
     },
 
+    // Link prediction on the support-≥2 co-purchase backbone: every
+    // non-adjacent part pair sharing a neighbour, scored by common
+    // neighbours, Jaccard, Adamic–Adar, resource allocation. minCommon=1
+    // keeps the candidate table non-degenerate at every SF (the sf0.1
+    // backbone is sparse); maxDegree caps the wedge blow-up.
+    "q_link_predict" -> { t =>
+      import org.apache.spark.sql.functions.col
+      GraphOps.linkPrediction(
+          GraphOps.coOccurrenceEdges(t.lineitem, "l_orderkey", "l_partkey")
+            .where(col("w") >= 2),
+          minCommon = 1, maxDegree = 100)
+        .orderBy("x", "y")
+    },
+
     // Additive seasonal decomposition of the hourly event-count series per
     // event type: seasonal-means over a 24-hour period + a 25-point
     // centered-MA trend; resid is the de-seasonalized surprise. Every
@@ -420,6 +434,31 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q_kcore" -> kcoreOracleSql(k = 2, rounds = 12),
+
+    // Wedge pairs through ≤100-degree centers only (mirrors maxDegree);
+    // endpoint degrees for Jaccard stay UNcapped. cn and the Jaccard
+    // denominator are exact integers; AA/RA compare at 6 dp.
+    "q_link_predict" ->
+      """WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.item AS u, b.item AS v
+        |  FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u AS n, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+        |d AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY n),
+        |c AS (SELECT a1.nb AS x, a2.nb AS y, d.deg
+        |  FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.nb < a2.nb
+        |  JOIN d ON d.n = a1.n WHERE d.deg <= 100),
+        |s AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn,
+        |    sum(1.0 / ln(deg)) AS aa, sum(1.0 / deg) AS ra
+        |  FROM c GROUP BY x, y HAVING count(*) >= 1),
+        |ne AS (SELECT s.* FROM s LEFT JOIN e ON s.x = e.u AND s.y = e.v
+        |  WHERE e.u IS NULL)
+        |SELECT ne.x, ne.y, ne.cn,
+        |  round(CAST(ne.cn AS DOUBLE) / (dx.deg + dy.deg - ne.cn), 6) AS jaccard,
+        |  round(ne.aa, 6) AS adamic_adar,
+        |  round(ne.ra, 6) AS resource_alloc
+        |FROM ne JOIN d dx ON dx.n = ne.x JOIN d dy ON dy.n = ne.y
+        |ORDER BY ne.x, ne.y""".stripMargin.replaceAll("\\s+", " "),
 
     // Every estimate is one division of exact integer sums; +0 folds
     // DuckDB's -0.0 rounding artifacts to the engine's 0.0.

@@ -67,6 +67,41 @@ class GraphQualityOpsSpec extends SparkSpec {
     assert(k1 == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("linkPrediction scores non-adjacent pairs and excludes existing edges") {
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4) share two degree-2
+    // neighbours → cn 2, jaccard 2/(2+2−2)=1, aa 2/ln2, ra 1; the four
+    // edges themselves must NOT appear
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.linkPrediction(edges, minCommon = 1)
+      .orderBy("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val aa2 = BigDecimal(2.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, 1.0, aa2, 1.0),
+      (2L, 4L, 2L, 1.0, aa2, 1.0)))
+  }
+
+  test("linkPrediction maxDegree drops hub centers but keeps full endpoint degrees") {
+    // star center 10 connects leaves 1..4 (plus edge 1-2): every candidate
+    // pair is a wedge through the degree-4 hub, so maxDegree=3 empties the
+    // output; uncapped, the leaf pairs appear with FULL endpoint degrees
+    val und = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (1L, 2L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    assert(GraphOps.linkPrediction(edges, minCommon = 1, maxDegree = 3).count() == 0L)
+    val out = GraphOps.linkPrediction(edges, minCommon = 1)
+      .orderBy("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // (1,2) is an edge → excluded; (1,3): d(1)=2 (neighbours 2,10), d(3)=1
+    // → jaccard 1/(2+1−1)=0.5; (3,4): two degree-1 leaves → 1/(1+1−1)=1
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 0.5), (1L, 4L, 1L, 0.5),
+      (2L, 3L, 1L, 0.5), (2L, 4L, 1L, 0.5),
+      (3L, 4L, 1L, 1.0)))
+  }
+
   test("pageRank converges toward degree-proportional mass on a symmetric graph") {
     // path graph a-b-c: b is twice as central as the endpoints
     val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
