@@ -641,4 +641,84 @@ object TextOps {
     docs.select(col(idCol),
       TextFunctions.keywordRedact(col(textCol), denyPhrases).as("masked"))
   }
+
+  /** Flesch readability per document — reading-ease and Flesch–Kincaid
+    * grade from the classic word/sentence/syllable counts (Flesch 1948;
+    * Kincaid 1975): the interpretable prose-complexity signal a curation
+    * tier uses alongside the LM/classifier quality scores (a 90+ ease
+    * score is simple prose; negative means run-on technical text).
+    *
+    * Heuristic counts, engine-mirrorable by construction:
+    *  - words = whitespace-split length (the q_token_count convention);
+    *  - sentences = runs of `[.!?]+`, clamped to ≥ 1 (a fragment still
+    *    reads as one sentence — and the clamp keeps the division total);
+    *  - syllables = per-word vowel-group count `[aeiouy]+`, clamped to
+    *    ≥ 1 per word (every spoken word has a syllable).
+    *
+    * Determinism: all three counts are exact integers; each score is ONE
+    * fixed double expression of them (the Flesch constants are exact in
+    * binary64 arithmetic either way since both engines evaluate the same
+    * literal expression), rounded at 6 dp.
+    *
+    * Scale shape: a pure per-row projection — no shuffle, no state; the
+    * regex work is codegen'd string scanning in the scan stage. */
+  def readability(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nWords = size(words).cast("long")
+    val nSent = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"))
+    val nSyl = aggregate(words, lit(0L),
+      (acc, w) => acc + greatest(lit(1L),
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long")))
+    val wps = nWords.cast("double") / nSent.cast("double")
+    val spw = nSyl.cast("double") / nWords.cast("double")
+    docs
+      .where(col(textCol).isNotNull && nWords > 0)
+      .select(col(idCol), nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyl.as("n_syllables"),
+        round(wps, 6).as("words_per_sentence"),
+        round(spw, 6).as("syllables_per_word"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6).as("flesch_ease"),
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6).as("fk_grade"))
+  }
+
+  /** Corpus concentration over a provenance column — Gini coefficient,
+    * Herfindahl–Hirschman index, and dominant-source share of the
+    * per-source document distribution: the one-look "is this corpus a
+    * monoculture" balance check that complements q_source_profile's
+    * per-source detail and q_dataset_card's dominant-language share.
+    *
+    * Determinism: with c_i the per-source counts ranked ascending by
+    * (count, source), Gini = (2·Σ i·c_i − (n+1)·Σc_i) / (n·Σc_i) — every
+    * term an exact integer sum, one final division; HHI = Σc_i²/(Σc_i)²
+    * and top share likewise.
+    *
+    * Scale shape: the corpus collapses to the |sources|-row rollup in one
+    * aggregation; the ranking window runs over that model-sized table
+    * only (allowlisted in the global-window audit), and the final
+    * aggregate is a second one-row reduction. */
+  def sourceConcentration(docs: DataFrame, srcCol: String = "source"): DataFrame = {
+    val counts = docs
+      .groupBy(col(srcCol).as("s"))
+      .agg(count(lit(1)).as("c"))
+    // rank over the |sources|-row table (bounded single-partition window)
+    val ranked = counts.withColumn("i",
+      row_number().over(Window.orderBy(col("c"), col("s"))).cast("long"))
+    ranked.agg(
+        count(lit(1)).as("n_sources"),
+        sum("c").as("n_docs"),
+        sum(col("i") * col("c")).as("sic"),
+        sum(col("c") * col("c")).as("scc"),
+        max("c").as("cmax"))
+      .select(
+        col("n_sources"), col("n_docs"),
+        round((lit(2L) * col("sic") - (col("n_sources") + 1L) * col("n_docs"))
+          .cast("double") / (col("n_sources") * col("n_docs")).cast("double"), 6)
+          .as("gini"),
+        round(col("scc").cast("double") /
+          (col("n_docs").cast("double") * col("n_docs").cast("double")), 6).as("hhi"),
+        round(col("cmax").cast("double") / col("n_docs").cast("double"), 6)
+          .as("top_share"))
+  }
 }

@@ -683,6 +683,21 @@ object TextQueries {
       TextOps.zipfSlope(t.documents, k = 100)
     },
 
+    // Flesch reading-ease + FK grade per document: exact integer
+    // word/sentence/syllable counts (vowel-group heuristic, per-word ≥1
+    // clamp), each score one fixed expression — a pure codegen'd
+    // projection, no shuffle.
+    "q_readability" -> { t =>
+      TextOps.readability(t.documents).orderBy("doc_id")
+    },
+
+    // Corpus concentration over provenance: Gini + HHI + dominant-source
+    // share from the |sources|-row rollup; every term an exact integer
+    // sum, one division each.
+    "q_source_gini" -> { t =>
+      TextOps.sourceConcentration(t.documents)
+    },
+
     // Dataset card: the one-row corpus health summary a release ships with
     // (datasheets-for-datasets tier) — volume, provenance/lang diversity,
     // exact-dup rate, short-doc rate, dominant language share, length
@@ -1588,6 +1603,60 @@ object TextQueries {
         |  round(covar_pop(y, x) / var_pop(x), 6) + 0 AS slope,
         |  round(avg(y) - covar_pop(y, x) / var_pop(x) * avg(x), 6) + 0 AS intercept
         |FROM r""".stripMargin.replaceAll("\\s+", " "),
+
+    // Same split/regex conventions as the engine (whitespace split keeps
+    // empties; per-word ≥1 syllable clamp); scores are fixed expressions
+    // of exact integers, `+ 0` folds -0.0 on the two signable scores.
+    "q_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+        |    AS n_sentences,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT)
+        |    AS n_syllables,
+        |  round(CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |    / greatest(1, len(regexp_extract_all(text, '[.!?]+'))), 6)
+        |    AS words_per_sentence,
+        |  round(CAST(list_sum(list_transform(string_split(text, ' '),
+        |      w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS syllables_per_word,
+        |  round(206.835
+        |    - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |      / greatest(1, len(regexp_extract_all(text, '[.!?]+'))))
+        |    - 84.6 * (CAST(list_sum(list_transform(string_split(text, ' '),
+        |        w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS DOUBLE)
+        |      / len(string_split(text, ' '))), 6) + 0 AS flesch_ease,
+        |  round(0.39 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |      / greatest(1, len(regexp_extract_all(text, '[.!?]+'))))
+        |    + 11.8 * (CAST(list_sum(list_transform(string_split(text, ' '),
+        |        w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS DOUBLE)
+        |      / len(string_split(text, ' ')))
+        |    - 15.59, 6) + 0 AS fk_grade
+        |FROM documents
+        |WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0
+        |ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    // Ascending (count, source) ranking, NULLS FIRST to match Spark's
+    // default null ordering; every term an exact integer sum.
+    "q_source_gini" ->
+      """WITH c AS (
+        |  SELECT source AS s, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT c,
+        |  CAST(row_number() OVER (ORDER BY c, s NULLS FIRST) AS BIGINT) AS i
+        |  FROM c),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(sum(i * c) AS BIGINT) AS sic,
+        |  CAST(sum(c * c) AS BIGINT) AS scc,
+        |  CAST(max(c) AS BIGINT) AS cmax FROM r)
+        |SELECT n_sources, n_docs,
+        |  round(CAST(2 * sic - (n_sources + 1) * n_docs AS DOUBLE)
+        |    / (n_sources * n_docs), 6) AS gini,
+        |  round(CAST(scc AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs), 6) AS hhi,
+        |  round(CAST(cmax AS DOUBLE) / n_docs, 6) AS top_share
+        |FROM a""".stripMargin.replaceAll("\\s+", " "),
 
     // Every ratio is one division of exact integers; sums CAST to BIGINT so
     // DuckDB's HUGEINT sums don't drift to float driver-side. The length

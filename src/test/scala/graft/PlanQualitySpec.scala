@@ -572,6 +572,7 @@ class PlanQualitySpec extends SparkSpec {
       "q_token_budget"     -> "budget prefix over per-bucket subtotals (bucket count rows)",
       "q_filter_cascade"   -> "cumulative survivors over per-stage counts (|filters| rows)",
       "q_zipf_slope"       -> "ranks the top-k token-frequency table (k=100 rows by construction)",
+      "q_source_gini"      -> "ranks the per-source rollup (|sources| rows by construction)",
       "q_ks_test"          -> "cumulative offsets over per-block subtotals (block count rows)",
       "q_score_auc"        -> "cumulative offsets over per-block subtotals (block count rows, q_ks_test's shape)"
     )
@@ -632,7 +633,9 @@ class PlanQualitySpec extends SparkSpec {
       "q_market_basket"      -> "1-row basket count folded into the src-stats broadcast build",
       "q_mutual_info"        -> "broadcast grand total (1 row, q_chi_square's shape)",
       "q_ks_test"            -> "broadcast sample totals + value range (1 row)",
-      "q_score_auc"          -> "broadcast class totals + value range (1 row, q_ks_test's shape)"
+      "q_score_auc"          -> "broadcast class totals + value range (1 row, q_ks_test's shape)",
+      "q_calibration"        -> "broadcast row-total + ECE numerator (1 row over the ≤nBins table)",
+      "q_benford"            -> "broadcast digit-row total (1 row over the 9-digit table)"
     )
     val (issues, bnljSeen) = SparkEntry.queries.toSeq.foldLeft(
         (Seq.empty[String], Set.empty[String])) { case ((is, seen), (name, fn)) =>

@@ -70,6 +70,43 @@ class OpsSpec extends SparkSpec {
     assert(out._2 < 0, "Zipf slope must be negative on a decaying spectrum")
   }
 
+  test("readability computes the Flesch scores from clamped heuristic counts") {
+    // "see the dog. it ran!?" → words 5, sentence runs {"." , "!?"} = 2,
+    // syllables: see 1 + the 1 + dog. 1 + it 1 + ran!? 1 = 5
+    // (every word here is one vowel group); "xz qt" → 2 words, 0 vowel
+    // groups but the per-word clamp makes 2 syllables, sentences clamp to 1
+    val d = Seq((1L, "see the dog. it ran!?"), (2L, "xz qt"))
+      .toDF("doc_id", "text")
+    val out = TextOps.readability(d).orderBy("doc_id").collect()
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r1 = out(0)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((5L, 2L, 5L)))
+    assert(r1.getDouble(4) == 2.5 && r1.getDouble(5) == 1.0)
+    assert(r1.getDouble(6) == r6(206.835 - 1.015 * 2.5 - 84.6 * 1.0))
+    assert(r1.getDouble(7) == r6(0.39 * 2.5 + 11.8 * 1.0 - 15.59))
+    val r2 = out(1)
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == ((2L, 1L, 2L)))
+  }
+
+  test("sourceConcentration: closed-form Gini/HHI on a skewed split") {
+    // counts 1,1,2,4 ascending → Gini = (2·(1·1+2·1+3·2+4·4) − 5·8)/(4·8)
+    // = (2·25 − 40)/32 = 10/32 = 0.3125; HHI = (1+1+4+16)/64 = 0.34375
+    val d = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c") ++ Seq("d"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val r = TextOps.sourceConcentration(d).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 8L)
+    assert(r.getDouble(2) == 0.3125)
+    assert(r.getDouble(3) == 0.34375)
+    assert(r.getDouble(4) == 0.5)
+  }
+
+  test("sourceConcentration is 0 Gini on a perfectly balanced corpus") {
+    val d = (0 until 9).map(i => (i.toLong, s"s${i % 3}")).toDF("doc_id", "source")
+    val r = TextOps.sourceConcentration(d).collect().head
+    assert(r.getDouble(2) == 0.0 && r.getDouble(4) == BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("exact dedup groups identical content") {
     val withCopy = docs.union(docs.limit(1))
     val out = DedupOps.exact(withCopy).where(col("n_dupes") > 1).collect()
