@@ -253,4 +253,73 @@ object TimeSeriesOps {
         round(col("n") - (col("phase_mean") - col("key_mean")) - col("trend"), 6)
           .as("resid"))
   }
+
+  /** Lead–lag cross-correlation between two event-count series: Pearson
+    * r of (x_t, y_{t+lag}) for every lag in [−maxLag, maxLag] over the
+    * zero-filled bucket grid — the "does clicking LEAD purchasing, and by
+    * how many hours" probe (and, in a pipeline-health tier, "does source
+    * A's volume anticipate source B's"). A peak at positive lag means x
+    * leads y by that many buckets.
+    *
+    * Determinism contract: both series are integer counts on a shared
+    * dense grid, so all six Pearson sufficient statistics (n, Σx, Σy,
+    * Σx², Σy², Σxy) are EXACT integer sums per lag; r is one fixed
+    * expression of them — numerator and both variance terms computed in
+    * decimal(38,0), converted to double, one divide and one IEEE sqrt.
+    * Zero-variance lags (a constant series slice) yield NULL, mirrored
+    * in the oracle.
+    *
+    * Scale shape: the corpus collapses to the bucket rollup in one
+    * aggregation (calendar-sized — hours, not events); the zero-fill
+    * sequence explode and its lag window run over that rollup only
+    * (q_autocorr's allowlisted shape), and the lag fan-out is a broadcast
+    * of 2·maxLag+1 rows joined back on an equi key. Nothing data-sized
+    * ever re-shuffles. */
+  def crossCorrelation(df: DataFrame, tsNsCol: String, bucketNs: Long,
+                       isX: Column, isY: Column, maxLag: Int): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive, got $bucketNs")
+    require(maxLag >= 1 && maxLag <= 10000,
+      s"maxLag must be in [1, 10000] (the lag table broadcasts), got $maxLag")
+    val sparse = df
+      .select(floorDiv(col(tsNsCol), bucketNs).as("bucket"),
+        isX.as("px"), isY.as("py"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("px"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("py"), 1L).otherwise(0L)).as("y"))
+    // dense zero-filled grid: emit every bucket in (prev, bucket] — the
+    // resampleFill gap trick; the global lag window runs over the
+    // calendar-sized rollup only. Materialized once: it feeds both join
+    // sides below.
+    val w = Window.orderBy("bucket")
+    val dense = sparse
+      .withColumn("prev", lag("bucket", 1).over(w))
+      .select(col("bucket"), col("x"), col("y"),
+        explode(sequence(coalesce(col("prev") + lit(1L), col("bucket")),
+          col("bucket"))).as("b"))
+      .select(col("b"),
+        when(col("b") === col("bucket"), col("x")).otherwise(lit(0L)).as("x"),
+        when(col("b") === col("bucket"), col("y")).otherwise(lit(0L)).as("y"))
+      .localCheckpoint(true)
+    val lags = df.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").as("lag"))
+    val stats = dense.crossJoin(broadcast(lags))
+      .join(dense.select(col("b").as("b2"), col("y").as("y2")),
+        col("b2") === col("b") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y2").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y2") * col("y2")).as("syy"),
+        sum(col("x") * col("y2")).as("sxy"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val num = dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
+    val d1 = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+    val d2 = dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))
+    stats.select(col("lag"), col("n"),
+      when(d1 <= 0 || d2 <= 0, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") /
+          sqrt(d1.cast("double") * d2.cast("double")), 6))
+        .as("xcorr"))
+  }
 }

@@ -363,6 +363,20 @@ object AnalyticsQueries {
         .orderBy("event_type", "bucket_ns")
     },
 
+    // Lead–lag cross-correlation: does hourly click volume lead purchase
+    // volume? Pearson r of (clicks_t, purchases_{t+lag}) for lag −6..6
+    // over the zero-filled hourly grid; six exact-integer sufficient
+    // statistics per lag, one division + one IEEE sqrt.
+    "q_crosscorr" -> { t =>
+      import org.apache.spark.sql.functions.col
+      TimeSeriesOps.crossCorrelation(t.events, "ts",
+          bucketNs = 3600L * 1000 * 1000 * 1000,
+          isX = col("event_type") === "click",
+          isY = col("event_type") === "purchase",
+          maxLag = 6)
+        .orderBy("lag")
+    },
+
     // Median/MAD robust outlier screen of event values per type (modified
     // z-score at the standard 3.5 cutoff) — the heavy-tail-safe
     // counterpart of q_anomaly_zscore's mean/stddev scoring.
@@ -459,6 +473,32 @@ object AnalyticsQueries {
         |  round(ne.ra, 6) AS resource_alloc
         |FROM ne JOIN d dx ON dx.n = ne.x JOIN d dy ON dy.n = ne.y
         |ORDER BY ne.x, ne.y""".stripMargin.replaceAll("\\s+", " "),
+
+    // Same dense-grid + shifted self-join; the Pearson terms stay integer
+    // (HUGEINT) until the final CASTs, matching the engine's decimal path.
+    "q_crosscorr" ->
+      """WITH c AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS b,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+        |g AS (SELECT unnest(generate_series(lo, hi)) AS b FROM bounds),
+        |d AS (SELECT g.b, coalesce(c.x, 0) AS x, coalesce(c.y, 0) AS y
+        |  FROM g LEFT JOIN c USING (b)),
+        |l AS (SELECT i AS lag FROM range(-6, 7) AS t(i)),
+        |s AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(d.x) AS sx, sum(d2.y) AS sy,
+        |    sum(d.x * d.x) AS sxx, sum(d2.y * d2.y) AS syy,
+        |    sum(d.x * d2.y) AS sxy
+        |  FROM l CROSS JOIN d JOIN d d2 ON d2.b = d.b + l.lag
+        |  GROUP BY 1)
+        |SELECT lag, n,
+        |  CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+        |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0 END AS xcorr
+        |FROM s ORDER BY lag""".stripMargin.replaceAll("\\s+", " "),
 
     // Every estimate is one division of exact integer sums; +0 folds
     // DuckDB's -0.0 rounding artifacts to the engine's 0.0.

@@ -567,6 +567,7 @@ class PlanQualitySpec extends SparkSpec {
     val bounded = Map(
       "q_hybrid_retrieval" -> "ranks the BM25 top-50 table (k rows)",
       "q_autocorr"         -> "lag windows over the daily rollup (calendar-sized)",
+      "q_crosscorr"        -> "gap-fill lag over the hourly rollup (calendar-sized)",
       "q_skyline"          -> "cross-bucket prefix max over bucket maxima (≈x-range/bucketWidth rows)",
       "q_pack_sequences"   -> "offset prefix over per-bucket subtotals (bucket count rows)",
       "q_token_budget"     -> "budget prefix over per-bucket subtotals (bucket count rows)",

@@ -286,6 +286,30 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"only corpus 2 leaks, matched to bench 20 by tie-break: ${out.mkString(",")}")
   }
 
+  test("crossCorrelation peaks at the planted lead and NULLs zero-variance slices") {
+    val hour = 3_600_000_000_000L
+    // x counts (1,2,3) at buckets 0,1,2; y is x shifted one bucket later →
+    // lag +1 pairs (1,1),(2,2),(3,3) = perfect r 1.0; constant z NULLs out
+    def burst(tp: String, bucket: Int, n: Int) =
+      Seq.tabulate(n)(i => (bucket * hour + i, tp))
+    val rows = burst("a", 0, 1) ++ burst("a", 1, 2) ++ burst("a", 2, 3) ++
+      burst("b", 1, 1) ++ burst("b", 2, 2) ++ burst("b", 3, 3) ++
+      burst("z", 0, 1) ++ burst("z", 1, 1) ++ burst("z", 2, 1) ++ burst("z", 3, 1)
+    val df = rows.toDF("ts", "event_type")
+    val out = TimeSeriesOps.crossCorrelation(df, "ts", hour,
+        isX = $"event_type" === "a", isY = $"event_type" === "b", maxLag = 1)
+      .orderBy("lag").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(-1L, 0L, 1L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 4L, 3L)) // grid is 4 buckets
+    assert(out(2).getDouble(2) == 1.0, s"lag +1 must be the perfect lead: ${out.toSeq}")
+    assert(out(1).getDouble(2) < 1.0)
+    // constant series → zero variance at every lag → NULL r
+    val z = TimeSeriesOps.crossCorrelation(df, "ts", hour,
+        isX = $"event_type" === "z", isY = $"event_type" === "b", maxLag = 1)
+      .collect()
+    assert(z.forall(_.isNullAt(2)))
+  }
+
   test("calibration: closed-form bins, exact-integer gap and ECE") {
     // scale 100, 2 bins. bin0: units 10 (pos) + 30 (neg) → acc .5,
     // mean_conf .2, gap (100−40)/200 = .3; bin1: 90 (pos) → acc 1,
