@@ -322,4 +322,104 @@ object TimeSeriesOps {
           sqrt(d1.cast("double") * d2.cast("double")), 6))
         .as("xcorr"))
   }
+
+  /** Theil–Sen robust trend of the per-key daily event-count series: the
+    * median over all pairwise slopes (c_j − c_i)/(d_j − d_i), plus the
+    * matching median-residual intercept (Theil 1950; Sen 1968). The
+    * outlier-proof "is this source's volume actually declining" estimator
+    * — a single spiked day drags least squares but moves a 29%-breakdown
+    * median not at all; the trend sibling of [[graft.operators.QuantileOps.robustOutliers]].
+    *
+    * Determinism contract: every slope is ONE division of exact integer
+    * differences; both medians come from [[QuantileOps.exactQuantiles]]
+    * ROUNDED at `scale` before any further arithmetic (the intercept's
+    * residuals use the rounded slope), so the estimates are fixed
+    * expressions over engine-identical inputs.
+    *
+    * Scale shape: the corpus collapses to the (key, day) rollup first —
+    * pair volume is quadratic in the CALENDAR span (≤ ~10⁵ pairs per key
+    * per decade), never in the data; the pair generation is a key-local
+    * equi-join on the rollup and both median passes inherit
+    * exactQuantiles' own distribution-safe crossover. */
+  def theilSen(df: DataFrame, keyCol: String, tsNsCol: String,
+               scale: Int = 6): DataFrame = {
+    val counts = df
+      .select(col(keyCol).as("k"), floorDiv(col(tsNsCol), DayNs).as("d"))
+      .groupBy("k", "d").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the pair join twice + the resid pass
+    // explicit renames, not as("a")/as("b"): a self-join of one
+    // checkpointed plan shares attribute ids, and alias-qualified
+    // resolution can silently bind both sides to one attribute
+    val lhs = counts.select(col("k"), col("d").as("da"), col("n").as("na"))
+    val rhs = counts.select(col("k"), col("d").as("db"), col("n").as("nb"))
+    val pairs = lhs.join(rhs, Seq("k"))
+      .where(col("db") > col("da"))
+      .select(col("k"),
+        ((col("nb") - col("na")).cast("double") /
+          (col("db") - col("da")).cast("double")).as("slope"))
+    val sen = QuantileOps.exactQuantiles(pairs, "k", "slope",
+      ps = Seq("sen_slope" -> 0.5), scale = scale)
+    val resid = counts.join(broadcast(sen), Seq("k"))
+      .select(col("k"),
+        (col("n").cast("double") - col("sen_slope") * col("d").cast("double"))
+          .as("resid"))
+    val icpt = QuantileOps.exactQuantiles(resid, "k", "resid",
+      ps = Seq("sen_intercept" -> 0.5), scale = scale)
+    val nDays = counts.groupBy("k").agg(count(lit(1)).as("n_days"))
+    nDays.join(broadcast(sen), Seq("k")).join(broadcast(icpt), Seq("k"))
+      .select(col("k").as(keyCol), col("n_days"),
+        col("sen_slope"), col("sen_intercept"))
+  }
+
+  /** Per-key inter-arrival profile over the µs-truncated event stream:
+    * gap count, mean/max gap, coefficient of variation, and the
+    * Goh–Barabási burstiness score (σ−μ)/(σ+μ) ∈ (−1, 1) — the
+    * "is this feed a steady drip or correlated bursts" fingerprint a
+    * source-health tier reads next to volume (B → −1 periodic, 0
+    * Poisson, → 1 bursty). Keys with fewer than two events have no gap
+    * and emit nothing.
+    *
+    * Determinism contract: gaps order by (ts, id) so ties are stable;
+    * Σd and Σd² accumulate in decimal(38,0) (a day-long gap is ~10¹⁴ ns,
+    * its square 10²⁸ — far past long range), so
+    * σ² = (n·Σd² − (Σd)²)/n² is exact integer algebra down to one final
+    * division, and every emitted statistic is a fixed double expression
+    * of (n, Σd, Σd², max d). Zero-mean degenerate keys (all gaps 0) emit
+    * NULL cv/burstiness, mirrored in the oracle.
+    *
+    * Scale shape: one key-partitioned window (the lag) feeding one
+    * aggregation — single exchange, shuffle carries the event keys and
+    * one long each; the decimal sums are per-key scalars. */
+  def interArrival(df: DataFrame, keyCol: String, tsNsCol: String,
+                   idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("ts_us"), col("id"))
+    val gaps = df
+      .select(col(keyCol).as("k"),
+        // integral div, never `/`: epoch-ns exceeds 2^53, so a double
+        // division here silently wobbles the low microseconds
+        floorDiv(col(tsNsCol), 1000L).as("ts_us"),
+        col(idCol).as("id"))
+      .withColumn("d", col("ts_us") - lag("ts_us", 1).over(w))
+      .where(col("d").isNotNull)
+    val stats = gaps.groupBy("k").agg(
+      count(lit(1)).as("n"),
+      sum(col("d").cast("decimal(38,0)")).as("sd"),
+      sum(col("d").cast("decimal(38,0)") * col("d").cast("decimal(38,0)"))
+        .as("sdd"),
+      max("d").as("max_gap_us"))
+    val mu = col("sd").cast("double") / col("n").cast("double")
+    // population σ = sqrt(n·Σd² − (Σd)²)/n: exact integer radicand
+    val sig = sqrt((col("n").cast("decimal(38,0)") * col("sdd") -
+      col("sd") * col("sd")).cast("double")) / col("n").cast("double")
+    stats.select(col("k").as(keyCol), col("n").as("n_gaps"),
+      // 2 dp, not 6: a µs mean can reach 10^10+, and DuckDB's
+      // float-multiply round corrupts x·10⁶ past 2^53 — x·10² stays exact
+      // for any gap under ~3 years
+      round(mu, 2).as("mean_gap_us"),
+      col("max_gap_us"),
+      when(mu === 0.0, lit(null).cast("double"))
+        .otherwise(round(sig / mu, 6)).as("cv"),
+      when(sig + mu === 0.0, lit(null).cast("double"))
+        .otherwise(round((sig - mu) / (sig + mu), 6)).as("burstiness"))
+  }
 }

@@ -363,6 +363,22 @@ object AnalyticsQueries {
         .orderBy("event_type", "bucket_ns")
     },
 
+    // Theil–Sen robust trend of daily volume per event type: median of
+    // all pairwise slopes + median-residual intercept — the outlier-proof
+    // volume-trend estimator; pair volume is calendar-quadratic only.
+    "q_theil_sen" -> { t =>
+      TimeSeriesOps.theilSen(t.events, "event_type", "ts")
+        .orderBy("event_type")
+    },
+
+    // Inter-arrival profile per event type: mean/max gap, CV, and the
+    // Goh–Barabási burstiness score from exact decimal gap sums — the
+    // steady-drip vs correlated-bursts feed fingerprint.
+    "q_interarrival" -> { t =>
+      TimeSeriesOps.interArrival(t.events, "event_type", "ts", "event_id")
+        .orderBy("event_type")
+    },
+
     // Lead–lag cross-correlation: does hourly click volume lead purchase
     // volume? Pearson r of (clicks_t, purchases_{t+lag}) for lag −6..6
     // over the zero-filled hourly grid; six exact-integer sufficient
@@ -473,6 +489,50 @@ object AnalyticsQueries {
         |  round(ne.ra, 6) AS resource_alloc
         |FROM ne JOIN d dx ON dx.n = ne.x JOIN d dy ON dy.n = ne.y
         |ORDER BY ne.x, ne.y""".stripMargin.replaceAll("\\s+", " "),
+
+    // Both medians interpolate like the engine's exactQuantiles (the
+    // pinned quantile_cont parity); residuals use the ROUNDED slope on
+    // both sides; `+ 0` folds -0.0 on the signables.
+    "q_theil_sen" ->
+      """WITH c AS (
+        |  SELECT event_type AS k, epoch_ns(ts) // 86400000000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.k, CAST(b.n - a.n AS DOUBLE) / (b.d - a.d) AS slope
+        |  FROM c a JOIN c b ON a.k = b.k AND b.d > a.d),
+        |s AS (SELECT k, round(median(slope), 6) + 0 AS sen_slope FROM p GROUP BY k),
+        |r AS (SELECT c.k, CAST(c.n AS DOUBLE) - s.sen_slope * c.d AS resid
+        |  FROM c JOIN s USING (k)),
+        |i AS (SELECT k, round(median(resid), 6) + 0 AS sen_intercept FROM r GROUP BY k),
+        |nd AS (SELECT k, CAST(count(*) AS BIGINT) AS n_days FROM c GROUP BY k)
+        |SELECT nd.k AS event_type, nd.n_days, s.sen_slope, i.sen_intercept
+        |FROM nd JOIN s USING (k) JOIN i USING (k)
+        |ORDER BY event_type""".stripMargin.replaceAll("\\s+", " "),
+
+    // Gap sums in HUGEINT (a squared day-long µs gap is past BIGINT);
+    // σ² = (n·Σd² − (Σd)²)/n² stays exact until the final CASTs.
+    "q_interarrival" ->
+      """WITH e AS (
+        |  SELECT event_type AS k, epoch_us(ts) AS ts_us, event_id AS id
+        |  FROM events),
+        |g AS (SELECT k, ts_us - lag(ts_us) OVER
+        |    (PARTITION BY k ORDER BY ts_us, id) AS d
+        |  FROM e),
+        |s AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(d AS HUGEINT)) AS sd,
+        |    sum(CAST(d AS HUGEINT) * d) AS sdd,
+        |    CAST(max(d) AS BIGINT) AS max_gap_us
+        |  FROM g WHERE d IS NOT NULL GROUP BY k),
+        |m AS (SELECT k, n, max_gap_us,
+        |    CAST(sd AS DOUBLE) / n AS mu,
+        |    sqrt(CAST(n * sdd - sd * sd AS DOUBLE)) / n AS sig
+        |  FROM s)
+        |SELECT k AS event_type, n AS n_gaps, round(mu, 2) AS mean_gap_us,
+        |  max_gap_us,
+        |  CASE WHEN mu = 0 THEN NULL ELSE round(sig / mu, 6) END AS cv,
+        |  CASE WHEN sig + mu = 0 THEN NULL
+        |    ELSE round((sig - mu) / (sig + mu), 6) + 0 END AS burstiness
+        |FROM m ORDER BY event_type""".stripMargin.replaceAll("\\s+", " "),
 
     // Same dense-grid + shifted self-join; the Pearson terms stay integer
     // (HUGEINT) until the final CASTs, matching the engine's decimal path.

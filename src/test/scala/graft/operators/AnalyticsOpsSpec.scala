@@ -286,6 +286,44 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"only corpus 2 leaks, matched to bench 20 by tie-break: ${out.mkString(",")}")
   }
 
+  test("theilSen ignores a spiked day that would drag least squares") {
+    val day = 86_400_000_000_000L
+    // days 0..3 count (1,3,5,7): every in-trend pairwise slope is 2; day 4
+    // spikes to 100 — its 4 slopes (24.75..93) sit ABOVE the 6 trend
+    // slopes, so the 10-slope median stays 2 and residuals (1,1,1,1,92)
+    // median to intercept 1
+    val rows = for {
+      (d, n) <- Seq((0, 1), (1, 3), (2, 5), (3, 7), (4, 100))
+      i <- 0 until n
+    } yield ("a", d * day + i)
+    val out = TimeSeriesOps.theilSen(rows.toDF("event_type", "ts"), "event_type", "ts")
+      .collect().head
+    assert(out.getString(0) == "a" && out.getLong(1) == 5L)
+    assert(out.getDouble(2) == 2.0, s"Sen slope must resist the spike: $out")
+    assert(out.getDouble(3) == 1.0, s"median-residual intercept: $out")
+  }
+
+  test("interArrival: closed-form burstiness, periodic key at -1, singletons dropped") {
+    // key a: events at 0/1/3/6 ms → µs gaps (1000, 2000, 3000):
+    // μ = 2000, σ = sqrt(3·14e6 − 36e6)/3 = sqrt(6e6)/3
+    val a = Seq(0L, 1_000_000L, 3_000_000L, 6_000_000L).map(("a", _, 1L))
+    // key b: perfectly periodic → σ 0 → burstiness −1, cv 0
+    val b = Seq(0L, 1_000_000L, 2_000_000L, 3_000_000L).map(("b", _, 2L))
+    val c = Seq(("c", 0L, 3L)) // single event: no gap, no row
+    val df = (a ++ b ++ c).toDF("event_type", "ts", "event_id")
+    val out = TimeSeriesOps.interArrival(df, "event_type", "ts", "event_id")
+      .orderBy("event_type").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val ra = out(0)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mu = 2000.0; val sig = math.sqrt(6e6) / 3.0
+    assert(ra.getLong(1) == 3L && ra.getDouble(2) == 2000.0 && ra.getLong(3) == 3000L)
+    assert(ra.getDouble(4) == r6(sig / mu))
+    assert(ra.getDouble(5) == r6((sig - mu) / (sig + mu)))
+    val rb = out(1)
+    assert(rb.getDouble(4) == 0.0 && rb.getDouble(5) == -1.0)
+  }
+
   test("crossCorrelation peaks at the planted lead and NULLs zero-variance slices") {
     val hour = 3_600_000_000_000L
     // x counts (1,2,3) at buckets 0,1,2; y is x shifted one bucket later →
