@@ -715,4 +715,30 @@ object DedupOps {
     edges.unpersist()
     labels
   }
+
+  /** Leakage-safe train/valid/test split: assign every document the split
+    * of its near-dup CLUSTER representative, so two near-duplicates can
+    * never straddle the train/eval boundary — the contamination-control
+    * counterpart of random splitting (a paraphrase of a training doc in
+    * the test set is silent leakage; Lee et al. 2021 measure the inflation
+    * it causes). `clusters` is [[connectedComponents]] output (id,
+    * cluster); docs outside any cluster represent themselves.
+    *
+    * The split is the same md5-nibble rule as
+    * [[graft.operators.PipelineOps.hashSplit]] (deterministic,
+    * engine-mirrorable, ~75/12.5/12.5) but keyed on the representative's
+    * id STRING instead of the doc's own text. Scale shape: one left
+    * equi-join of the corpus ids against the (pairs-sized, ≪ corpus)
+    * cluster table + a narrow hash projection. */
+  def clusterAwareSplit(docs: DataFrame, clusters: DataFrame,
+                        idCol: String = "doc_id"): DataFrame = {
+    val rep = docs.select(col(idCol))
+      .join(clusters.select(col("id").as(idCol), col("cluster")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster_rep"))
+    val nibble = substring(md5(col("cluster_rep").cast("string")), 1, 1)
+    rep.select(col(idCol), col("cluster_rep"),
+      when(nibble.isin("c", "d"), "valid")
+        .when(nibble.isin("e", "f"), "test")
+        .otherwise("train").as("split"))
+  }
 }

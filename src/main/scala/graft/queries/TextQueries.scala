@@ -387,6 +387,18 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Leakage-safe split: every doc takes the split of its near-dup
+    // cluster representative, so paraphrased duplicates can never
+    // straddle train/eval — the contamination control random splitting
+    // lacks. Same md5-nibble rule as q_hash_split, keyed on the rep id.
+    "q_leakage_split" -> { t =>
+      DedupOps.clusterAwareSplit(
+          t.documents,
+          DedupOps.connectedComponents(
+            DedupOps.ngramJaccard(t.documents, n = 4, threshold = 0.5)))
+        .orderBy("doc_id")
+    },
+
     // The actionable tail of near-dup clustering: the docs to DROP (every
     // cluster member except the canonical minimum-id keeper).
     "q_dedup_drop" -> { t =>
@@ -1329,6 +1341,37 @@ object TextQueries {
         |  SELECT c.id, e.dst AS r FROM closure c JOIN edges e ON e.src = c.r)
         |SELECT id AS doc_id, min(r) AS cluster FROM closure GROUP BY id
         |ORDER BY doc_id""".stripMargin).replaceAll("\\s+", " "),
+
+    // CC closure as in q_dedup_clusters, then the hashSplit nibble rule
+    // keyed on the representative id string (singletons represent
+    // themselves via the left join).
+    "q_leakage_split" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |cand AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT ida, idb FROM cand
+        |  JOIN sz na ON na.doc_id = ida
+        |  JOIN sz nb ON nb.doc_id = idb
+        |  WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.5),
+        |edges AS (SELECT ida AS src, idb AS dst FROM pr
+        |  UNION SELECT idb, ida FROM pr),
+        |closure AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT c.id, e.dst AS r FROM closure c JOIN edges e ON e.src = c.r),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM closure GROUP BY id),
+        |rep AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster_rep
+        |  FROM documents d LEFT JOIN cl USING (doc_id))
+        |SELECT doc_id, cluster_rep,
+        |  CASE WHEN substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 1) IN ('c', 'd')
+        |    THEN 'valid'
+        |  WHEN substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 1) IN ('e', 'f')
+        |    THEN 'test'
+        |  ELSE 'train' END AS split
+        |FROM rep ORDER BY doc_id""".stripMargin).replaceAll("\\s+", " "),
 
     "q_dedup_drop" ->
       (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,

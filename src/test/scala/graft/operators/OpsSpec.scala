@@ -107,6 +107,27 @@ class OpsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("clusterAwareSplit never lets near-dup cluster members straddle splits") {
+    // clusters {1,2,3} and {10,11}; 20 and 21 are singletons
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val d = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val out = DedupOps.clusterAwareSplit(d, clusters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // whole cluster shares its representative's split
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(out(1L)._1 == 1L)
+    assert(out(10L) == out(11L) && out(10L)._1 == 10L)
+    // singletons represent themselves and use their own hash
+    assert(out(20L)._1 == 20L && out(21L)._1 == 21L)
+    // the nibble rule matches hashSplit's md5 mapping on the rep string
+    val nib = java.security.MessageDigest.getInstance("MD5")
+      .digest("20".getBytes("UTF-8")).map("%02x".format(_)).mkString.charAt(0)
+    val expected = if (nib == 'c' || nib == 'd') "valid"
+      else if (nib == 'e' || nib == 'f') "test" else "train"
+    assert(out(20L)._2 == expected)
+  }
+
   test("exact dedup groups identical content") {
     val withCopy = docs.union(docs.limit(1))
     val out = DedupOps.exact(withCopy).where(col("n_dupes") > 1).collect()
