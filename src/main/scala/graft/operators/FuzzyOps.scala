@@ -84,4 +84,34 @@ object FuzzyOps {
             when(col("k") === col("kmin"), col("kmin2")).otherwise(col("kmin")))
           .otherwise(col("match_other")).as("best_match"))
   }
+
+  /** Blocked Jaro–Winkler candidate pairs: every distinct within-block
+    * name pair scoring ≥ `threshold` — the transposition-tolerant,
+    * prefix-weighted scorer record linkage prefers over raw edit distance
+    * for person/product names. Scoring runs the native codegen'd
+    * [[graft.plans.JaroWinklerSim]] expression (semantics pinned to
+    * DuckDB's jaro_winkler_similarity).
+    *
+    * Same scale discipline as [[fuzzyMatchSummary]]: comparisons run over
+    * DISTINCT (block, name) — quadratic in the per-block name VOCABULARY,
+    * independent of row count — and the self-join is block-keyed, so no
+    * cross product ever forms. Bound oversized blocks upstream when the
+    * key is heavy-tailed. */
+  def jaroWinklerPairs(df: DataFrame, nameCol: String, blockCol: String,
+                       threshold: Double): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0,1], got $threshold")
+    val names = df
+      .select(expr(blockCol).as("blk"), col(nameCol).as("nm"))
+      .where(col("nm").isNotNull)
+      .distinct()
+    val a = names.select(col("blk"), col("nm").as("nm_a"))
+    val b = names.select(col("blk"), col("nm").as("nm_b"))
+    a.join(b, Seq("blk"))
+      .where(col("nm_a") < col("nm_b"))
+      .withColumn("sim",
+        call_function("jaro_winkler", col("nm_a"), col("nm_b")))
+      .where(col("sim") >= threshold)
+      .select(col("blk"), col("nm_a"), col("nm_b"), round(col("sim"), 6).as("sim"))
+  }
 }

@@ -483,6 +483,88 @@ object CharEntropy {
   }
 }
 
+/** `jaro_winkler(string, string) → double` — native codegen'd Jaro–Winkler
+  * similarity for entity-resolution scoring: the edit-distance-free name
+  * matcher (typo transpositions cost little, shared prefixes are rewarded)
+  * that complements the bounded-levenshtein tier in
+  * [[graft.operators.FuzzyOps]].
+  *
+  * Semantics pinned to DuckDB's `jaro_winkler_similarity` (probed, not
+  * assumed): match window = max(len)/2 − 1; transpositions over matched
+  * sequences halved; EITHER input empty → 0 (including both-empty);
+  * Winkler boost `jw = j + 0.1·l·(1−j)` applied only when jaro > 0.7,
+  * prefix l capped at 4. Comparison is per UTF-16 code unit — identical
+  * to byte semantics on ASCII (the intended name/identifier domain);
+  * multibyte text may diverge from byte-based engines, as with the
+  * keyword-scan tier.
+  *
+  * A primitive two-array loop per pair inside whole-stage codegen — on
+  * the blocked self-join hot path this evaluates once per candidate pair,
+  * so it must not fall out of codegen into an interpreted UDF. */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+  override def inputTypes = Seq(StringType, StringType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerSim.similarity(a.toString, b.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.JaroWinklerSim.similarity($a.toString(), $b.toString());")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinklerSim {
+
+  /** Shared by interpreted eval and generated code. */
+  def similarity(s1: String, s2: String): Double = {
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + window)
+      var j = math.max(0, i - window)
+      var done = false
+      while (j <= hi && !done) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    val jaro = (m / l1 + m / l2 + (m - t / 2.0) / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxPref = math.min(4, math.min(l1, l2))
+    while (l < maxPref && s1.charAt(l) == s2.charAt(l)) l += 1
+    jaro + 0.1 * l * (1.0 - jaro)
+  }
+}
+
 /** Session extensions registering graft's native functions. Enabled via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (set by
   * [[graft.GraftSession]]), so `call_function("vec_dot", a, b)` and SQL
@@ -521,6 +603,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("char_entropy"),
       new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
       (children: Seq[Expression]) => CharEntropy(children.head)))
+    extensions.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinklerSim(children(0), children(1))))
     extensions.injectFunction((
       new FunctionIdentifier("keyword_matches"),
       new ExpressionInfo(classOf[KeywordMatches].getName, "keyword_matches"),

@@ -186,6 +186,16 @@ object AnalyticsQueries {
         .orderBy("a_key")
     },
 
+    // Blocked Jaro–Winkler name matching: within-block distinct-name pairs
+    // scoring ≥ 0.88 via the native codegen'd jaro_winkler expression
+    // (semantics probed against DuckDB's jaro_winkler_similarity) —
+    // transposition-tolerant, prefix-weighted record linkage.
+    "q_jaro_winkler" -> { t =>
+      FuzzyOps.jaroWinklerPairs(t.part, "p_name",
+          "concat(p_brand, '|', split_part(p_name, ' ', 1))", threshold = 0.88)
+        .orderBy("blk", "nm_a", "nm_b")
+    },
+
     // Incremental aggregate maintenance: weekly per-type rollups refreshed
     // by merging the stored base aggregate with the delta's aggregate —
     // history is never re-scanned; the day-19745 cutoff splits week 2820 so
@@ -840,6 +850,20 @@ object AnalyticsQueries {
         |  UNION ALL SELECT 'lineitem_discount_range', lineitem_discount_range, 0.99 FROM lm)
         |SELECT check_name, metric, threshold, metric >= threshold AS pass
         |FROM r ORDER BY check_name""".stripMargin.replaceAll("\\s+", " "),
+
+    // DuckDB's own jaro_winkler_similarity IS the reference the native
+    // expression was pinned against — an independent implementation of the
+    // same published metric.
+    "q_jaro_winkler" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_brand || '|' || split_part(p_name, ' ', 1) AS blk,
+        |    p_name AS nm
+        |  FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.blk, a.nm AS nm_a, b.nm AS nm_b,
+        |  round(jaro_winkler_similarity(a.nm, b.nm), 6) AS sim
+        |FROM n a JOIN n b ON a.blk = b.blk AND a.nm < b.nm
+        |WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.88
+        |ORDER BY a.blk, nm_a, nm_b""".stripMargin.replaceAll("\\s+", " "),
 
     "q_fuzzy_match" ->
       """WITH b AS (

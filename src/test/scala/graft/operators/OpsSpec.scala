@@ -107,6 +107,35 @@ class OpsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("jaro_winkler matches the published closed forms and pinned DuckDB semantics") {
+    import graft.plans.JaroWinklerSim.similarity
+    assert(similarity("martha", "marhta") == 0.9611111111111111) // textbook
+    assert(similarity("dwayne", "duane") == 0.8400000000000001) // == DuckDB bitwise
+    assert(similarity("jones", "johnson") == 0.8323809523809523)
+    assert(similarity("abc", "abc") == 1.0)
+    // DuckDB-pinned edges: either side empty → 0 (including both-empty);
+    // window 0 for 2-char swaps; boost ONLY above jaro 0.7
+    assert(similarity("", "") == 0.0 && similarity("a", "") == 0.0)
+    assert(similarity("ab", "ba") == 0.0)
+    assert(similarity("abcdefghij", "abxxxxxxxx") == 0.4666666666666666)
+    // expression evaluates inside the plan (registered + codegen path)
+    val out = Seq(("martha", "marhta")).toDF("a", "b")
+      .selectExpr("jaro_winkler(a, b) AS s").collect().head.getDouble(0)
+    assert(out == 0.9611111111111111)
+  }
+
+  test("jaroWinklerPairs compares the per-block name vocabulary, not rows") {
+    val d = Seq(
+      (1L, "B1", "martha stone"), (2L, "B1", "marhta stone"),
+      (3L, "B1", "martha stone"),                    // dup row: same vocab entry
+      (4L, "B2", "martha stone"),                    // other block: never paired
+      (5L, "B1", "zzz totally different")).toDF("k", "brand", "name")
+    val out = FuzzyOps.jaroWinklerPairs(d, "name", "brand", threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq(("B1", "marhta stone", "martha stone")),
+      s"expected exactly the within-block near-name pair once: ${out.mkString(",")}")
+  }
+
   test("clusterAwareSplit never lets near-dup cluster members straddle splits") {
     // clusters {1,2,3} and {10,11}; 20 and 21 are singletons
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
