@@ -373,6 +373,53 @@ object AnalyticsQueries {
         .orderBy("event_type", "bucket_ns")
     },
 
+    // Equal-frequency (decile) binning of the value distribution — the
+    // feature-prep quantile transform: boundaries from ONE exactQuantiles
+    // pass (distribution-safe crossover at scale), broadcast back as a
+    // 1-row bound set, bin assignment pure codegen comparisons.
+    "q_quantile_bins" -> { t =>
+      import org.apache.spark.sql.functions._
+      val ps = (1 to 9).map(i => s"q$i" -> i / 10.0)
+      val bounds = QuantileOps.exactQuantiles(
+        t.events.select(lit(1).as("g"), col("value")), "g", "value",
+        ps = ps, scale = 6)
+      val bin = (1 to 9).map(i =>
+        when(col("value") > col(s"q$i"), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+      t.events.where(col("value").isNotNull)
+        .crossJoin(broadcast(bounds.drop("g")))
+        .groupBy(bin.cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 2).as("min_v"),
+          round(max(col("value")), 2).as("max_v"))
+        .orderBy("bin")
+    },
+
+    // Cohort lifetime value: weekly signup cohorts × age, purchase revenue
+    // in EXACT integer cents (2-dp source data) with the running LTV as an
+    // integer cumulative sum over the calendar-sized cohort×age rollup.
+    "q_cohort_ltv" -> { t =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val dayNs = 86400000000000L
+      val e = t.events.withColumn("day", expr(s"(ts - ts % 1000) div ${dayNs}L"))
+      val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val cells = e.join(cohort, "user_id")
+        .where(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy(expr("cohort_day div 7").as("cohort_week"),
+          expr("(day - cohort_day) div 7").as("age_weeks"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("cum_cents", sum("cents").over(w))
+        .select(col("cohort_week"), col("age_weeks"), col("n_purchases"),
+          round(col("cents") / 100.0, 2).as("revenue"),
+          round(col("cum_cents") / 100.0, 2).as("cum_ltv"))
+        .orderBy("cohort_week", "age_weeks")
+    },
+
     // Theil–Sen robust trend of daily volume per event type: median of
     // all pairwise slopes + median-residual intercept — the outlier-proof
     // volume-trend estimator; pair volume is calendar-quadratic only.
@@ -499,6 +546,42 @@ object AnalyticsQueries {
         |  round(ne.ra, 6) AS resource_alloc
         |FROM ne JOIN d dx ON dx.n = ne.x JOIN d dy ON dy.n = ne.y
         |ORDER BY ne.x, ne.y""".stripMargin.replaceAll("\\s+", " "),
+
+    // quantile_cont parity with exactQuantiles is pinned (q_percentiles);
+    // boundaries round at 6 dp on both sides BEFORE the bin comparisons.
+    "q_quantile_bins" ->
+      ("""WITH b AS (SELECT """ +
+        (1 to 9).map(i => s"round(quantile_cont(value, 0.$i), 6) AS q$i")
+          .mkString(", ") +
+        """ FROM events),
+        |e AS (SELECT value, 1 + """.stripMargin +
+        (1 to 9).map(i => s"(CASE WHEN value > q$i THEN 1 ELSE 0 END)")
+          .mkString(" + ") +
+        """ AS bin FROM events, b WHERE value IS NOT NULL)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
+        |FROM e GROUP BY 1 ORDER BY bin""".stripMargin).replaceAll("\\s+", " "),
+
+    // Revenue accumulates as exact integer cents; the cumulative window
+    // runs over the cohort×age rollup only.
+    "q_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |cells AS (
+        |  SELECT c.cohort_day // 7 AS cohort_week,
+        |    (e.day - c.cohort_day) // 7 AS age_weeks,
+        |    CAST(count(*) AS BIGINT) AS n_purchases,
+        |    CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, age_weeks, n_purchases,
+        |  round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+        |  round(CAST(sum(cents) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0, 2) AS cum_ltv
+        |FROM cells ORDER BY cohort_week, age_weeks""".stripMargin
+        .replaceAll("\\s+", " "),
 
     // Both medians interpolate like the engine's exactQuantiles (the
     // pinned quantile_cont parity); residuals use the ROUNDED slope on

@@ -567,13 +567,13 @@ class PlanQualitySpec extends SparkSpec {
     val bounded = Map(
       "q_hybrid_retrieval" -> "ranks the BM25 top-50 table (k rows)",
       "q_autocorr"         -> "lag windows over the daily rollup (calendar-sized)",
-      "q_crosscorr"        -> "gap-fill lag over the hourly rollup (calendar-sized)",
       "q_skyline"          -> "cross-bucket prefix max over bucket maxima (≈x-range/bucketWidth rows)",
       "q_pack_sequences"   -> "offset prefix over per-bucket subtotals (bucket count rows)",
       "q_token_budget"     -> "budget prefix over per-bucket subtotals (bucket count rows)",
       "q_filter_cascade"   -> "cumulative survivors over per-stage counts (|filters| rows)",
       "q_zipf_slope"       -> "ranks the top-k token-frequency table (k=100 rows by construction)",
       "q_source_gini"      -> "ranks the per-source rollup (|sources| rows by construction)",
+      "q_quantile_bins"    -> "exactQuantiles window path: the constant group key folds away; only planned below the executor-comfort crossover (selection path above plans NO window)",
       "q_ks_test"          -> "cumulative offsets over per-block subtotals (block count rows)",
       "q_score_auc"        -> "cumulative offsets over per-block subtotals (block count rows, q_ks_test's shape)"
     )
@@ -636,7 +636,9 @@ class PlanQualitySpec extends SparkSpec {
       "q_ks_test"            -> "broadcast sample totals + value range (1 row)",
       "q_score_auc"          -> "broadcast class totals + value range (1 row, q_ks_test's shape)",
       "q_calibration"        -> "broadcast row-total + ECE numerator (1 row over the ≤nBins table)",
-      "q_benford"            -> "broadcast digit-row total (1 row over the 9-digit table)"
+      "q_benford"            -> "broadcast digit-row total (1 row over the 9-digit table)",
+      "q_quantile_bins"      -> "broadcast decile-boundary set (1 row from exactQuantiles)",
+      "q_crosscorr"          -> "broadcast lag fan-out table (2·maxLag+1 rows)"
     )
     val (issues, bnljSeen) = SparkEntry.queries.toSeq.foldLeft(
         (Seq.empty[String], Set.empty[String])) { case ((is, seen), (name, fn)) =>
