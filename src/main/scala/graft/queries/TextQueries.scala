@@ -20,6 +20,24 @@ object TextQueries {
 
   private val stop = "['the','a','of','to','and','in','is','on']"
 
+  /** q_lang_id's oracle sans ORDER BY — reused verbatim as the prediction
+    * subquery of q_langid_confusion so evaluator and evaluatee cannot
+    * drift apart. */
+  private val langIdOracleBody: String = {
+    val trigrams = Seq("the", "ing", "ion", "ent", "er ", " th")
+    val hits = trigrams.map(t => s"len(regexp_extract_all(text, '$t'))").mkString(" + ")
+    s"""SELECT doc_id, en_ratio, en_trigram_hits,
+       |CASE WHEN en_ratio >= 0.05 OR en_trigram_hits * 1.0 / n_tok >= 0.5
+       |THEN 'en' ELSE 'other' END AS predicted_lang
+       |FROM (
+       |SELECT doc_id,
+       |round(len(list_filter(string_split(text, ' '), x -> list_contains($stop, x))) * 1.0 /
+       |      len(string_split(text, ' ')), 6) AS en_ratio,
+       |CAST($hits AS BIGINT) AS en_trigram_hits,
+       |len(string_split(text, ' ')) AS n_tok
+       |FROM documents)""".stripMargin.replaceAll("\\s+", " ")
+  }
+
   /** DuckDB 4-gram shingle CTE shared by the jaccard oracles (1-based list
     * comprehension; distinct set semantics match array_distinct). n=4 rather
     * than 3 because the synthetic corpus draws from a ~30-word vocabulary —
@@ -254,6 +272,23 @@ object TextQueries {
     // Language-ID heuristic (stopword density).
     "q_lang_id" -> { t =>
       TextOps.langId(t.documents).orderBy("doc_id")
+    },
+
+    // Language-ID evaluation against the labeled lang column: the
+    // confusion matrix (actual x predicted) with per-actual-class shares
+    // -- "how often does the heuristic call each language English". The
+    // share window runs over the matrix-sized rollup only.
+    "q_langid_confusion" -> { t =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val pred = TextOps.langId(t.documents)
+        .select(col("doc_id"), col("predicted_lang"))
+      t.documents.select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n"))
+        .withColumn("class_share",
+          round(col("n") / sum("n").over(Window.partitionBy("lang")), 6))
+        .orderBy("lang", "predicted_lang")
     },
 
     // Quality scoring.
@@ -1217,21 +1252,18 @@ object TextQueries {
         |          len(string_split(text, ' '))), 6) AS avg_ttr
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\\s+", " "),
 
-    "q_lang_id" -> {
-      val trigrams = Seq("the", "ing", "ion", "ent", "er ", " th")
-      val hits = trigrams.map(t => s"len(regexp_extract_all(text, '$t'))").mkString(" + ")
-      s"""SELECT doc_id, en_ratio, en_trigram_hits,
-         |CASE WHEN en_ratio >= 0.05 OR en_trigram_hits * 1.0 / n_tok >= 0.5
-         |THEN 'en' ELSE 'other' END AS predicted_lang
-         |FROM (
-         |SELECT doc_id,
-         |round(len(list_filter(string_split(text, ' '), x -> list_contains($stop, x))) * 1.0 /
-         |      len(string_split(text, ' ')), 6) AS en_ratio,
-         |CAST($hits AS BIGINT) AS en_trigram_hits,
-         |len(string_split(text, ' ')) AS n_tok
-         |FROM documents)
-         |ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " ")
-    },
+    "q_lang_id" -> (langIdOracleBody + " ORDER BY doc_id"),
+
+    // The prediction subquery IS the q_lang_id oracle; shares divide
+    // exact counts inside each actual-language partition (10-row matrix).
+    "q_langid_confusion" ->
+      s"""WITH p AS ($langIdOracleBody)
+         |SELECT d.lang, p.predicted_lang, CAST(count(*) AS BIGINT) AS n,
+         |  round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY d.lang), 6)
+         |    AS class_share
+         |FROM documents d JOIN p USING (doc_id)
+         |GROUP BY d.lang, p.predicted_lang
+         |ORDER BY d.lang, p.predicted_lang""".stripMargin.replaceAll("\\s+", " "),
 
     "q_quality_score" ->
       s"""SELECT doc_id, n_tokens, round(ttr, 6) AS ttr, round(stop_ratio, 6) AS stop_ratio,
