@@ -405,6 +405,41 @@ object AnalyticsQueries {
         .orderBy("bin")
     },
 
+    // Revenue concentration (Pareto/80-20 curve): per-user purchase
+    // revenue in exact cents, users bucketed into revenue deciles via
+    // broadcast exactQuantiles boundaries (no global rank over the user
+    // relation), per-decile share and cumulative share as single
+    // divisions of exact integer sums.
+    "q_pareto_users" -> { t =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val rev = t.events
+        .where(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val ps = (1 to 9).map(i => s"q$i" -> i / 10.0)
+      val bounds = QuantileOps.exactQuantiles(
+        rev.select(lit(1).as("g"), col("cents").cast("double").as("v")),
+        "g", "v", ps = ps, scale = 6)
+      val bin = (1 to 9).map(i =>
+        when(col("cents").cast("double") > col(s"q$i"), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+      val cells = rev.crossJoin(broadcast(bounds.drop("g")))
+        .groupBy(bin.cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_users"), sum("cents").as("cents"))
+      val w = Window.orderBy("bin") // ≤10-row decile rollup
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = cells.agg(sum("cents").as("total"))
+      cells
+        .withColumn("cum_cents", sum("cents").over(w))
+        .crossJoin(broadcast(total))
+        .select(col("bin"), col("n_users"),
+          round(col("cents") / 100.0, 2).as("revenue"),
+          round(col("cents") / col("total").cast("double"), 6).as("share"),
+          round(col("cum_cents") / col("total").cast("double"), 6).as("cum_share"))
+        .orderBy("bin")
+    },
+
     // Cohort lifetime value: weekly signup cohorts × age, purchase revenue
     // in EXACT integer cents (2-dp source data) with the running LTV as an
     // integer cumulative sum over the calendar-sized cohort×age rollup.
@@ -592,6 +627,32 @@ object AnalyticsQueries {
         |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
         |  round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
         |FROM e GROUP BY 1 ORDER BY bin""".stripMargin).replaceAll("\\s+", " "),
+
+    // Decile boundaries over per-user revenue (quantile_cont parity with
+    // exactQuantiles); shares divide exact integer cents.
+    "q_pareto_users" ->
+      ("""WITH rev AS (
+        |  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY user_id),
+        |b AS (SELECT """.stripMargin +
+        (1 to 9).map(i => s"round(quantile_cont(CAST(cents AS DOUBLE), 0.$i), 6) AS q$i")
+          .mkString(", ") +
+        """ FROM rev),
+        |cells AS (
+        |  SELECT 1 + """.stripMargin +
+        (1 to 9).map(i => s"(CASE WHEN CAST(cents AS DOUBLE) > q$i THEN 1 ELSE 0 END)")
+          .mkString(" + ") +
+        """ AS bin, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM rev, b GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS DOUBLE) AS total FROM cells)
+        |SELECT CAST(bin AS BIGINT) AS bin, n_users,
+        |  round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+        |  round(CAST(cents AS DOUBLE) / total, 6) AS share,
+        |  round(CAST(sum(cents) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |    AS DOUBLE) / total, 6) AS cum_share
+        |FROM cells, t ORDER BY bin""".stripMargin).replaceAll("\\s+", " "),
 
     // Revenue accumulates as exact integer cents; the cumulative window
     // runs over the cohort×age rollup only.

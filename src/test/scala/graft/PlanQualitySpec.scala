@@ -574,6 +574,7 @@ class PlanQualitySpec extends SparkSpec {
       "q_zipf_slope"       -> "ranks the top-k token-frequency table (k=100 rows by construction)",
       "q_source_gini"      -> "ranks the per-source rollup (|sources| rows by construction)",
       "q_quantile_bins"    -> "exactQuantiles window path: the constant group key folds away; only planned below the executor-comfort crossover (selection path above plans NO window)",
+      "q_pareto_users"     -> "exactQuantiles window path (crossover-guarded, as q_quantile_bins) + cumulative share over the ≤10-row decile rollup",
       "q_ks_test"          -> "cumulative offsets over per-block subtotals (block count rows)",
       "q_score_auc"        -> "cumulative offsets over per-block subtotals (block count rows, q_ks_test's shape)"
     )
@@ -638,6 +639,7 @@ class PlanQualitySpec extends SparkSpec {
       "q_calibration"        -> "broadcast row-total + ECE numerator (1 row over the ≤nBins table)",
       "q_benford"            -> "broadcast digit-row total (1 row over the 9-digit table)",
       "q_quantile_bins"      -> "broadcast decile-boundary set (1 row from exactQuantiles)",
+      "q_pareto_users"       -> "broadcast decile boundaries + revenue total (1 row each)",
       "q_crosscorr"          -> "broadcast lag fan-out table (2·maxLag+1 rows)"
     )
     val (issues, bnljSeen) = SparkEntry.queries.toSeq.foldLeft(
