@@ -213,6 +213,69 @@ object TextOps {
       .limit(k)
   }
 
+  /** TRAIN a byte-pair-encoding merge table (Sennrich 2016): the corpus
+    * reduces once to the word-frequency vocabulary, every word splits to
+    * characters, and each round (a) counts adjacent symbol pairs weighted
+    * by word frequency, (b) picks the most frequent pair (ties to the
+    * lexicographically smallest), and (c) merges it everywhere. Emits one
+    * (round, pair, n) row per learned merge — the model artifact
+    * [[bpeApply]] consumes.
+    *
+    * Merge convention: a single leftmost-nonoverlapping literal replace
+    * per round on the space-joined symbol string — EXACTLY the convention
+    * [[bpeApply]] applies at inference and the one a SQL oracle can
+    * reproduce verbatim with `replace()` (both engines scan left to right
+    * and resume AFTER each match, so "a a a" merges once per pass in
+    * both). Pair counting is over all adjacent positions of the CURRENT
+    * symbol string; counts are exact integers, so selection is
+    * deterministic down to the tie-break.
+    *
+    * Scale shape: after the one corpus rollup, every round touches only
+    * the VOCABULARY relation (distinct words — millions of rows at 100 TB,
+    * not the corpus): one pair aggregation, a 1-row best-pair broadcast
+    * (no driver collect — the argmin rides a crossJoin), and a narrow
+    * string map. Rounds are lazily checkpointed like the other iterative
+    * operators, one job per round. */
+  def bpeTrain(docs: DataFrame, rounds: Int,
+               textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
+    var vocab = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.Buffer.empty[DataFrame]
+    var r = 1
+    while (r <= rounds) {
+      val withPairs = vocab
+        .select(col("cnt"), split(col("s"), " ").as("x"))
+        .where(size(col("x")) >= 2) // sequence(1, 0) would run DESCENDING
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(x) - 1), " +
+            "i -> concat(element_at(x, i), ' ', element_at(x, i + 1)))")).as("pr"))
+      val best = withPairs.groupBy("pr").agg(sum("cnt").as("n"))
+        .agg(min(struct((lit(-1L) * col("n")).as("negN"), col("pr").as("p"))).as("m"))
+        .select(lit(r.toLong).as("round"), col("m.p").as("pair"),
+          (lit(-1L) * col("m.negN")).as("n"))
+        .localCheckpoint(true) // 1 row: the round's output AND its broadcast
+      merges += best
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("pair").as("bp"))))
+        .select(col("cnt"),
+          when(col("bp").isNull, col("s")) // exhausted vocab: no-op round
+            .otherwise(trim(call_function("replace",
+              concat(lit(" "), col("s"), lit(" ")),
+              concat(lit(" "), col("bp"), lit(" ")),
+              concat(lit(" "),
+                call_function("replace", col("bp"), lit(" "), lit("")),
+                lit(" "))))).as("s"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    merges.reduce(_ unionAll _)
+  }
+
   /** Apply a TRAINED byte-pair-encoding merge table to text — the
     * production tokenization step ([[bpePairCounts]] is the training-side
     * statistic; this is inference with the resulting model artifact). Each

@@ -20,6 +20,39 @@ object TextQueries {
 
   private val stop = "['the','a','of','to','and','in','is','on']"
 
+  /** Unrolled-CTE oracle for [[graft.operators.TextOps.bpeTrain]]: each
+    * round re-derives the pair counts from the previous vocabulary state
+    * and applies the SAME single-pass leftmost-nonoverlapping `replace`.
+    * AS MATERIALIZED on every stage — each is referenced multiple times
+    * and DuckDB's default inlining would grow the chain exponentially
+    * (the kcore oracle lesson). */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val base =
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |    trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS s
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s""", p$r AS (SELECT pr, sum(cnt) AS n FROM (
+         |    SELECT cnt, unnest([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS pr
+         |    FROM (SELECT cnt, string_split(s, ' ') AS x FROM v${r - 1})) GROUP BY pr),
+         |b$r AS MATERIALIZED (SELECT pr, CAST(n AS BIGINT) AS n FROM p$r
+         |  ORDER BY n DESC, pr LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT cnt, trim(replace(' ' || s || ' ',
+         |    (SELECT ' ' || pr || ' ' FROM b$r),
+         |    (SELECT ' ' || replace(pr, ' ', '') || ' ' FROM b$r))) AS s
+         |  FROM v${r - 1})""".stripMargin
+    }.mkString
+    val sel = (1 to rounds)
+      .map(r => s"SELECT $r AS round, pr AS pair, n FROM b$r")
+      .mkString(" UNION ALL ")
+    (base + steps +
+      s" SELECT CAST(round AS BIGINT) AS round, pair, n FROM ($sel) ORDER BY round")
+      .replaceAll("\\s+", " ")
+  }
+
   /** q_lang_id's oracle sans ORDER BY — reused verbatim as the prediction
     * subquery of q_langid_confusion so evaluator and evaluatee cannot
     * drift apart. */
@@ -289,6 +322,14 @@ object TextQueries {
         .withColumn("class_share",
           round(col("n") / sum("n").over(Window.partitionBy("lang")), 6))
         .orderBy("lang", "predicted_lang")
+    },
+
+    // BPE tokenizer TRAINING: 6 learned merges over the word-frequency
+    // vocabulary — each round one vocab-sized pair aggregation + a 1-row
+    // best-pair broadcast + a narrow merge map (the model artifact
+    // q_bpe_apply consumes at inference).
+    "q_bpe_train" -> { t =>
+      TextOps.bpeTrain(t.documents, rounds = 6).orderBy("round")
     },
 
     // Quality scoring.
@@ -1251,6 +1292,8 @@ object TextQueries {
         |round(avg(len(list_distinct(string_split(text, ' '))) * 1.0 /
         |          len(string_split(text, ' '))), 6) AS avg_ttr
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_bpe_train" -> bpeTrainOracleSql(rounds = 6),
 
     "q_lang_id" -> (langIdOracleBody + " ORDER BY doc_id"),
 

@@ -107,6 +107,18 @@ class OpsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("bpeTrain learns frequency-ranked merges with single-pass semantics") {
+    // vocab: aaab×2, ab×1. Round 1: pair "a a" weighs 2·2=4 (overlapping
+    // positions both count) vs "a b" 3 → merge "a a"; the SINGLE-PASS
+    // leftmost replace turns "a a a b" into "aa a b" (one merge per pass,
+    // not two). Round 2: "a b" (3) beats "aa a" (2). Round 3: "aa ab" (2).
+    val d = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val out = TextOps.bpeTrain(d, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a a", 4L), (2L, "a b", 3L), (3L, "aa ab", 2L)),
+      s"merge trajectory wrong: ${out.mkString(",")}")
+  }
+
   test("jaro_winkler matches the published closed forms and pinned DuckDB semantics") {
     import graft.plans.JaroWinklerSim.similarity
     assert(similarity("martha", "marhta") == 0.9611111111111111) // textbook
