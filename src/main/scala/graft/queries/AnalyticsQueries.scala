@@ -366,10 +366,16 @@ object AnalyticsQueries {
     // a RECURSIVE CTE — Spark 4's WITH RECURSIVE surface driving the same
     // iterate-to-frontier shape kCore/PageRank hand-roll: min-hop distance
     // per node within 3 hops. Depth guard bounds path fan-out under
-    // cycles; the oracle runs the IDENTICAL SQL text in DuckDB.
+    // cycles. The recursive walk text is shared verbatim with the oracle;
+    // the edge relation materializes ONCE up front — Spark re-evaluates
+    // non-recursive CTEs on every recursion step, so an unstaged run
+    // rebuilds the quadratic backbone per hop (measured 9.5 s → ~1 s).
     "q_graph_reach" -> { t =>
       t.lineitem.createOrReplaceTempView("lineitem_q_graph_reach")
-      t.spark.sql(AnalyticsQueries.graphReachSql("lineitem_q_graph_reach"))
+      t.spark.sql(AnalyticsQueries.graphReachEdgesSql("lineitem_q_graph_reach"))
+        .localCheckpoint(true)
+        .createOrReplaceTempView("g_q_graph_reach")
+      t.spark.sql(AnalyticsQueries.graphReachWalkSql("g_q_graph_reach"))
     },
 
     // Additive seasonal decomposition of the hourly event-count series per
@@ -564,29 +570,45 @@ object AnalyticsQueries {
       s" GROUP BY n ORDER BY node").replaceAll("\\s+", " ")
   }
 
-  /** ONE SQL text for engine and oracle (only the lineitem relation name
-    * differs): Spark 4's recursive-CTE planner and DuckDB's both evaluate
-    * the same bounded-depth BFS, so the parity check is the SQL surface
-    * itself, not a re-derivation. */
-  private[queries] def graphReachSql(lineitemRel: String): String =
-    s"""WITH RECURSIVE gp AS (
+  /** Shared SQL for engine and oracle: the backbone edge build (staged
+    * once engine-side, since Spark re-runs non-recursive CTEs per
+    * recursion step) and the recursive walk, whose text is IDENTICAL in
+    * both engines — the parity check covers Spark 4's recursive-CTE
+    * planner itself, not a re-derivation. */
+  private[queries] def graphReachEdgesSql(lineitemRel: String): String =
+    s"""WITH gp AS (
        |  SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM $lineitemRel),
        |e0 AS (SELECT a.item AS u, b.item AS v
        |  FROM gp a JOIN gp b ON a.grp = b.grp AND a.item < b.item
-       |  GROUP BY 1, 2 HAVING count(*) >= 2),
-       |g AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
-       |seed AS (SELECT min(src) AS s FROM g),
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT u AS src, v AS dst FROM e0
+       |UNION ALL SELECT v, u FROM e0""".stripMargin.replaceAll("\\s+", " ")
+
+  private[queries] def graphReachWalkSql(edgeRel: String): String =
+    s"""WITH RECURSIVE seed AS (SELECT min(src) AS s FROM $edgeRel),
        |walk(node, d) AS (
        |  SELECT s, 0 FROM seed
        |  UNION ALL
-       |  SELECT g.dst, w.d + 1 FROM walk w JOIN g ON g.src = w.node WHERE w.d < 3)
+       |  SELECT g.dst, w.d + 1 FROM walk w JOIN $edgeRel g ON g.src = w.node
+       |  WHERE w.d < 3)
        |SELECT node, CAST(min(d) AS BIGINT) AS hops FROM walk
        |GROUP BY node ORDER BY node""".stripMargin.replaceAll("\\s+", " ")
 
   val oracles: Map[String, String] = Map(
     "q_kcore" -> kcoreOracleSql(k = 2, rounds = 12),
 
-    "q_graph_reach" -> graphReachSql("lineitem"),
+    // g materializes once (mirroring the engine's staged checkpoint);
+    // the walk text after it is graphReachWalkSql verbatim.
+    "q_graph_reach" ->
+      ("""WITH RECURSIVE gp AS (
+         |  SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+         |e0 AS (SELECT a.item AS u, b.item AS v
+         |  FROM gp a JOIN gp b ON a.grp = b.grp AND a.item < b.item
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |g AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+         |  UNION ALL SELECT v, u FROM e0),
+         |""".stripMargin.replaceAll("\\s+", " ") +
+        graphReachWalkSql("g").stripPrefix("WITH RECURSIVE ")),
 
     // Wedge pairs through ≤100-degree centers only (mirrors maxDegree);
     // endpoint degrees for Jaccard stay UNcapped. cn and the Jaccard
