@@ -324,6 +324,32 @@ object TextQueries {
         .orderBy("lang", "predicted_lang")
     },
 
+    // Corpus token diversity: effective vocabulary (inverse Simpson —
+    // (Σc)²/Σc², exact integers, one division) and unigram entropy with
+    // its exp() perplexity — the "how repetitive is this corpus really"
+    // readout next to q_zipf_slope. One token aggregation; the summary
+    // reduces the vocabulary-sized count table.
+    "q_token_diversity" -> { t =>
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFunctions.tokens
+      val counts = t.documents
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      counts.agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("scc"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("sclnc"))
+        .select(
+          col("n_tokens"), col("n_distinct"),
+          round((col("n_tokens").cast("double") * col("n_tokens").cast("double")) /
+            col("scc").cast("double"), 6).as("eff_vocab"),
+          round(log(col("n_tokens").cast("double")) -
+            col("sclnc") / col("n_tokens").cast("double"), 6).as("entropy_nats"),
+          round(exp(log(col("n_tokens").cast("double")) -
+            col("sclnc") / col("n_tokens").cast("double")), 4).as("unigram_ppl"))
+    },
+
     // BPE tokenizer TRAINING: 6 learned merges over the word-frequency
     // vocabulary — each round one vocab-sized pair aggregation + a 1-row
     // best-pair broadcast + a narrow merge map (the model artifact
@@ -1294,6 +1320,27 @@ object TextQueries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\\s+", " "),
 
     "q_bpe_train" -> bpeTrainOracleSql(rounds = 6),
+
+    // eff_vocab = (Σc)²/Σc² (exact integers); entropy in the rearranged
+    // form ln N − Σc·ln c / N so both engines sum the same per-type terms.
+    "q_token_diversity" ->
+      """WITH c AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(c * c) AS BIGINT) AS scc,
+        |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sclnc
+        |  FROM c)
+        |SELECT n_tokens, n_distinct,
+        |  round(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+        |    / CAST(scc AS DOUBLE), 6) AS eff_vocab,
+        |  round(ln(CAST(n_tokens AS DOUBLE)) - sclnc / CAST(n_tokens AS DOUBLE), 6)
+        |    AS entropy_nats,
+        |  round(exp(ln(CAST(n_tokens AS DOUBLE)) - sclnc / CAST(n_tokens AS DOUBLE)), 4)
+        |    AS unigram_ppl
+        |FROM a""".stripMargin.replaceAll("\\s+", " "),
 
     "q_lang_id" -> (langIdOracleBody + " ORDER BY doc_id"),
 
