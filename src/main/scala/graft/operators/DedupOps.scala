@@ -735,10 +735,7 @@ object DedupOps {
     val rep = docs.select(col(idCol))
       .join(clusters.select(col("id").as(idCol), col("cluster")), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster_rep"))
-    val nibble = substring(md5(col("cluster_rep").cast("string")), 1, 1)
     rep.select(col(idCol), col("cluster_rep"),
-      when(nibble.isin("c", "d"), "valid")
-        .when(nibble.isin("e", "f"), "test")
-        .otherwise("train").as("split"))
+      PipelineOps.md5Split(col("cluster_rep").cast("string")).as("split"))
   }
 }

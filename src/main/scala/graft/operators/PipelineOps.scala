@@ -23,13 +23,17 @@ object PipelineOps {
     * first hex nibble of md5(text) buckets the corpus 12/2/2 (75% / 12.5% /
     * 12.5%). Content-keyed (not id-keyed) so re-ingested duplicates land in
     * the same split — the standard guard against train/test leakage. */
-  def hashSplit(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val nibble = substring(md5(col(textCol)), 1, 1)
-    docs.select(
-      col(idCol),
-      when(nibble.isin("c", "d"), "valid")
-        .when(nibble.isin("e", "f"), "test")
-        .otherwise("train").as("split"))
+  def hashSplit(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), md5Split(col(textCol)).as("split"))
+
+  /** THE md5-nibble → split rule (~75/12.5/12.5): one definition shared by
+    * [[hashSplit]] and [[graft.operators.DedupOps.clusterAwareSplit]], so
+    * the corpus split and the leakage-safe split cannot drift apart. */
+  def md5Split(keyCol: Column): Column = {
+    val nibble = substring(md5(keyCol), 1, 1)
+    when(nibble.isin("c", "d"), "valid")
+      .when(nibble.isin("e", "f"), "test")
+      .otherwise("train")
   }
 
   /** Length-bucketed batch packing with padding-waste accounting: documents

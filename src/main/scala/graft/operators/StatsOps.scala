@@ -308,10 +308,15 @@ object StatsOps {
     require(scale > 0, s"scale must be positive, got $scale")
     require(nBins >= 2 && nBins <= 10000,
       s"nBins must be in [2, 10000] (the bin table must stay model-sized), got $nBins")
+    require(scale <= Long.MaxValue / nBins,
+      s"scale * nBins must stay in long range, got $scale * $nBins")
+    // integral floor division, never `/`: double division of the long
+    // product wobbles bin boundaries once scale * nBins passes 2^53
+    val prod = confUnits * nBins
+    val binDiv = call_function("div", prod - pmod(prod, lit(scale)), lit(scale))
     val bins = df
       .where(confUnits.isNotNull)
-      .groupBy(least(floor((confUnits * nBins) / scale), lit(nBins - 1L))
-        .cast("long").as("bin"))
+      .groupBy(least(binDiv, lit(nBins - 1L)).cast("long").as("bin"))
       .agg(
         count(lit(1)).as("n"),
         sum(when(isPos, 1L).otherwise(0L)).as("n_pos"),

@@ -273,7 +273,10 @@ object TextOps {
         .localCheckpoint(true)
       r += 1
     }
-    merges.reduce(_ unionAll _)
+    // an exhausted vocabulary yields a NULL argmin for the remaining
+    // rounds — drop those rows (a SQL LIMIT-1 over an empty pair table
+    // emits nothing, and a model artifact must not carry null merges)
+    merges.reduce(_ unionAll _).where(col("pair").isNotNull)
   }
 
   /** Apply a TRAINED byte-pair-encoding merge table to text — the
@@ -291,18 +294,27 @@ object TextOps {
     */
   def bpeApply(docs: DataFrame, merges: Seq[(String, String)], sep: String = "·",
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // "join hash" → "j·o·i·n· h·a·s·h·" → trim word-final separators
-    val chars = regexp_replace(
+    // "join hash" → "·j·o·i·n· ·h·a·s·h·": every word SEP-WRAPPED so merge
+    // patterns anchor on whole-symbol boundaries — an unpadded 'a·b'
+    // pattern would also match where a is the SUFFIX of a longer symbol
+    // ('the·s' contains 'e·s'), merging fragments BPE never trained as
+    // symbols. The wrapped form makes apply-time matching the exact
+    // boundary-anchored single-pass convention [[bpeTrain]] learns under.
+    val wrapped = regexp_replace(
       regexp_replace(col(textCol), "(\\S)", "$1" + sep),
-      sep + " ", " ")
-    val symbolized = rtrim(chars, sep)
-    val merged = merges.foldLeft(symbolized) { case (acc, (a, b)) =>
-      call_function("replace", acc, lit(a + sep + b), lit(a + b))
+      "(^| )", "$1" + sep)
+    val merged = merges.foldLeft(wrapped) { case (acc, (a, b)) =>
+      call_function("replace", acc,
+        lit(sep + a + sep + b + sep), lit(sep + a + b + sep))
     }
+    // strip the wrapping separators back off for the emitted form
+    val clean = regexp_replace(
+      regexp_replace(merged, sep + "( |$)", "$1"),
+      "(^| )" + sep, "$1")
     docs.select(
       col(idCol),
-      merged.as("bpe_text"),
-      size(split(merged, "[ " + sep + "]")).cast("long").as("n_symbols"))
+      clean.as("bpe_text"),
+      size(split(clean, "[ " + sep + "]")).cast("long").as("n_symbols"))
   }
 
   /** PMI collocation mining — pointwise mutual information of adjacent
@@ -771,13 +783,15 @@ object TextOps {
     ranked.agg(
         count(lit(1)).as("n_sources"),
         sum("c").as("n_docs"),
-        sum(col("i") * col("c")).as("sic"),
-        sum(col("c") * col("c")).as("scc"),
+        // decimal BEFORE the products: a 4e9-doc source squares past long
+        sum(col("i").cast("decimal(38,0)") * col("c").cast("decimal(38,0)")).as("sic"),
+        sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)")).as("scc"),
         max("c").as("cmax"))
       .select(
         col("n_sources"), col("n_docs"),
         round((lit(2L) * col("sic") - (col("n_sources") + 1L) * col("n_docs"))
-          .cast("double") / (col("n_sources") * col("n_docs")).cast("double"), 6)
+          .cast("double") / (col("n_sources").cast("decimal(38,0)") *
+            col("n_docs").cast("decimal(38,0)")).cast("double"), 6)
           .as("gini"),
         round(col("scc").cast("double") /
           (col("n_docs").cast("double") * col("n_docs").cast("double")), 6).as("hhi"),

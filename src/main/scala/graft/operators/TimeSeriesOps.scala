@@ -309,9 +309,11 @@ object TimeSeriesOps {
       .groupBy("lag")
       .agg(count(lit(1)).as("n"),
         sum("x").as("sx"), sum("y2").as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y2") * col("y2")).as("syy"),
-        sum(col("x") * col("y2")).as("sxy"))
+        // decimal BEFORE the products: per-bucket counts can reach ~3e9 at
+        // the target corpus scale, where x*x overflows long silently
+        sum(col("x").cast("decimal(38,0)") * col("x").cast("decimal(38,0)")).as("sxx"),
+        sum(col("y2").cast("decimal(38,0)") * col("y2").cast("decimal(38,0)")).as("syy"),
+        sum(col("x").cast("decimal(38,0)") * col("y2").cast("decimal(38,0)")).as("sxy"))
     def dec(c: Column) = c.cast("decimal(38,0)")
     val num = dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
     val d1 = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))

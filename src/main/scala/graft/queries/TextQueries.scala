@@ -338,7 +338,8 @@ object TextQueries {
       counts.agg(
           sum("c").as("n_tokens"),
           count(lit(1)).as("n_distinct"),
-          sum(col("c") * col("c")).as("scc"),
+          // decimal BEFORE the product: a stop word past ~3e9 squares past long
+          sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)")).as("scc"),
           sum(col("c").cast("double") * log(col("c").cast("double"))).as("sclnc"))
         .select(
           col("n_tokens"), col("n_distinct"),
@@ -985,13 +986,16 @@ object TextQueries {
     * symbolization via RE2 ('g' flag — DuckDB replaces first-only by
     * default), then the merge chain as nested literal replace() calls. */
   private val bpeApplyOracle: String = {
+    // SEP-wrapped words + boundary-anchored patterns, mirroring the engine
     val base =
-      "rtrim(regexp_replace(regexp_replace(text, '(\\S)', '\\1·', 'g'), '· ', ' ', 'g'), '·')"
+      "regexp_replace(regexp_replace(text, '(\\S)', '\\1·', 'g'), '(^| )', '\\1·', 'g')"
     val merged = bpeMerges.foldLeft(base) { case (acc, (a, b)) =>
-      s"replace($acc, '${a}·${b}', '$a$b')"
+      s"replace($acc, '·${a}·${b}·', '·${a}${b}·')"
     }
+    val clean =
+      s"regexp_replace(regexp_replace($merged, '·( |$$)', '\\1', 'g'), '(^| )·', '\\1', 'g')"
     s"SELECT doc_id, bpe_text, CAST(len(string_split_regex(bpe_text, '[ ·]')) AS BIGINT)" +
-      s" AS n_symbols FROM (SELECT doc_id, $merged AS bpe_text FROM documents)" +
+      s" AS n_symbols FROM (SELECT doc_id, $clean AS bpe_text FROM documents)" +
       " ORDER BY doc_id"
   }
 
@@ -1330,7 +1334,7 @@ object TextQueries {
         |  GROUP BY tok),
         |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
         |    CAST(count(*) AS BIGINT) AS n_distinct,
-        |    CAST(sum(c * c) AS BIGINT) AS scc,
+        |    sum(CAST(c AS HUGEINT) * c) AS scc,
         |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sclnc
         |  FROM c)
         |SELECT n_tokens, n_distinct,
@@ -1813,8 +1817,8 @@ object TextQueries {
         |  FROM c),
         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
         |  CAST(sum(c) AS BIGINT) AS n_docs,
-        |  CAST(sum(i * c) AS BIGINT) AS sic,
-        |  CAST(sum(c * c) AS BIGINT) AS scc,
+        |  sum(CAST(i AS HUGEINT) * c) AS sic,
+        |  sum(CAST(c AS HUGEINT) * c) AS scc,
         |  CAST(max(c) AS BIGINT) AS cmax FROM r)
         |SELECT n_sources, n_docs,
         |  round(CAST(2 * sic - (n_sources + 1) * n_docs AS DOUBLE)

@@ -119,6 +119,29 @@ class OpsSpec extends SparkSpec {
       s"merge trajectory wrong: ${out.mkString(",")}")
   }
 
+  test("bpeTrain emits no rows for rounds past vocabulary exhaustion") {
+    // "ab" fully merges in round 1; rounds 2-3 have an empty pair table
+    // and must emit NOTHING (the SQL LIMIT-1-over-empty convention), not
+    // (round, null, null) artifact rows
+    val d = Seq((1L, "ab")).toDF("doc_id", "text")
+    val out = TextOps.bpeTrain(d, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a b", 1L)), s"got: ${out.mkString(",")}")
+  }
+
+  test("bpeApply anchors merges on symbol boundaries, never inside a symbol") {
+    // after (t,h),(th,e) the word is the single symbol 'the'+'s'; the
+    // (e,s) merge must NOT fire against the 'e' that is merely the SUFFIX
+    // of symbol 'the' — a raw unanchored replace would produce 'thes'
+    val merges = Seq("t" -> "h", "th" -> "e", "e" -> "s")
+    val out = TextOps.bpeApply(Seq((1L, "thes es")).toDF("doc_id", "text"), merges)
+      .collect().head
+    assert(out.getString(1) == "the·s es",
+      s"suffix-boundary false merge: ${out.getString(1)}")
+    // ...while a genuine whole-symbol (e, s) pair ('es') does merge
+    assert(out.getLong(2) == 3L)
+  }
+
   test("jaro_winkler matches the published closed forms and pinned DuckDB semantics") {
     import graft.plans.JaroWinklerSim.similarity
     assert(similarity("martha", "marhta") == 0.9611111111111111) // textbook
