@@ -301,6 +301,44 @@ object RelationalQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // Session-length distribution: the one-row engagement summary over the
+    // q_sessionize sessions — session counts, multi-event share input,
+    // mean events (one division of exact integers), exact duration
+    // quantiles (exactQuantiles, crossover-guarded) and the max. Duration
+    // math is integral div on µs-truncated ns.
+    "q_session_stats" -> { t =>
+      val byTime = Window.partitionBy(col("user_id")).orderBy(col("tsn"))
+      val cum = Window.partitionBy(col("user_id")).orderBy(col("tsn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sessions = t.events
+        .withColumn("tsn", col("ts") - (col("ts") % 1000))
+        .withColumn("prev", lag(col("tsn"), 1).over(byTime))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("tsn") - col("prev") > SessionGapNs, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tsn")).as("st"), max(col("tsn")).as("en"))
+        .select(col("n_events"), expr("(en - st) div 1000").as("dur_us"))
+        .localCheckpoint(true) // feeds the quantile pass and the summary
+      val qs = graft.operators.QuantileOps.exactQuantiles(
+        sessions.select(lit(1).as("g"), col("dur_us").cast("double").as("v")),
+        // 2 dp, not 6: µs durations reach 10^11, where DuckDB's
+        // float-multiply round corrupts x·10⁶ past 2^53 (the
+        // q_interarrival lesson); x·10² stays exact
+        "g", "v", ps = Seq("p50_dur_us" -> 0.5, "p90_dur_us" -> 0.9), scale = 2)
+      sessions.agg(
+          count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") > 1, 1L).otherwise(0L)).as("n_multi"),
+          sum("n_events").as("se"),
+          max("dur_us").as("max_dur_us"))
+        .crossJoin(broadcast(qs.drop("g")))
+        .select(col("n_sessions"), col("n_multi"),
+          round(col("se").cast("double") / col("n_sessions").cast("double"), 6)
+            .as("mean_events"),
+          col("p50_dur_us"), col("p90_dur_us"), col("max_dur_us"))
+    },
+
     // X6 — event-time tumbling window aggregation via Spark's window()
     // (epoch-aligned hourly buckets), surfaced as epoch-ns starts.
     "q_tumbling_window" -> { t =>
@@ -711,6 +749,31 @@ object RelationalQueries {
         |FROM events))
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin.replaceAll("\\s+", " "),
+
+    // Same session derivation as q_sessionize; quantile_cont parity with
+    // exactQuantiles is the pinned convention.
+    "q_session_stats" ->
+      """WITH s AS (
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(tsn) AS st, max(tsn) AS en FROM (
+        |SELECT user_id, tsn,
+        |CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tsn
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM (
+        |SELECT user_id, epoch_ns(ts) AS tsn,
+        |CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+        |WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 36000000000000 THEN 1
+        |ELSE 0 END AS new_s
+        |FROM events))
+        |GROUP BY user_id, session_id),
+        |d AS (SELECT n_events, (en - st) // 1000 AS dur_us FROM s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+        |  round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS mean_events,
+        |  round(quantile_cont(CAST(dur_us AS DOUBLE), 0.5), 2) AS p50_dur_us,
+        |  round(quantile_cont(CAST(dur_us AS DOUBLE), 0.9), 2) AS p90_dur_us,
+        |  CAST(max(dur_us) AS BIGINT) AS max_dur_us
+        |FROM d""".stripMargin.replaceAll("\\s+", " "),
 
     "q_tumbling_window" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000 AS window_start,

@@ -575,6 +575,7 @@ class PlanQualitySpec extends SparkSpec {
       "q_source_gini"      -> "ranks the per-source rollup (|sources| rows by construction)",
       "q_quantile_bins"    -> "exactQuantiles window path: the constant group key folds away; only planned below the executor-comfort crossover (selection path above plans NO window)",
       "q_pareto_users"     -> "exactQuantiles window path (crossover-guarded, as q_quantile_bins) + cumulative share over the ≤10-row decile rollup",
+      "q_session_stats"    -> "exactQuantiles window path over the session rollup (crossover-guarded, as q_quantile_bins)",
       "q_ks_test"          -> "cumulative offsets over per-block subtotals (block count rows)",
       "q_score_auc"        -> "cumulative offsets over per-block subtotals (block count rows, q_ks_test's shape)"
     )
@@ -640,6 +641,7 @@ class PlanQualitySpec extends SparkSpec {
       "q_benford"            -> "broadcast digit-row total (1 row over the 9-digit table)",
       "q_quantile_bins"      -> "broadcast decile-boundary set (1 row from exactQuantiles)",
       "q_pareto_users"       -> "broadcast decile boundaries + revenue total (1 row each)",
+      "q_session_stats"      -> "broadcast duration quantiles (1 row from exactQuantiles)",
       "q_crosscorr"          -> "broadcast lag fan-out table (2·maxLag+1 rows)"
     )
     val (issues, bnljSeen) = SparkEntry.queries.toSeq.foldLeft(
