@@ -176,6 +176,31 @@ object GraphOps {
       .groupBy(col("e.node").as("node")).agg(sum(col("e.c")).as("n_tri"))
   }
 
+  /** Per-node local clustering coefficient 2·tri(v)/(d(v)·(d(v)−1)) —
+    * Watts–Strogatz 1998: how close each node's neighbourhood is to a
+    * clique. THE community-cohesion readout over [[triangleCounts]]'
+    * raw counts (spam farms score near 1, crawl hubs near 0). Emits
+    * every node of degree ≥ 2 (triangle-free ones at coefficient 0).
+    *
+    * Determinism: triangle and degree counts are exact integers; the
+    * coefficient is one division. Scale shape: [[triangleCounts]]'
+    * O(m^1.5) bound + one degree aggregation + a node-keyed left join. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.where(col("degree") >= 2)
+      .join(triangleCounts(edges), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+          (col("degree") * (col("degree") - 1)).cast("double"), 6).as("coeff"))
+  }
+
   /** Common-neighbor link prediction over an undirected edge DataFrame:
     * for every NON-adjacent node pair sharing ≥ `minCommon` neighbours,
     * emits the four classic topological scores — common-neighbour count,

@@ -293,6 +293,16 @@ object AnalyticsQueries {
         .orderBy("node")
     },
 
+    // Watts–Strogatz local clustering coefficient over the same backbone:
+    // 2·tri/(d·(d−1)) per degree-≥2 node, exact integers, one division.
+    "q_clustering_coeff" -> { t =>
+      import org.apache.spark.sql.functions.col
+      GraphOps.clusteringCoefficient(
+          GraphOps.coOccurrenceEdges(t.lineitem, "l_orderkey", "l_partkey")
+            .where(col("w") >= 2))
+        .orderBy("node")
+    },
+
     // Distribution drift between corpus snapshots: PSI of the value column,
     // first ingest half (by event id) vs second, 10 fixed-width bins with
     // dyadic Laplace smoothing so empty bins stay finite AND shares stay
@@ -1162,6 +1172,37 @@ object AnalyticsQueries {
         |  UNION ALL SELECT x FROM t UNION ALL SELECT y FROM t)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
         |FROM nodes GROUP BY node ORDER BY node""".stripMargin.replaceAll("\\s+", " "),
+
+    // q_triangle_count's oracle + degrees + the coefficient division.
+    "q_clustering_coeff" ->
+      """WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |e0 AS (SELECT a.item AS a, b.item AS b
+        |  FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |  SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0) GROUP BY n),
+        |o AS (SELECT
+        |  CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |    THEN e0.a ELSE e0.b END AS u,
+        |  CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |    THEN e0.b ELSE e0.a END AS v,
+        |  CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |    THEN db.d ELSE da.d END AS dv
+        |  FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b),
+        |t AS (SELECT w1.u, w1.v AS x, w2.v AS y
+        |  FROM o w1 JOIN o w2 ON w1.u = w2.u
+        |    AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))
+        |  JOIN o cl ON cl.u = w1.v AND cl.v = w2.v),
+        |nodes AS (SELECT u AS node FROM t
+        |  UNION ALL SELECT x FROM t UNION ALL SELECT y FROM t),
+        |tri AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |  FROM nodes GROUP BY node)
+        |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+        |  coalesce(tri.n_tri, 0) AS n_tri,
+        |  round(2.0 * coalesce(tri.n_tri, 0)
+        |    / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS coeff
+        |FROM deg LEFT JOIN tri ON tri.node = deg.n
+        |WHERE deg.d >= 2 ORDER BY node""".stripMargin.replaceAll("\\s+", " "),
 
     // Counts are integers (exact any order); shares and the (q−p)·ln(q/p)
     // term are computed bin-local with CAST-double smoothing constants

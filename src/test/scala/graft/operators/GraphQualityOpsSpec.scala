@@ -102,6 +102,21 @@ class GraphQualityOpsSpec extends SparkSpec {
       (3L, 4L, 1L, 1.0)))
   }
 
+  test("clusteringCoefficient: closed forms incl. triangle-free nodes at 0") {
+    // triangle {1,2,3} with pendant 4 on node 1: node 1 has d 3, 1
+    // triangle → 2/(3·2) = 1/3; nodes 2,3 are fully clustered (1.0);
+    // pendant 4 (d 1) is excluded; path-center 5 between 4... keep simple:
+    // add edge 4-5 so node 4 has d 2 and NO triangle → coefficient 0
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.clusteringCoefficient(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 1L, 0.333333)))
+    assert(out(2L) == ((2L, 1L, 1.0)) && out(3L) == ((2L, 1L, 1.0)))
+    assert(out(4L) == ((2L, 0L, 0.0)), s"triangle-free degree-2 node: ${out.get(4L)}")
+    assert(!out.contains(5L), "degree-1 node has no defined coefficient")
+  }
+
   test("pageRank converges toward degree-proportional mass on a symmetric graph") {
     // path graph a-b-c: b is twice as central as the endpoints
     val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
