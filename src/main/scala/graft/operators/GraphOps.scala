@@ -122,21 +122,30 @@ object GraphOps {
     * every out-degree by O(√m): total wedge volume is Σ outdeg² = O(m^1.5)
     * REGARDLESS of hub structure. All three steps are shuffled equi-joins
     * on node keys — hash-distributed, AQE-splittable, no driver state. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    // canonical undirected edge set (one row per unordered pair).
-    // Materialized once (executor-local checkpoint, the connectedComponents
-    // pattern; swap for reliable `checkpoint` on a cluster): it feeds the
-    // degree table TWICE (unionAll) and the orientation join, and without
-    // the barrier each reference re-derives the whole upstream edge
-    // construction — measured 15 upstream scans for one triangle query.
-    // The edge list is orders of magnitude smaller than the data that
-    // produced it (thresholded co-occurrence backbone).
-    val und = edges
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsFromUnd(canonicalUndirected(edges))
+
+  /** Canonical undirected edge set (one row per unordered pair), materialized
+    * with an executor-local checkpoint (the connectedComponents pattern; swap
+    * for reliable `checkpoint` on a cluster): it feeds the degree table TWICE
+    * (unionAll) and the orientation join, and without the barrier each
+    * reference re-derives the whole upstream edge construction — measured 15
+    * upstream scans for one triangle query. The edge list is orders of
+    * magnitude smaller than the data that produced it (thresholded
+    * co-occurrence backbone). */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
+
+  /** Triangle counting over an ALREADY-canonical, already-materialized
+    * undirected edge set — the shared entry for [[triangleCounts]] and
+    * [[clusteringCoefficient]], so callers that also need degrees build the
+    * expensive upstream backbone exactly once. */
+  private def triangleCountsFromUnd(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient a→b iff (deg(a), a) < (deg(b), b): a total order, so exactly
@@ -186,15 +195,16 @@ object GraphOps {
     * coefficient is one division. Scale shape: [[triangleCounts]]'
     * O(m^1.5) bound + one degree aggregation + a node-keyed left join. */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
+    // ONE canonical backbone shared between the degree table and the
+    // triangle count — the r11 form called triangleCounts(edges), which
+    // re-derived (and re-checkpointed) its own copy of `und`, running the
+    // expensive upstream (collect_set + quadratic pair explode + shuffle)
+    // twice for the suite's slowest query.
+    val und = canonicalUndirected(edges)
     val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
     deg.where(col("degree") >= 2)
-      .join(triangleCounts(edges), Seq("node"), "left")
+      .join(triangleCountsFromUnd(und), Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
@@ -272,8 +282,13 @@ object GraphOps {
     * centrality. Returns (node, deg) with `deg` the node's degree WITHIN
     * the core.
     *
-    * `edges` must carry both directions of each undirected edge (the
-    * [[coOccurrenceEdges]] contract), so per-src row counts are degrees.
+    * The edge list is symmetrized internally (union of both directions,
+    * then distinct) like the sibling operators [[clusteringCoefficient]] and
+    * [[linkPrediction]], so callers may pass either a both-directions
+    * relation (the [[coOccurrenceEdges]] contract — the union is then a
+    * distinct no-op) or a canonical one-direction list; per-src row counts
+    * are degrees either way. The extra union is negligible next to the
+    * iterative peel.
     *
     * Scale shape: each round is one key aggregation over the surviving
     * edge relation plus two semi-joins on node keys — hash-distributed,
@@ -286,7 +301,9 @@ object GraphOps {
     * so equal counts ⇒ equal sets. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var e = edges.select(col("src"), col("dst"))
+    val directed = edges.select(col("src"), col("dst"))
+    var e = directed
+      .unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(false)

@@ -310,6 +310,50 @@ object MultimodalOps {
       .toDF(idCol, "win", "n_frames", "sum_sq")
   }
 
+  /** 64-bit windowed-energy-envelope signature over decoded PCM — the audio
+    * analog of [[dHash64]]'s gradient signs. The clip's samples split into
+    * 65 equal spans (sample i → span i·65/n, integer division — mirrors in
+    * SQL as `i * 65 // n`), each span's energy is the EXACT integer sum of
+    * squared samples, and bit k is set iff E(k+1) > E(k). Uniform gain
+    * scaling multiplies every span energy by the same factor, preserving
+    * order — so a re-encoded or volume-changed copy of the same clip lands
+    * at Hamming ≈ 0 while unrelated clips sit near 32, and the signature
+    * feeds [[hammingPairs]] unchanged. Empty/undecodable clips are the
+    * caller's concern (this is the pure kernel). */
+  def audioEnvelopeHash(a: DecodedAudio): Long = {
+    val n = a.samples.length
+    val e = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val s = a.samples(i).toLong
+      e((i.toLong * 65 / n).toInt) += s * s
+      i += 1
+    }
+    var h = 0L
+    var k = 0
+    while (k < 64) { if (e(k + 1) > e(k)) h |= (1L << k); k += 1 }
+    h
+  }
+
+  /** Perceptual audio fingerprints over a binary column: decode, then the
+    * [[audioEnvelopeHash]] envelope signature — (id, decoded, afp) only, so
+    * downstream near-dup bucketing shuffles 64-bit fingerprints, never
+    * samples (the audio mirror of [[imageFeatures]]). NULL fingerprint for
+    * undecodable payloads. */
+  def audioFingerprints(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeWav(bytes) match {
+          case Some(a) if a.samples.nonEmpty => (id, true, Some(audioEnvelopeHash(a)))
+          case _ => (id, false, None: Option[Long])
+        }
+      })
+      .toDF(idCol, "decoded", "afp")
+  }
+
   // --------------------------------------------------------- multi-frame
 
   /** REAL frame count for multi-image containers (animated GIF; 1 for
@@ -407,6 +451,84 @@ object MultimodalOps {
       } finally iis.close()
     } catch { case _: Throwable => None }
 
+  /** Per-frame perceptual hashes for multi-frame containers: ONE ImageReader
+    * walk per payload (the [[frameCountAndFirst]] single-reader discipline —
+    * decode CPU stays one container parse regardless of how many frames are
+    * hashed) emitting (id, frame_idx, width, height, dhash) for every
+    * `stride`-th frame. `stride` > 1 is the keyframe-strided mode for long
+    * animations — the hash series stays bounded while same-source copies
+    * still align frame-by-frame (both sides stride identically). Frames are
+    * hashed AS STORED (each frame's own raster); GIF disposal/offset
+    * composition is out of scope — full-frame containers (the ingest
+    * normal form) hash exactly. Undecodable payloads yield no rows.
+    *
+    * Scale shape: a narrow per-partition flatMap; fan-out is frames/stride
+    * per payload, and only 8-byte hashes leave the stage — the per-frame
+    * mirror of [[imageFeatures]], feeding [[animationNearDup]]. */
+  def frameHashes(df: DataFrame, binCol: String, idCol: String,
+                  stride: Int = 1): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) => readFrameHashes(id, bytes, stride) }
+      }
+      .toDF(idCol, "frame_idx", "width", "height", "dhash")
+  }
+
+  /** Single-reader frame walk: directory count + per-frame decode + dHash,
+    * materialized BEFORE the reader is disposed. */
+  private def readFrameHashes(id: Long, bytes: Array[Byte],
+                              stride: Int): Seq[(Long, Int, Int, Int, Long)] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Seq.empty
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            (0 until n by stride).flatMap { f =>
+              grayOf(r.read(f)).map(d => (id, f, d.width, d.height, dHash64(d)))
+            }
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Throwable => Seq.empty }
+
+  /** Animation near-dup over per-frame hashes ([[frameHashes]] output):
+    * two payloads are near-duplicates when they have the SAME frame count
+    * and EVERY aligned frame pair sits within `maxHamming` — the
+    * re-encoded-animation detector (per-frame dHash survives palette and
+    * brightness re-encodes exactly as it does for stills). Emits
+    * (ida, idb, n_frames, max_hamming).
+    *
+    * Scale shape: candidates come from [[hammingPairs]] banded on
+    * (frame_idx, 16-bit chunk) equi-keys — frame alignment rides the join
+    * key, so band buckets never mix frames and nothing is all-pairs; the
+    * per-pair rollup and the two frame-count joins are id-keyed,
+    * hash-distributed, AQE-splittable. */
+  def animationNearDup(frameHashes: DataFrame, maxHamming: Int = 3,
+                       idCol: String = "doc_id", frameCol: String = "frame_idx",
+                       hashCol: String = "dhash"): DataFrame = {
+    val fh = frameHashes.select(col(idCol).as("id"), col(frameCol).as("frame_idx"),
+      col(hashCol).as("h"))
+    val counts = fh.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+    hammingPairs(fh, maxHamming, alignKeys = Seq("frame_idx"))
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("n_matched"), max(col("hamming")).as("max_hamming"))
+      .join(counts.select(col("id").as("ida"), col("nf").as("na")), Seq("ida"))
+      .join(counts.select(col("id").as("idb"), col("nf").as("nb")), Seq("idb"))
+      .where(col("n_matched") === col("na") && col("n_matched") === col("nb"))
+      .select(col("ida"), col("idb"), col("na").as("n_frames"), col("max_hamming"))
+  }
+
   /** Per-partition feature extraction: one digest + codec context per
     * partition, batch-shaped iteration — expensive init (digest instance,
     * ImageIO disk cache off) amortised across the partition, and the real
@@ -455,21 +577,31 @@ object MultimodalOps {
     * 16-bit bands (any pair within Hamming 3 shares a band; `maxHamming`
     * above 3 trades recall for speed), then the full 64-bit Hamming
     * verifies. Band buckets are equi-join keys — hash-distributed,
-    * AQE-splittable; nothing all-pairs. */
+    * AQE-splittable; nothing all-pairs.
+    *
+    * `alignKeys` names extra columns that must match EXACTLY for a pair to
+    * be a candidate (e.g. `frame_idx` for per-frame animation alignment) —
+    * they ride the band equi-join key, so misaligned rows never even meet
+    * in a bucket, and they are carried (from the a-side) on the output. */
   def hammingPairs(hashes: DataFrame, maxHamming: Int = 3,
-                   idCol: String = "id", hashCol: String = "h"): DataFrame = {
-    val chunked = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+                   idCol: String = "id", hashCol: String = "h",
+                   alignKeys: Seq[String] = Nil): DataFrame = {
+    val chunked = hashes
+      .select(col(idCol).as("id") +: col(hashCol).as("h") +: alignKeys.map(col): _*)
       .where(col("h").isNotNull)
-      .select(col("id"), col("h"),
+      .select(col("id") +: col("h") +: alignKeys.map(col) :+
         posexplode(array((0 until 4).map(c =>
-          shiftright(col("h"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+          shiftright(col("h"), c * 16).bitwiseAND(0xFFFFL)): _*)): _*)
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    chunked.as("a").join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.id") < col("b.id"))
+    val joinCond = (Seq(
+      col("a.chunk") === col("b.chunk"), col("a.chunk_val") === col("b.chunk_val"),
+      col("a.id") < col("b.id")) ++
+      alignKeys.map(k => col(s"a.$k") === col(s"b.$k"))).reduce(_ && _)
+    chunked.as("a").join(chunked.as("b"), joinCond)
       .withColumn("hamming", bit_count(col("a.h").bitwiseXOR(col("b.h"))))
       .where(col("hamming") <= maxHamming)
-      .select(col("a.id").as("ida"), col("b.id").as("idb"), col("hamming"))
+      .select(col("a.id").as("ida") +: col("b.id").as("idb") +:
+        alignKeys.map(k => col(s"a.$k")) :+ col("hamming"): _*)
       .distinct()
   }
 

@@ -243,11 +243,19 @@ object SimilarityOps {
   def contaminationScreen(corpus: DataFrame, benchmark: DataFrame,
                           threshold: Double,
                           vecCol: String = "embedding",
-                          idCol: String = "vec_id"): DataFrame = {
+                          idCol: String = "vec_id",
+                          excludeSelfId: Boolean = false): DataFrame = {
     val c = prepared(corpus, vecCol, idCol)
     val b = prepared(benchmark, vecCol, idCol)
       .select(col("id").as("bench_id"), col("v").as("bv"), col("nrm").as("bnrm"))
-    c.join(broadcast(b), col("id") =!= col("bench_id"))
+    // Corpus and benchmark id spaces need NOT be disjoint: every pair is
+    // compared by default. `excludeSelfId` is the explicit opt-in for
+    // screening a table against ITSELF (where id equality means "the same
+    // row", not a coincidence of independent namespaces) — an implicit
+    // id =!= bench_id predicate would silently skip any corpus/bench pair
+    // whose independently-assigned ids happen to coincide.
+    val pairPred = if (excludeSelfId) col("id") =!= col("bench_id") else lit(true)
+    c.join(broadcast(b), pairPred)
       .withColumn("sim", cosinePrenormed(col("bv"), col("v"), col("bnrm"), col("nrm")))
       .where(col("sim") >= threshold)
       .groupBy(col("id"))

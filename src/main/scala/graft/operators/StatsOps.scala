@@ -365,7 +365,12 @@ object StatsOps {
     val spark = df.sparkSession
     import spark.implicits._
     val digits = df
-      .where(valCol.isNotNull && valCol > 0)
+      // round(v·100) >= 1, not v > 0: a positive value below 0.005 rounds
+      // to 0 cents and would form a digit-0 group — dropped by the join
+      // with the 1-9 expectation table yet still counted in the row total,
+      // silently deflating every expected count. Unreachable under the
+      // 2-dp data contract, but the operator accepts any positive column.
+      .where(valCol.isNotNull && round(valCol * 100) >= 1)
       .groupBy(substring(round(valCol * 100).cast("decimal(38,0)")
         .cast("string"), 1, 1).cast("int").as("digit"))
       .agg(count(lit(1)).as("n_obs"))

@@ -24,31 +24,51 @@ object TextOps {
       (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
   }
 
-  /** Character trigrams typical of English text — a tiny profile of the
-    * n-gram-frequency method real language identifiers use. */
-  val EnglishTrigrams: Seq[String] = Seq("the", "ing", "ion", "ent", "er ", " th")
+  /** Per-language character-trigram profiles — a tiny instance of the
+    * n-gram-frequency method real language identifiers use (Cavnar &
+    * Trenkle 1994's rank-profile idea reduced to literal hit counting).
+    * Keys sorted ascending: the argmax tie-break below relies on it, and
+    * the SQL oracle's comparison cascade mirrors the same order. ASCII
+    * only, so the byte-level regexp scan and DuckDB's agree on units. */
+  val LangTrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "sch", "ein", "ich", "und"),
+    "en" -> Seq("the", "ing", "ion", " th", "and"),
+    "es" -> Seq("de ", "los", "que", " la", "ado"),
+    "fr" -> Seq("les", "ent", "des", " de", "une"))
 
-  /** N-gram + stopword language scoring: English function-word ratio and a
-    * character-trigram profile hit count, combined into a binary en/other
-    * call. On the synthetic corpus every document shares one vocabulary, so
-    * the score mechanism (not the labels) is what's exercised; with real
-    * per-language profiles the same plan applies. */
-  def langId(docs: DataFrame, threshold: Double = 0.05,
+  /** Multi-class language ID by per-language trigram profiles: one
+    * non-overlapping occurrence count per profile trigram (summed per
+    * language), predicted = the language of the max count, ties broken to
+    * the lexicographically smallest language, all-zero scores falling to
+    * "other" (the honest call for scripts no Latin profile covers, e.g.
+    * zh). Counts are exact integers, so the argmax has no FP tie hazard.
+    * On the synthetic shared-vocabulary corpus the MECHANISM (profile
+    * scan → per-class scores → deterministic argmax) is what's exercised;
+    * production profiles drop in as data.
+    *
+    * Scale shape: a pure codegen'd projection — one regexp pass per
+    * trigram over the scan, no shuffle, no UDF; the per-class argmax is a
+    * single array_max over a 4-element struct array. */
+  def langId(docs: DataFrame,
              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nTok = size(toks)
-    val ratio = vocabCount(toks, EnglishStopwords).cast("double") / nTok
-    val trigramHits = EnglishTrigrams
-      .map(t => size(regexp_extract_all(col(textCol), lit(t), lit(0))))
-      .reduce(_ + _).cast("long")
-    // trigram hits normalised per token so long docs don't dominate
-    val trigramRate = trigramHits.cast("double") / nTok
-    docs.select(
-      col(idCol),
-      round(ratio, 6).as("en_ratio"),
-      trigramHits.as("en_trigram_hits"),
-      when(ratio >= threshold || trigramRate >= 0.5, "en").otherwise("other")
-        .as("predicted_lang"))
+    val hits = LangTrigramProfiles.map { case (l, tris) =>
+      tris.map(tr => size(regexp_extract_all(col(textCol), lit(tr), lit(0))))
+        .reduce(_ + _).cast("long").as(s"hits_$l")
+    }
+    val scored = docs.select(col(idCol) +: hits: _*)
+    // struct max orders by (h, negRank): highest count first, then the
+    // HIGHEST negated profile index = lowest index = smallest language
+    // (profiles are sorted ascending)
+    val best = array_max(array(LangTrigramProfiles.zipWithIndex.map {
+      case ((l, _), i) => struct(col(s"hits_$l").as("h"), lit(-i).as("nr"))
+    }: _*))
+    val names = array(LangTrigramProfiles.map(p => lit(p._1)): _*)
+    scored.select(
+      col(idCol) +:
+        LangTrigramProfiles.map { case (l, _) => col(s"hits_$l") } :+
+        when(best.getField("h") === 0, lit("other"))
+          .otherwise(element_at(names, (-best.getField("nr")) + 1))
+          .as("predicted_lang"): _*)
   }
 
   /** Composite quality score from length, lexical diversity, and stopword
@@ -637,7 +657,7 @@ object TextOps {
     val w = Window.partitionBy(col("__grp"))
     df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon_url"))
       .withColumn("__grp", coalesce(col("canon_url"),
-        concat(lit(" id:"), col(idCol).cast("string"))))
+        concat(lit("\u0000id:"), col(idCol).cast("string"))))
       .withColumn("keeper_id", min(col(idCol)).over(w))
       .withColumn("n_copies", count(lit(1)).over(w))
       .withColumn("is_dup", col(idCol) =!= col("keeper_id"))

@@ -788,8 +788,8 @@ object AnalyticsQueries {
         |  SELECT k, bucket, n,
         |    CAST(sum(n) OVER (PARTITION BY k) AS DOUBLE)
         |      / (count(*) OVER (PARTITION BY k)) AS km,
-        |    CAST(sum(n) OVER (PARTITION BY k, bucket % 24) AS DOUBLE)
-        |      / (count(*) OVER (PARTITION BY k, bucket % 24)) AS pm,
+        |    CAST(sum(n) OVER (PARTITION BY k, (bucket % 24 + 24) % 24) AS DOUBLE)
+        |      / (count(*) OVER (PARTITION BY k, (bucket % 24 + 24) % 24)) AS pm,
         |    CASE WHEN count(*) OVER ma = 25
         |      THEN CAST(sum(n) OVER ma AS DOUBLE) / 25.0 END AS trend
         |  FROM c
@@ -917,7 +917,7 @@ object AnalyticsQueries {
         |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
         |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
         |    CAST(count(*) AS BIGINT) AS n_obs
-        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND round(o_totalprice * 100) >= 1
         |  GROUP BY 1),
         |p AS (SELECT * FROM (VALUES
         |  (1, 0.3010299956639812), (2, 0.17609125905568124),

@@ -263,7 +263,7 @@ object SimilarityQueries {
         |p AS (
         |  SELECT c.vec_id, bn.bench_id,
         |    list_dot_product(bn.be, c.e) / (bn.bnrm * c.nrm) AS sim
-        |  FROM n c JOIN bn ON c.vec_id <> bn.bench_id),
+        |  FROM n c CROSS JOIN bn),
         |f AS (
         |  SELECT vec_id, bench_id, sim,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id) AS rn

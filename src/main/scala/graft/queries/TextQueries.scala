@@ -57,18 +57,24 @@ object TextQueries {
     * subquery of q_langid_confusion so evaluator and evaluatee cannot
     * drift apart. */
   private val langIdOracleBody: String = {
-    val trigrams = Seq("the", "ing", "ion", "ent", "er ", " th")
-    val hits = trigrams.map(t => s"len(regexp_extract_all(text, '$t'))").mkString(" + ")
-    s"""SELECT doc_id, en_ratio, en_trigram_hits,
-       |CASE WHEN en_ratio >= 0.05 OR en_trigram_hits * 1.0 / n_tok >= 0.5
-       |THEN 'en' ELSE 'other' END AS predicted_lang
-       |FROM (
-       |SELECT doc_id,
-       |round(len(list_filter(string_split(text, ' '), x -> list_contains($stop, x))) * 1.0 /
-       |      len(string_split(text, ' ')), 6) AS en_ratio,
-       |CAST($hits AS BIGINT) AS en_trigram_hits,
-       |len(string_split(text, ' ')) AS n_tok
-       |FROM documents)""".stripMargin.replaceAll("\\s+", " ")
+    // the SAME profile constant the engine scans (TextOps.LangTrigramProfiles,
+    // ascending language order); the CASE cascade below resolves argmax ties
+    // to the lexicographically smallest language exactly as the engine's
+    // struct-max does, and all-zero scores fall to 'other'
+    val profiles = graft.operators.TextOps.LangTrigramProfiles
+    val hitCols = profiles.map { case (l, tris) =>
+      val sum = tris.map(t => s"len(regexp_extract_all(text, '$t'))").mkString(" + ")
+      s"CAST($sum AS BIGINT) AS hits_$l"
+    }.mkString(", ")
+    val langs = profiles.map(_._1)
+    val cascade = langs.init.zipWithIndex.map { case (l, i) =>
+      val laterGe = langs.drop(i + 1).map(l2 => s"hits_$l >= hits_$l2").mkString(" AND ")
+      s"WHEN $laterGe THEN '$l'"
+    }.mkString(" ")
+    val anyPos = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ") = 0")
+    s"""SELECT doc_id, ${langs.map(l => s"hits_$l").mkString(", ")},
+       |CASE WHEN $anyPos THEN 'other' $cascade ELSE '${langs.last}' END AS predicted_lang
+       |FROM (SELECT doc_id, $hitCols FROM documents)""".stripMargin.replaceAll("\\s+", " ")
   }
 
   /** DuckDB 4-gram shingle CTE shared by the jaccard oracles (1-based list
@@ -302,15 +308,18 @@ object TextQueries {
         .orderBy("lang")
     },
 
-    // Language-ID heuristic (stopword density).
+    // Multi-class language ID: per-language trigram-profile hit counts
+    // (de/en/es/fr), deterministic integer argmax (ties to the smallest
+    // language), all-zero scores -> 'other' (zh has no Latin profile).
     "q_lang_id" -> { t =>
       TextOps.langId(t.documents).orderBy("doc_id")
     },
 
-    // Language-ID evaluation against the labeled lang column: the
-    // confusion matrix (actual x predicted) with per-actual-class shares
-    // -- "how often does the heuristic call each language English". The
-    // share window runs over the matrix-sized rollup only.
+    // Language-ID evaluation against the labeled lang column: the full
+    // multi-class confusion matrix (actual x predicted) with per-actual-
+    // class shares. The share window runs over the matrix-sized rollup
+    // only; the predictor subquery is shared VERBATIM with q_lang_id's
+    // oracle so evaluator and evaluatee cannot drift apart.
     "q_langid_confusion" -> { t =>
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
@@ -776,6 +785,71 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Perceptual AUDIO near-dup: 96 real WAVs in 12 groups — each group one
+    // md5-derived 65-span level envelope, member m gain-scaling every sample
+    // by (m+1) (exact integer scaling preserves span-energy ORDER, so the
+    // envelope signature is gain-invariant by construction) and member 7
+    // additionally bumping span 0's level by +1 (a genuine near-miss,
+    // Hamming ≤ 1). The engine ENCODES, really DECODES, fingerprints with
+    // the windowed-energy-envelope hash, and pairs via the same pigeonhole
+    // banding as images; the oracle recomputes the signature closed-form
+    // from the level ordering and mirrors the band join in SQL.
+    "q_audio_neardup" -> { t =>
+      val s = t.spark
+      import s.implicits._
+      val wavs = t.documents.select(col("doc_id")).where(col("doc_id") < 96).as[Long]
+        .mapPartitions { ids =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          ids.map { id =>
+            val g = id % 12
+            val m = (id / 12).toInt
+            // 260 samples = 4 per span: span w = i*65/260 = i/4
+            val samples = Array.tabulate(260) { i =>
+              val w = i / 4
+              val lvl = 1 + (md.digest(s"a:$g:$w".getBytes("UTF-8"))(0) & 0xFF) +
+                (if (m == 7 && w == 0) 1 else 0)
+              lvl * (m + 1)
+            }
+            (id, graft.operators.MultimodalOps.encodePcmWav(8000, 1, samples))
+          }
+        }.toDF("doc_id", "wav")
+      val fps = graft.operators.MultimodalOps.audioFingerprints(wavs, "wav", "doc_id")
+        .select(col("doc_id").as("id"), col("afp").as("h"))
+      graft.operators.MultimodalOps.hammingPairs(fps, maxHamming = 3)
+        .orderBy("ida", "idb")
+    },
+
+    // ANIMATION near-dup over per-frame perceptual hashes: 96 real animated
+    // GIFs in 12 groups (2-4 frames each, md5-derived pixels; member m bumps
+    // one pixel by +1 luma in EVERY frame — the image-plant perturbation,
+    // per frame). One single-reader walk hashes every frame; near-dups must
+    // match on frame COUNT and every aligned frame's dHash within Hamming 3
+    // (frame alignment rides the band join key). The oracle recomputes every
+    // frame's dHash closed-form and re-derives the full-series match in SQL.
+    "q_gif_neardup" -> { t =>
+      val s = t.spark
+      import s.implicits._
+      val gifs = t.documents.select(col("doc_id")).where(col("doc_id") < 96).as[Long]
+        .mapPartitions { ids =>
+          javax.imageio.ImageIO.setUseCache(false)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          ids.map { id =>
+            val g = id % 12
+            val m = (id / 12).toInt
+            (id, graft.operators.MultimodalOps.encodeGrayGifFrames(9, 8,
+              frames = 2 + (g % 3).toInt,
+              pixel = (x, y, f) => {
+                val base = md.digest(s"v:$g:$f:$x:$y".getBytes("UTF-8"))(0) & 0xFF
+                val bump = if (x == m % 9 && y == (m / 9) % 8) 1 else 0
+                (base + bump) % 256
+              }))
+          }
+        }.toDF("doc_id", "gif")
+      val fh = graft.operators.MultimodalOps.frameHashes(gifs, "gif", "doc_id")
+      graft.operators.MultimodalOps.animationNearDup(fh, maxHamming = 3)
+        .orderBy("ida", "idb")
+    },
+
     // Tokenizer-coverage diagnostic: OOV rate per document against the
     // corpus's own top-50 token vocabulary (ties lexicographic — a total
     // order, so the vocab is a deterministic constant the oracle
@@ -962,6 +1036,63 @@ object TextQueries {
       |  coalesce(lab.cluster, h.id) = h.id AS is_keeper
       |FROM h LEFT JOIN lab ON lab.id = h.id
       |ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+
+  /** q_audio_neardup oracle: the engine's windowed-energy-envelope bit k
+    * compares span energies E(k+1) > E(k); with 4 samples per span at level
+    * lvl·(m+1) that is 4·lvl(k+1)²·(m+1)² > 4·lvl(k)²·(m+1)² ⟺
+    * lvl(k+1) > lvl(k) (positive levels) — so the closed form reduces to
+    * the md5 level ordering, gain-invariance PROVEN by the reduction
+    * itself. Band join + popcount mirror [[imageNeardupOracle]]. */
+  private val audioNeardupOracle: String = {
+    def lvl(w: Int) =
+      s"(('0x' || substr(md5('a:' || (doc_id % 12) || ':$w'), 1, 2))::UBIGINT + 1" +
+        (if (w == 0) " + CASE WHEN doc_id // 12 = 7 THEN 1 ELSE 0 END)" else ")")
+    val lvlCols = (0 to 64).map(w => s"${lvl(w)} AS l$w").mkString(", ")
+    val h = (0 until 64).map(k =>
+      s"CASE WHEN l${k + 1} > l$k THEN ${bitPow(k)} ELSE 0 END").mkString(" + ")
+    s"WITH lv AS (SELECT doc_id, $lvlCols FROM documents WHERE doc_id < 96), " +
+      s"h AS (SELECT doc_id AS id, ($h) AS h FROM lv), " +
+      "b AS (SELECT id, h, band, (h >> (band * 16)) & 65535 AS bv FROM h " +
+      "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands) " +
+      "SELECT DISTINCT a.id AS ida, c.id AS idb, bit_count(xor(a.h, c.h)) AS hamming " +
+      "FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.id < c.id " +
+      "WHERE bit_count(xor(a.h, c.h)) <= 3 ORDER BY ida, idb"
+  }
+
+  /** q_gif_neardup oracle: per-(doc, frame) closed-form pixels → dHash →
+    * frame-aligned band join → full-series rollup requiring every frame
+    * matched on BOTH sides' frame counts — the SQL re-derivation of
+    * [[MultimodalOps.animationNearDup]] over independently recomputed
+    * hashes. */
+  private val gifNeardupOracle: String = {
+    def p(x: Int, y: Int) =
+      s"(('0x' || substr(md5('v:' || (doc_id % 12) || ':' || f || ':$x:$y'), 1, 2))::UBIGINT + " +
+        s"CASE WHEN (doc_id // 12) % 9 = $x AND ((doc_id // 12) // 9) % 8 = $y " +
+        "THEN 1 ELSE 0 END) % 256"
+    val pxCols = (for (y <- 0 until 8; x <- 0 until 9) yield
+      s"${p(x, y)} AS c${x}_$y").mkString(", ")
+    val dhash = (for (y <- 0 until 8; x <- 0 until 8) yield
+      s"CASE WHEN c${x + 1}_$y > c${x}_$y THEN ${bitPow(y * 8 + x)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH fr AS (SELECT doc_id, unnest(range(0, 2 + (doc_id % 12) % 3)) AS f
+       |  FROM documents WHERE doc_id < 96),
+       |px AS (SELECT doc_id, f, $pxCols FROM fr),
+       |h AS (SELECT doc_id AS id, f, ($dhash) AS h FROM px),
+       |b AS (SELECT id, f, h, band, (h >> (band * 16)) & 65535 AS bv FROM h
+       |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+       |pr AS (SELECT DISTINCT a.id AS ida, c.id AS idb, a.f,
+       |    bit_count(xor(a.h, c.h)) AS hd
+       |  FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv
+       |    AND a.f = c.f AND a.id < c.id
+       |  WHERE bit_count(xor(a.h, c.h)) <= 3),
+       |n AS (SELECT id, count(*) AS nf FROM h GROUP BY id),
+       |agg AS (SELECT ida, idb, count(*) AS n_matched, max(hd) AS max_hamming
+       |  FROM pr GROUP BY ida, idb)
+       |SELECT agg.ida, agg.idb, na.nf AS n_frames, agg.max_hamming
+       |FROM agg JOIN n na ON na.id = agg.ida JOIN n nb ON nb.id = agg.idb
+       |WHERE agg.n_matched = na.nf AND agg.n_matched = nb.nf
+       |ORDER BY ida, idb""".stripMargin.replaceAll("\\s+", " ")
+  }
 
   /** Deterministic container envelope for [[MultimodalOps.sniffContainer]]'s
     * declared query: doc_id % 6 selects PNG (with a genuine IHDR carrying
@@ -1728,6 +1859,10 @@ object TextQueries {
         |  7 AS width, 5 AS height,
         |  CAST(sum((doc_id % 199 + x * 20 + y * 10) % 256) AS BIGINT) AS f0_gray_sum
         |FROM gx GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
+
+    "q_audio_neardup" -> audioNeardupOracle,
+
+    "q_gif_neardup" -> gifNeardupOracle,
 
     // Vocab = top-50 tokens by count, ties lexicographic — the same total
     // order the engine fits, so membership is deterministic.

@@ -407,6 +407,20 @@ class PlanQualitySpec extends SparkSpec {
       s"triangle counting degenerated to a cross product:\n$plan")
   }
 
+  test("clustering coefficient builds the co-occurrence backbone exactly once") {
+    // The quadratic collect_set + pair-explode upstream must run ONCE into
+    // the shared checkpointed backbone; the final plan then derives BOTH
+    // the degree table and the triangle side from that RDD. Pre-r12 the
+    // degree branch re-derived the whole upstream (a second collect_set
+    // aggregation in this very plan) — the suite's slowest query doing its
+    // most expensive work twice.
+    val plan = executedPlan("q_clustering_coeff").toString
+    assert(!plan.contains("collect_set"),
+      s"co-occurrence backbone re-derived inside the final plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"clustering coefficient degenerated to a cross product:\n$plan")
+  }
+
   test("hard-negative mining broadcasts the query side (corpus never shuffles for the join)") {
     val plan = executedPlan("q_hard_negatives").toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),

@@ -393,6 +393,36 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(d1.getDouble(4) == want)
   }
 
+  test("benfordScreen: a positive value below half a cent leaves the universe entirely") {
+    // 0.004 rounds to 0 cents — it must not form a dropped digit-0 group
+    // that still inflates the row total (pre-r12 defect): with it excluded,
+    // N=2 and every expected count is computed over 2, not 3
+    val df = Seq(0.004, 123.45, 9000.0).toDF("v")
+    val out = StatsOps.benfordScreen(df, col("v")).orderBy("digit").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 9))
+    val exp1 = 2 * 0.3010299956639812
+    assert(out(0).getDouble(3) == BigDecimal(exp1)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "expected counts must use the digit-1..9 row total (N=2)")
+  }
+
+  test("contaminationScreen compares coinciding corpus/bench ids (independent namespaces)") {
+    // corpus id 2 and bench id 2 coincide numerically — with independent id
+    // spaces that is a coincidence, not a self-pair, and the leak MUST flag
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val bench = Seq((2L, Seq(0.0f, 2.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.contaminationScreen(corpus, bench, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((2L, 2L, 1.0)),
+      s"coinciding ids must still be screened: ${out.mkString(",")}")
+    // ...while the explicit self-screen opt-in restores the old exclusion
+    val selfScreen = SimilarityOps.contaminationScreen(corpus, corpus,
+      threshold = 0.9, excludeSelfId = true).collect()
+    assert(selfScreen.isEmpty, "self-screen must not flag a row against itself")
+  }
+
   test("transitionCounts builds the per-key consecutive-pair matrix") {
     val e = Seq(
       (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),

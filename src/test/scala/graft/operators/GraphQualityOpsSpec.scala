@@ -58,6 +58,16 @@ class GraphQualityOpsSpec extends SparkSpec {
       s"2-core should be the bare triangle with in-core degree 2: $core")
   }
 
+  test("kCore symmetrizes internally: canonical one-direction edges give the same core") {
+    // same triangle+chain graph as above, but passed ONE direction per edge
+    // (the canonical a<b list) — pre-r12 this silently halved degrees
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (4L, 5L))
+    val core = GraphOps.kCore(und.toDF("src", "dst"), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"one-direction input must yield the identical 2-core: $core")
+  }
+
   test("kCore on a tree is empty at k=2; k=1 keeps every non-isolated node") {
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L)) // path graph
     val edges = (und ++ und.map(_.swap)).toDF("src", "dst")

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.MultimodalOps._
+import org.apache.spark.sql.functions._
+
+/** Round-12 perceptual tier: the windowed-energy-envelope audio fingerprint
+  * (gain invariance, WAV roundtrip, banded pairing) and per-frame hashes for
+  * multi-frame containers feeding the frame-aligned animation near-dup.
+  */
+class MediaNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clip(levels: Int => Int, gain: Int, perSpan: Int = 4): Array[Int] =
+    Array.tabulate(65 * perSpan)(i => levels(i / perSpan) * gain)
+
+  test("audioEnvelopeHash: gain scaling is signature-invariant, reordering is not") {
+    def lvl(w: Int) = 1 + (w * 37 + 11) % 100
+    val a = DecodedAudio(8000, 1, clip(lvl, 1))
+    val scaled = DecodedAudio(8000, 1, clip(lvl, 7))
+    assert(audioEnvelopeHash(a) == audioEnvelopeHash(scaled),
+      "uniform gain preserves span-energy order, so the signature must not move")
+    // swapping two adjacent spans' levels flips the gradient sign between them
+    val swapped = DecodedAudio(8000, 1, clip(w => lvl(if (w == 10) 11 else if (w == 11) 10 else w), 1))
+    assert(audioEnvelopeHash(a) != audioEnvelopeHash(swapped))
+  }
+
+  test("audioEnvelopeHash matches a hand-computed envelope") {
+    // 65 spans of 1 sample each: energies are the squared levels directly
+    val levels = Array.tabulate(65)(w => if (w % 2 == 0) 3 else 5)
+    val a = DecodedAudio(8000, 1, levels)
+    // E alternates 9,25,9,25… → bit k set iff k even (E(k+1)=25 > E(k)=9)
+    var want = 0L
+    (0 until 64).foreach(k => if (k % 2 == 0) want |= (1L << k))
+    assert(audioEnvelopeHash(a) == want)
+  }
+
+  test("audioFingerprints: WAV roundtrip signature; NULL for non-audio") {
+    def lvl(w: Int) = 1 + (w * 53 + 7) % 128
+    val samples = clip(lvl, 2)
+    val wav = encodePcmWav(8000, 1, samples)
+    val df = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8"))).toDF("id", "blob")
+    val out = audioFingerprints(df, "blob", "id").orderBy("id").collect()
+    assert(out(0).getBoolean(1) &&
+      out(0).getLong(2) == audioEnvelopeHash(DecodedAudio(8000, 1, samples)),
+      "decode∘encode is lossless PCM, so the fingerprint must match the kernel")
+    assert(!out(1).getBoolean(1) && out(1).isNullAt(2))
+  }
+
+  test("audio near-dup end-to-end: re-encoded gain-changed copies pair; others don't") {
+    def lvlA(w: Int) = 1 + (w * 37 + 11) % 100
+    def lvlB(w: Int) = 1 + (w * 91 + 3) % 100
+    val rows = Seq(
+      (1L, encodePcmWav(8000, 1, clip(lvlA, 1))),
+      (2L, encodePcmWav(8000, 1, clip(lvlA, 5))), // louder copy of 1
+      (3L, encodePcmWav(8000, 1, clip(lvlB, 1)))) // different envelope
+    val fps = audioFingerprints(rows.toDF("id", "blob"), "blob", "id")
+      .select(col("id"), col("afp").as("h"))
+    val pairs = hammingPairs(fps, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0)), s"expected exactly the gain pair: $pairs")
+  }
+
+  test("frameHashes: one reader walk yields every frame's dHash; stride subsamples") {
+    def pix(x: Int, y: Int, f: Int) = (x * 31 + y * 17 + f * 97) % 256
+    val gif = encodeGrayGifFrames(9, 8, frames = 4, pixel = pix)
+    val df = Seq((7L, gif), (8L, "not an image".getBytes("UTF-8"))).toDF("id", "blob")
+    val out = frameHashes(df, "blob", "id").orderBy("id", "frame_idx")
+      .as[(Long, Int, Int, Int, Long)].collect().toSeq
+    assert(out.map(_._1).forall(_ == 7L) && out.map(_._2) == Seq(0, 1, 2, 3),
+      s"undecodable payloads yield no rows; 4 frames expected: $out")
+    // palette-gray GIF roundtrips losslessly: each frame's hash equals the
+    // closed-form dHash of its source raster
+    out.foreach { case (_, f, w, h, dh) =>
+      assert(w == 9 && h == 8)
+      val expected = DecodedImage(9, 8, Array.tabulate(72)(k => pix(k % 9, k / 9, f)))
+      assert(dh == dHash64(expected), s"frame $f hash drifted")
+    }
+    val strided = frameHashes(df, "blob", "id", stride = 2)
+      .orderBy("frame_idx").as[(Long, Int, Int, Int, Long)].collect().toSeq
+    assert(strided.map(_._2) == Seq(0, 2))
+  }
+
+  test("animationNearDup: every frame must match AND frame counts must agree") {
+    def pix(x: Int, y: Int, f: Int) = (x * 31 + y * 17 + f * 97) % 256
+    val a = encodeGrayGifFrames(9, 8, 3, pix)
+    val b = encodeGrayGifFrames(9, 8, 3, (x, y, f) =>
+      if (x == 2 && y == 3) (pix(x, y, f) + 1) % 256 else pix(x, y, f)) // near-copy
+    val c = encodeGrayGifFrames(9, 8, 2, pix)                            // truncated
+    val d = encodeGrayGifFrames(9, 8, 3, (x, y, f) =>
+      if (f == 1) ((x + 3) * (y + 5) * 97) % 256 else pix(x, y, f))      // one frame replaced
+    val fh = frameHashes(Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("id", "blob"),
+      "blob", "id")
+    val out = animationNearDup(fh, maxHamming = 3, idCol = "id")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"only the all-frames near-copy pairs — not the truncated or one-frame-off: $out")
+    assert(out.head._3 == 3L, "pair reports the shared frame count")
+  }
+
+  test("hammingPairs alignKeys: identical hashes at different frames never meet") {
+    val rows = Seq((1L, 0, 42L), (2L, 1, 42L), (3L, 1, 42L)).toDF("id", "frame_idx", "h")
+    val out = hammingPairs(rows, maxHamming = 3, alignKeys = Seq("frame_idx"))
+      .select("ida", "idb", "frame_idx", "hamming")
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    assert(out == Seq((2L, 3L, 1, 0)),
+      s"only the frame-aligned pair is a candidate: $out")
+  }
+}

@@ -159,6 +159,21 @@ class OpsSpec extends SparkSpec {
     assert(out == 0.9611111111111111)
   }
 
+  test("jaro_winkler multibyte contract: UTF-16 code units, mechanically pinned") {
+    import graft.plans.JaroWinklerSim.similarity
+    // The comparison unit is the UTF-16 code unit (documented in the
+    // expression's Scaladoc). An astral pair makes the divergence concrete:
+    // U+1F600 vs U+1F601 share their HIGH surrogate, so as 2-unit strings
+    // they match 1 of 2 units → jaro (1/2 + 1/2 + 1)/3 = 2/3. A
+    // codepoint-based engine sees two length-1 strings with different
+    // characters → 0.0. This value IS the contract, not a bug: parity with
+    // DuckDB is pinned on the ASCII name/identifier domain (previous test);
+    // multibyte inputs follow Java string semantics.
+    assert(similarity("😀", "😁") == 2.0 / 3.0)
+    // ASCII stays bit-for-bit DuckDB regardless (domain contract)
+    assert(similarity("martha", "marhta") == 0.9611111111111111)
+  }
+
   test("jaroWinklerPairs compares the per-block name vocabulary, not rows") {
     val d = Seq(
       (1L, "B1", "martha stone"), (2L, "B1", "marhta stone"),

@@ -11,14 +11,14 @@ Usage:
   python3 tools/bench_gate.py --update BENCH_NEW.json   # refresh reference
 
 Exit 1 on regression; prints each offender as
-  REGRESSION q_name: 4.10s vs 0.61s reference (6.7x > 3.0x)
+  REGRESSION q_name: 4.10s vs 0.61s reference (6.7x > 2.0x)
 """
 import json
 import sys
 from pathlib import Path
 
-FACTOR = 3.0
-FLOOR_SEC = 1.0
+FACTOR = 2.0
+FLOOR_SEC = 0.5
 DEFAULT_REF = Path(__file__).resolve().parent / "bench_reference.json"
 
 
