@@ -301,11 +301,21 @@ object GraphOps {
     * so equal counts ⇒ equal sets. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val directed = edges.select(col("src"), col("dst"))
-    var e = directed
-      .unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
-      .where(col("src") =!= col("dst"))
+    // symmetrize via canonical-form distinct + narrow 2× generator: the
+    // distinct carries m CANONICAL rows (half what a union-then-distinct
+    // would), and the mirror direction is re-emitted by a shuffle-free
+    // explode — one upstream pass, one exchange, no double-build (a lazy
+    // unionAll here would re-run the upstream through both branches, the
+    // exact defect clusteringCoefficient had pre-r12)
+    var e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
       .distinct()
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(false)
     var prevNodes = -1L
     var rounds = 0

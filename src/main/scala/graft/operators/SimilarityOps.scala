@@ -265,6 +265,63 @@ object SimilarityOps {
         round(lit(-1.0) * col("m.negSim"), 4).as("sim"))
   }
 
+  /** Margin-based mutual-top-1 pair mining across two embedding sides —
+    * the parallel-corpus (bitext) mining shape (Artetxe & Schwenk 2019's
+    * margin criterion over Schwenk's mutual-nearest intersection, reduced
+    * to its deterministic core): x's nearest y and y's nearest x must
+    * AGREE, and the pair must clear a ratio margin against BOTH sides'
+    * k-NN neighbourhoods — margin = 2k·sim / (Σtop-k(x) + Σtop-k(y)) ≥
+    * `minMargin` — so hub vectors that are uniformly similar to everything
+    * are rejected even when they win a mutual top-1. The aligned-pair
+    * miner for translation pairs, caption↔image-embedding alignment, or
+    * any cross-corpus linkage over a shared embedding space.
+    *
+    * Determinism: sims quantize to exact 1e-4 integers BEFORE ranking and
+    * summing (k-NN sums are exact integer sums — FP addition order can
+    * never flip a rank or a 6-dp margin), ties rank by ascending id, and
+    * the margin is one exact-integer ratio rounded at 6 dp.
+    *
+    * Scale shape: X is the seed side (model-sized — an eval set, a pivot
+    * corpus shard), broadcast onto two fully-codegen'd scans of the Y
+    * corpus; each scan rank-prunes per key immediately (WindowGroupLimit
+    * pushes the top-k map-side), so only (x_id, y_id, si) survivor rows
+    * reach the exchanges and vectors never shuffle. For seed sides past
+    * the broadcast budget, swap the scoring joins for [[banded]] LSH
+    * candidates exactly as [[nearDupPairsLsh]] does — mutual agreement
+    * and the margin compose unchanged. */
+  def marginMine(xSide: DataFrame, ySide: DataFrame, k: Int = 4,
+                 minMargin: Double = 1.0,
+                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val x = prepared(xSide, vecCol, idCol)
+      .select(col("id").as("x_id"), col("v").as("xv"), col("nrm").as("xn"))
+    val y = prepared(ySide, vecCol, idCol)
+      .select(col("id").as("y_id"), col("v").as("yv"), col("nrm").as("yn"))
+    def scored = y.join(broadcast(x), lit(true))
+      .withColumn("si",
+        round(cosinePrenormed(col("xv"), col("yv"), col("xn"), col("yn")) * 10000)
+          .cast("long"))
+      .select(col("x_id"), col("y_id"), col("si"))
+    val wX = Window.partitionBy("x_id").orderBy(col("si").desc, col("y_id"))
+    val xStats = scored.withColumn("rk", row_number().over(wX)).where(col("rk") <= k)
+      .groupBy("x_id")
+      .agg(sum("si").as("sum_x"),
+        max(when(col("rk") === 1, struct(col("y_id"), col("si")))).as("best"))
+      .select(col("x_id"), col("sum_x"),
+        col("best.y_id").as("y_id"), col("best.si").as("si"))
+    val wY = Window.partitionBy("y_id").orderBy(col("si").desc, col("x_id"))
+    val yStats = scored.withColumn("rk", row_number().over(wY)).where(col("rk") <= k)
+      .groupBy("y_id")
+      .agg(sum("si").as("sum_y"), max(when(col("rk") === 1, col("x_id"))).as("best_x"))
+    xStats.join(yStats, Seq("y_id"))
+      .where(col("best_x") === col("x_id"))
+      .withColumn("margin",
+        round((col("si") * (2L * k)) / (col("sum_x") + col("sum_y")).cast("double"), 6))
+      .where(col("margin") >= minMargin)
+      .select(col("x_id"), col("y_id"),
+        round(col("si") / 10000.0, 4).as("sim"), col("margin"))
+  }
+
   /** (id, band, bucket) rows: `bands` bands of `nPlanes` hyperplane sign
     * bits each, one row per band. Only ids and two small ints go through the
     * candidate join — vectors are re-fetched for scoring afterwards, so the

@@ -249,6 +249,83 @@ object StatsOps {
         col("n_neg").cast("long").as("n_neg"))
   }
 
+  /** Mann–Whitney U rank-sum TEST (the significance readout on top of
+    * [[aucMannWhitney]]'s U statistic): U with average-rank tie handling,
+    * plus the tie-corrected normal approximation
+    * z = (U − n_x·n_y/2) / σ with
+    * σ² = n_x·n_y/12 · (N+1 − Σ(t³−t)/(N(N−1)))
+    * (Mann & Whitney 1947; the standard tie correction) — "did this
+    * metric's distribution actually shift between segments", the rank-based
+    * companion to [[ksTest]] that is sensitive to location shifts the KS
+    * sup-gap understates.
+    *
+    * Determinism: 2U accumulates as Σ c_x·(2·cumYBelow + c_y) in EXACT
+    * integers (decimal against 100-TB-scale products), and the tie term
+    * Σ(t³−t) is exact decimal; z is then a fixed double expression of
+    * three exact integers, mirrored token-for-token in the oracle.
+    * Degenerate inputs (one side empty, or every value tied — σ² ≤ 0)
+    * yield NULL z, mirrored.
+    *
+    * Scale shape: identical to [[ksTest]]/[[aucMannWhitney]] — one
+    * conditional aggregation to per-distinct-value counts, two-phase
+    * prefix sum over in-plan-derived range blocks (offsets table provably
+    * ≤ nBlocks rows), no unpartitioned window over the value relation. */
+  def rankSumTest(df: DataFrame, valCol: Column, isX: Column,
+                  nBlocks: Int = 4096): DataFrame = {
+    require(nBlocks >= 1 && nBlocks <= (1 << 20),
+      s"nBlocks must be in [1, 2^20] (the offsets table must stay model-sized), got $nBlocks")
+    val counts = df
+      .where(valCol.isNotNull)
+      .groupBy(valCol.as("v"))
+      .agg(
+        sum(when(isX, 1L).otherwise(0L)).as("cx"),
+        sum(when(isX, 0L).otherwise(1L)).as("cy"))
+    // tie term rides the same bounds pass: t³ ≤ (2^53)³ needs decimal, and
+    // (12,0)·(12,0)·(12,0) stays inside precision 38 without truncation
+    val t = (col("cx") + col("cy")).cast("decimal(12,0)")
+    val bounds = counts.agg(
+      sum("cx").as("n_x"), sum("cy").as("n_y"),
+      min("v").cast("double").as("vmin"), max("v").cast("double").as("vmax"),
+      sum(t * t * t - t).as("tt"))
+    val blocked = counts.crossJoin(broadcast(bounds))
+      .withColumn("blk",
+        when(col("vmax") <= col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("vmin")) / ((col("vmax") - col("vmin")) / nBlocks)),
+            lit(nBlocks - 1L))))
+    val partials = blocked.groupBy("blk").agg(sum("cy").as("blk_y"))
+    val wOff = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("off_y", coalesce(sum("blk_y").over(wOff), lit(0L)))
+      .select("blk", "off_y")
+    val wBelow = Window.partitionBy("blk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val u2 = blocked
+      .join(broadcast(offsets), Seq("blk"))
+      .withColumn("cum_below", col("off_y") + coalesce(sum("cy").over(wBelow), lit(0L)))
+      .select(
+        (col("cx").cast("decimal(19,0)") *
+          (col("cum_below") * 2 + col("cy")).cast("decimal(19,0)")).as("u2"),
+        col("n_x"), col("n_y"), col("tt"))
+      .groupBy("n_x", "n_y", "tt")
+      .agg(sum("u2").as("u2"))
+    // z from three exact integers; the double expression below is mirrored
+    // token-for-token by the SQL oracle so IEEE evaluation order matches
+    val nxD = col("n_x").cast("double")
+    val nyD = col("n_y").cast("double")
+    val nD = (col("n_x") + col("n_y")).cast("double")
+    val varTerm = nD + lit(1.0) - col("tt").cast("double") / (nD * (nD - lit(1.0)))
+    val z = (col("u2").cast("double") - nxD * nyD) /
+      (lit(2.0) * sqrt(nxD * nyD / lit(12.0) * varTerm))
+    u2.select(
+      col("n_x").cast("long").as("n_x"),
+      col("n_y").cast("long").as("n_y"),
+      round(col("u2").cast("double") / 2.0, 4).as("u"),
+      when(col("n_x") === 0 || col("n_y") === 0 || varTerm <= 0,
+        lit(null).cast("double"))
+        .otherwise(round(z, 6)).as("z"))
+  }
+
   /** Pre-aggregated HLL sketch rollup: one DataSketches HLL sketch of
     * `valueCol` per `keyCols` group (Spark's built-in `hll_sketch_agg`).
     *

@@ -106,6 +106,17 @@ object AnalyticsQueries {
         isA = col("event_type") === "purchase")
     },
 
+    // Mann–Whitney rank-sum TEST: did click values shift vs purchase
+    // values? Exact-integer U with average-rank ties + the tie-corrected
+    // z — the location-shift readout next to q_ks_test's sup-gap.
+    "q_rank_sum" -> { t =>
+      import org.apache.spark.sql.functions._
+      graft.operators.StatsOps.rankSumTest(
+        t.events.where(col("event_type").isin("click", "purchase")),
+        valCol = col("value"),
+        isX = col("event_type") === "click")
+    },
+
     // Mann–Whitney AUC of `value` ranking purchases above other events —
     // the threshold-free scorer-evaluation metric for curation classifiers
     // and dedup signals. Exact-integer rank sum via the same two-phase
@@ -853,6 +864,33 @@ object AnalyticsQueries {
         |  CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
         |  CAST(max(n) AS BIGINT) AS n
         |FROM m, t""".stripMargin.replaceAll("\\s+", " "),
+
+    // 2U and the tie term accumulate as exact integers; the z expression
+    // mirrors the engine's double arithmetic token-for-token (+0 folds a
+    // -0.0 rounding artifact).
+    "q_rank_sum" ->
+      """WITH e AS (
+        |  SELECT value AS v, event_type = 'click' AS ix FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |c AS (SELECT v, sum(CASE WHEN ix THEN 1 ELSE 0 END) AS cx,
+        |        sum(CASE WHEN ix THEN 0 ELSE 1 END) AS cy
+        |      FROM e GROUP BY v),
+        |r AS (SELECT v, cx, cy,
+        |    coalesce(sum(cy) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fy
+        |  FROM c),
+        |t AS (SELECT CAST(sum(cx) AS BIGINT) AS nx, CAST(sum(cy) AS BIGINT) AS ny,
+        |    CAST(sum(cx * (2 * fy + cy)) AS DOUBLE) AS u2,
+        |    CAST(sum((cx + cy) * (cx + cy) * (cx + cy) - (cx + cy)) AS DOUBLE) AS tt
+        |  FROM r),
+        |s AS (SELECT nx, ny, u2, tt, CAST(nx + ny AS DOUBLE) AS nn,
+        |    CAST(nx AS DOUBLE) AS nxd, CAST(ny AS DOUBLE) AS nyd FROM t),
+        |s2 AS (SELECT *, nn + 1.0 - tt / (nn * (nn - 1.0)) AS vterm FROM s)
+        |SELECT nx AS n_x, ny AS n_y, round(u2 / 2.0, 4) AS u,
+        |  CASE WHEN nx = 0 OR ny = 0 OR vterm <= 0 THEN NULL
+        |    ELSE round((u2 - nxd * nyd) / (2.0 * sqrt(nxd * nyd / 12.0 * vterm)), 6) + 0
+        |  END AS z
+        |FROM s2""".stripMargin.replaceAll("\\s+", " "),
 
     "q_ks_test" ->
       """WITH e AS (

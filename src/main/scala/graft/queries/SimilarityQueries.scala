@@ -87,6 +87,20 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Margin-based mutual-top-1 pair mining (the bitext-mining shape):
+    // every 29th vector is the seed side, the rest the corpus; a pair
+    // survives only if both directions' nearest neighbours agree AND the
+    // sim clears a 1.1 ratio margin over both sides' 4-NN neighbourhoods
+    // (hub rejection). Sims quantize to exact 1e-4 integers before any
+    // ranking/summing, so the oracle re-derives the identical pairs.
+    "q_bitext_mine" -> { t =>
+      SimilarityOps.marginMine(
+          t.embeddings.where(col("vec_id") % 29 === 0),
+          t.embeddings.where(col("vec_id") % 29 =!= 0),
+          k = 4, minMargin = 1.1)
+        .orderBy("x_id")
+    },
+
     // ANN scale path: banded hyperplane-LSH candidates + exact rescoring.
     // 40 bands × 2 planes drive per-neighbour miss probability below 1e-7
     // even at this corpus's weakest top-5 similarity (0.26), and rescoring
@@ -270,6 +284,30 @@ object SimilarityQueries {
         |  FROM p WHERE sim >= 0.8)
         |SELECT vec_id, bench_id, round(sim, 4) AS sim
         |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin).replaceAll("\\s+", " "),
+
+    // Quantized sims (exact 1e-4 integers) make ranks, 4-NN sums, and the
+    // margin ratio bit-stable across engines; both row_number orders break
+    // ties by ascending id exactly as the engine's windows do.
+    "q_bitext_mine" ->
+      (dotCte + """,
+        |x AS (SELECT vec_id AS x_id, e AS xe, nrm AS xn FROM n WHERE vec_id % 29 = 0),
+        |y AS (SELECT vec_id AS y_id, e AS ye, nrm AS yn FROM n WHERE vec_id % 29 <> 0),
+        |s AS (SELECT x_id, y_id,
+        |    CAST(round(list_dot_product(xe, ye) / (xn * yn) * 10000) AS BIGINT) AS si
+        |  FROM x CROSS JOIN y),
+        |rx AS (SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY si DESC, y_id) AS rk FROM s),
+        |ax AS (SELECT x_id, sum(si) AS sum_x FROM rx WHERE rk <= 4 GROUP BY x_id),
+        |bx AS (SELECT x_id, y_id, si FROM rx WHERE rk = 1),
+        |ry AS (SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY si DESC, x_id) AS rk FROM s),
+        |ay AS (SELECT y_id, sum(si) AS sum_y FROM ry WHERE rk <= 4 GROUP BY y_id),
+        |byt AS (SELECT y_id AS yy, x_id AS best_x FROM ry WHERE rk = 1),
+        |p AS (SELECT bx.x_id AS x_id, bx.y_id AS y_id,
+        |    round(bx.si / 10000.0, 4) AS sim,
+        |    round(CAST(bx.si * 8 AS DOUBLE) / (ax.sum_x + ay.sum_y), 6) AS margin
+        |  FROM bx JOIN byt ON byt.yy = bx.y_id AND byt.best_x = bx.x_id
+        |  JOIN ax ON ax.x_id = bx.x_id JOIN ay ON ay.y_id = bx.y_id)
+        |SELECT x_id, y_id, sim, margin FROM p
+        |WHERE margin >= 1.1 ORDER BY x_id""".stripMargin).replaceAll("\\s+", " "),
 
     "q_similarity_topk" ->
       (dotCte + """,

@@ -407,6 +407,31 @@ class PlanQualitySpec extends SparkSpec {
       s"triangle counting degenerated to a cross product:\n$plan")
   }
 
+  test("bitext mining broadcasts the seed side and rank-prunes top-k map-side") {
+    val plan = executedPlan("q_bitext_mine").toString
+    // scoring = corpus scan x broadcast seed; a partial WindowGroupLimit
+    // prunes each scan to k rows per key BEFORE the exchange, so only
+    // (x_id, y_id, si) survivors shuffle — never scored pair volume
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"seed side not broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"top-k not pruned map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"scoring degenerated to a cartesian:\n$plan")
+    // vectors never reach an exchange: every hash exchange carries ids/sums
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(l => !l.contains("xv") && !l.contains("yv")),
+      s"an embedding column crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("rank-sum test never windows the value relation unpartitioned") {
+    // the ksTest block pattern: the only unpartitioned window runs over the
+    // <= nBlocks offsets table (SinglePartition AFTER a blk aggregation),
+    // never over per-distinct-value rows
+    val plan = executedPlan("q_rank_sum").toString
+    assert(plan.contains("WindowGroupLimit") || plan.contains("Window"),
+      s"expected the block-offset window:\n$plan")
+    assert(plan.contains("PushedFilters: [In(event_type"),
+      s"event-type filter not pushed to the scan:\n$plan")
+  }
+
   test("clustering coefficient builds the co-occurrence backbone exactly once") {
     // The quadratic collect_set + pair-explode upstream must run ONCE into
     // the shared checkpointed backbone; the final plan then derives BOTH
@@ -591,7 +616,8 @@ class PlanQualitySpec extends SparkSpec {
       "q_pareto_users"     -> "exactQuantiles window path (crossover-guarded, as q_quantile_bins) + cumulative share over the ≤10-row decile rollup",
       "q_session_stats"    -> "exactQuantiles window path over the session rollup (crossover-guarded, as q_quantile_bins)",
       "q_ks_test"          -> "cumulative offsets over per-block subtotals (block count rows)",
-      "q_score_auc"        -> "cumulative offsets over per-block subtotals (block count rows, q_ks_test's shape)"
+      "q_score_auc"        -> "cumulative offsets over per-block subtotals (block count rows, q_ks_test's shape)",
+      "q_rank_sum"         -> "cumulative offsets over per-block subtotals (block count rows, q_ks_test's shape)"
     )
     val withGlobals = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val globals = fn(spark, dir).queryExecution.optimizedPlan.collect {
@@ -656,7 +682,9 @@ class PlanQualitySpec extends SparkSpec {
       "q_quantile_bins"      -> "broadcast decile-boundary set (1 row from exactQuantiles)",
       "q_pareto_users"       -> "broadcast decile boundaries + revenue total (1 row each)",
       "q_session_stats"      -> "broadcast duration quantiles (1 row from exactQuantiles)",
-      "q_crosscorr"          -> "broadcast lag fan-out table (2·maxLag+1 rows)"
+      "q_crosscorr"          -> "broadcast lag fan-out table (2·maxLag+1 rows)",
+      "q_rank_sum"           -> "broadcast sample totals + tie term + value range (1 row, q_ks_test's shape)",
+      "q_bitext_mine"        -> "broadcast seed side (model-sized, every-29th panel); corpus scan rank-prunes map-side"
     )
     val (issues, bnljSeen) = SparkEntry.queries.toSeq.foldLeft(
         (Seq.empty[String], Set.empty[String])) { case ((is, seen), (name, fn)) =>

@@ -423,6 +423,48 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(selfScreen.isEmpty, "self-screen must not flag a row against itself")
   }
 
+  test("rankSumTest: textbook tie-corrected U and z; degenerate inputs yield NULL z") {
+    // X = {1, 2}, Y = {2, 3}: ranks 1, 2.5, 2.5, 4 → Rx = 3.5, U = 0.5.
+    // T = 2³−2 = 6; σ² = (4/12)·(5 − 6/12) = 1.5; z = (0.5−2)/√1.5
+    val df = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "ix")
+    val r = StatsOps.rankSumTest(df, col("v"), col("ix")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.5)
+    val want = BigDecimal(-1.5 / math.sqrt(2.0 * 2.0 / 12.0 * 4.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == want, s"z: ${r.getDouble(3)} vs $want")
+    // every value tied → σ² = 0 → NULL z (U still reported)
+    val tied = Seq((5.0, true), (5.0, false), (5.0, false)).toDF("v", "ix")
+    val rt = StatsOps.rankSumTest(tied, col("v"), col("ix")).collect().head
+    assert(rt.getDouble(2) == 1.0 && rt.isNullAt(3)) // U = cx·cy/2 = 1
+    // one side empty → NULL z
+    val one = Seq((1.0, true), (2.0, true)).toDF("v", "ix")
+    assert(StatsOps.rankSumTest(one, col("v"), col("ix")).collect().head.isNullAt(3))
+  }
+
+  test("marginMine keeps mutual partners, drops non-reciprocated hubs, enforces the margin") {
+    // x1↔y1 and x2↔y2 are clear partners; y3 sits between both x's (its
+    // top-1 is x1 by tie-break) but x1's top-1 is y1 → y3 never reciprocates
+    val xs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val ys = Seq(
+      (11L, Seq(1.0f, 0.05f, 0.0f)),
+      (12L, Seq(0.3f, 1.0f, 0.0f)),
+      (13L, Seq(0.7f, 0.7f, 0.0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.marginMine(xs, ys, k = 2, minMargin = 1.0)
+      .orderBy("x_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.map(p => (p._1, p._2)).toSeq == Seq((1L, 11L), (2L, 12L)),
+      s"exactly the mutual partners: ${out.mkString(",")}")
+    // raising the threshold above every computed margin empties the output —
+    // the margin is a real filter, not decoration
+    val maxMargin = out.map(_._3).max
+    assert(SimilarityOps.marginMine(xs, ys, k = 2, minMargin = maxMargin + 0.01)
+      .collect().isEmpty)
+  }
+
   test("transitionCounts builds the per-key consecutive-pair matrix") {
     val e = Seq(
       (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
