@@ -424,4 +424,58 @@ object TimeSeriesOps {
       when(sig + mu === 0.0, lit(null).cast("double"))
         .otherwise(round((sig - mu) / (sig + mu), 6)).as("burstiness"))
   }
+
+  /** Changepoint LOCATOR by binary segmentation's first split (Scott &
+    * Knott 1974 lineage; the standard CUSUM-family localization): bucket
+    * each key's events onto a fixed grid, then pick the split index τ
+    * maximizing the between-segment statistic
+    * G(τ) = (L_τ·(n−τ) − (T−L_τ)·τ)² / (τ·(n−τ))
+    * — the squared scaled mean-difference between the left and right
+    * segments (∝ the variance-reduction of splitting at τ). [[cusum]] is
+    * the ALARM ("has the level shifted?"); this is the LOCATOR ("where?").
+    * Emits one row per key: the split bucket boundary, G, and both
+    * segment means. τ ranges over the OBSERVED bucket sequence (1..n−1,
+    * both segments non-empty); keys with fewer than two observed buckets
+    * are dropped.
+    *
+    * Determinism: bucket counts and prefix sums are exact integers; G is
+    * one fixed double expression of three exact integers (mirrored
+    * token-for-token in the oracle) and the argmax breaks ties toward the
+    * EARLIEST bucket. Scale shape: one (key, bucket) aggregation, one
+    * key-partitioned window over each key's calendar-bounded bucket
+    * series, one per-key max — no unpartitioned window, no join. */
+  def changePoint(df: DataFrame, keyCol: String, tsNsCol: String,
+                  bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive, got $bucketNs")
+    val buckets = df
+      .groupBy(col(keyCol).as("k"), floorDiv(col(tsNsCol), bucketNs).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy("k").orderBy("b")
+    val wAll = Window.partitionBy("k")
+    val indexed = buckets
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("lsum", sum("n").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nb", count(lit(1)).over(wAll))
+      .withColumn("tot", sum("n").over(wAll))
+      .where(col("i") < col("nb"))
+    val num = (col("lsum") * (col("nb") - col("i")) -
+      (col("tot") - col("lsum")) * col("i")).cast("double")
+    val den = (col("i") * (col("nb") - col("i"))).cast("double")
+    indexed
+      .withColumn("g", num * num / den)
+      // argmax with earliest-bucket tie-break: max of (g, -b) structs
+      .groupBy("k")
+      .agg(max(struct(col("g"), (-col("b")).as("nb_ord"), col("b"), col("i"),
+        col("lsum"), col("nb"), col("tot"))).as("m"))
+      .select(
+        col("k").as(keyCol),
+        // boundary AFTER the left segment's last bucket: the first ns of
+        // the right regime
+        ((col("m.b") + 1) * bucketNs).as("split_ns"),
+        round(col("m.g"), 4).as("g_stat"),
+        round(col("m.lsum").cast("double") / col("m.i"), 6).as("left_mean"),
+        round((col("m.tot") - col("m.lsum")).cast("double") /
+          (col("m.nb") - col("m.i")), 6).as("right_mean"))
+  }
 }

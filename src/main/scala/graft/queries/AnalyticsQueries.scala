@@ -349,6 +349,17 @@ object AnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // Changepoint LOCATOR (q_cusum is the alarm, this is the "where"):
+    // per event type, the hourly-volume split maximizing the
+    // between-segment statistic — binary segmentation's first split.
+    // Prefix sums exact integers; G one fixed double expression;
+    // earliest-bucket tie-break.
+    "q_changepoint" -> { t =>
+      TimeSeriesOps.changePoint(t.events, "event_type", "ts",
+          bucketNs = 3600L * 1000 * 1000 * 1000)
+        .orderBy("event_type")
+    },
+
     // Weighted PageRank over the part co-purchase graph (parts sharing an
     // order), 5 power iterations — the iterative-graph-analytics surface.
     "q_pagerank" -> { t =>
@@ -787,6 +798,32 @@ object AnalyticsQueries {
         |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
         |           * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0 END AS xcorr
         |FROM s ORDER BY lag""".stripMargin.replaceAll("\\s+", " "),
+
+    // Prefix sums / totals exact integers; the G statistic and both means
+    // are fixed double expressions of them, mirrored token-for-token.
+    "q_changepoint" ->
+      """WITH c AS (SELECT event_type AS k, epoch_ns(ts) // 3600000000000 AS b,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |w AS (SELECT k, b, n,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY b) AS BIGINT) AS i,
+        |    CAST(sum(n) OVER (PARTITION BY k ORDER BY b
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lsum,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS nb,
+        |    CAST(sum(n) OVER (PARTITION BY k) AS BIGINT) AS tot
+        |  FROM c),
+        |g AS (SELECT k, b, i, lsum, nb, tot,
+        |    CAST(lsum * (nb - i) - (tot - lsum) * i AS DOUBLE) AS num,
+        |    CAST(i * (nb - i) AS DOUBLE) AS den
+        |  FROM w WHERE i < nb),
+        |r AS (SELECT *, num * num / den AS g,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY num * num / den DESC, b) AS rk FROM g)
+        |SELECT k AS event_type, (b + 1) * 3600000000000 AS split_ns,
+        |  round(g, 4) AS g_stat,
+        |  round(CAST(lsum AS DOUBLE) / i, 6) AS left_mean,
+        |  round(CAST(tot - lsum AS DOUBLE) / (nb - i), 6) AS right_mean
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+        .replaceAll("\\s+", " "),
 
     // Every estimate is one division of exact integer sums; +0 folds
     // DuckDB's -0.0 rounding artifacts to the engine's 0.0.

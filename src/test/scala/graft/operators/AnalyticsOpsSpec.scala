@@ -465,6 +465,25 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("changePoint locates a planted level shift at the exact boundary") {
+    // hourly volumes 1,1,1,9,9,9: the split must land after bucket 3
+    // (G = 576 there vs 288 at the flanks), boundary = start of bucket 3+1
+    val hr = 3600L * 1000 * 1000 * 1000
+    val rows = for {
+      (b, n) <- Seq((0, 1), (1, 1), (2, 1), (3, 9), (4, 9), (5, 9))
+      j <- 0 until n
+    } yield ("a", b * hr + j)
+    val out = TimeSeriesOps.changePoint(rows.toDF("event_type", "ts"),
+      "event_type", "ts", bucketNs = hr).collect().head
+    assert(out.getString(0) == "a")
+    assert(out.getLong(1) == 3L * hr, s"split boundary: ${out.getLong(1)}")
+    assert(out.getDouble(2) == 576.0) // (3·3 − 27·3)²/9
+    assert(out.getDouble(3) == 1.0 && out.getDouble(4) == 9.0)
+    // fewer than two observed buckets → no row (no split exists)
+    val tiny = Seq(("b", 0L), ("b", 1L)).toDF("event_type", "ts")
+    assert(TimeSeriesOps.changePoint(tiny, "event_type", "ts", hr).collect().isEmpty)
+  }
+
   test("transitionCounts builds the per-key consecutive-pair matrix") {
     val e = Seq(
       (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
