@@ -354,6 +354,59 @@ object MultimodalOps {
       .toDF(idCol, "decoded", "afp")
   }
 
+  /** Deterministic audio decimation by an integer factor: each non-
+    * overlapping `factor`-frame block collapses to its per-channel integer
+    * mean (TRUNCATING division toward zero — Java `/`, which is also what
+    * SQL integer division `//` does on negative sums; floorDiv would
+    * diverge on negatives), the boxcar-average downsample that is the
+    * audio analog of [[downsample]]'s area averaging. All-integer arithmetic —
+    * bit-identical on every platform; the tail block averages its own
+    * (shorter) length. Output rate = rate/factor. */
+  def decimatePcm(a: DecodedAudio, factor: Int): DecodedAudio = {
+    require(factor > 0, s"factor must be positive, got $factor")
+    val frames = a.samples.length / a.channels
+    val outFrames = (frames + factor - 1) / factor
+    val out = new Array[Int](outFrames * a.channels)
+    var f = 0
+    while (f < outFrames) {
+      val f0 = f * factor
+      val f1 = math.min(f0 + factor, frames)
+      var c = 0
+      while (c < a.channels) {
+        var s = 0L
+        var i = f0
+        while (i < f1) { s += a.samples(i * a.channels + c); i += 1 }
+        out(f * a.channels + c) = (s / (f1 - f0)).toInt
+        c += 1
+      }
+      f += 1
+    }
+    DecodedAudio(a.sampleRate / factor, a.channels, out)
+  }
+
+  /** REAL audio resample over a binary column: decode, [[decimatePcm]],
+    * re-encode as WAV — the audio mirror of [[resizeImages]] (decode →
+    * deterministic integer downsample → re-encode; payloads that do not
+    * decode pass through untouched). Per-partition map; binary in, smaller
+    * binary out, no shuffle. */
+  def resampleAudio(df: DataFrame, binCol: String, idCol: String,
+                    factor: Int): DataFrame = {
+    require(factor > 0, s"factor must be positive, got $factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeWav(bytes) match {
+          case Some(a) =>
+            val d = decimatePcm(a, factor)
+            (id, encodePcmWav(d.sampleRate, d.channels, d.samples))
+          case None => (id, bytes)
+        }
+      })
+      .toDF(idCol, binCol)
+  }
+
   // --------------------------------------------------------- multi-frame
 
   /** REAL frame count for multi-image containers (animated GIF; 1 for

@@ -765,6 +765,28 @@ object TextQueries {
         .orderBy("doc_id", "win")
     },
 
+    // REAL audio resample (the audio resizeImages): decode → integer
+    // boxcar decimation by 4 (floor-division block means, tail block its
+    // own length) → re-encode WAV → decode AGAIN and report exact stats.
+    // The whole decode∘encode∘decimate∘decode chain must land on the
+    // closed-form block means for the oracle to match.
+    "q_audio_resample" -> { t =>
+      val s = t.spark
+      import s.implicits._
+      val wavs = t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 64 + (id % 32).toInt
+          val samples = Array.tabulate(n)(i => ((id * 7 + i * 31) % 2003 - 1001).toInt)
+          (id, graft.operators.MultimodalOps.encodePcmWav(8000, 1, samples))
+        }).toDF("doc_id", "wav")
+      val small = graft.operators.MultimodalOps.resampleAudio(wavs, "wav", "doc_id",
+        factor = 4)
+      graft.operators.MultimodalOps.audioFeatures(small, "wav", "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("sum_sq"), col("peak_abs"))
+        .orderBy("doc_id")
+    },
+
     // REAL multi-frame decode: per-doc animated grayscale GIF (2 + id%4
     // frames) via the JDK writer; the engine counts frames through the
     // ImageReader's frame directory and decodes frame 0 (palette gray is
@@ -1849,6 +1871,22 @@ object TextQueries {
         |  CAST(count(*) AS BIGINT) AS n_frames,
         |  CAST(sum(smp * smp) AS BIGINT) AS sum_sq
         |FROM v GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin.replaceAll("\\s+", " "),
+
+    // Decimated samples are truncating-division block means of the
+    // closed-form plant (DuckDB // truncates toward zero exactly like
+    // Java long division — PROBED: (-3)//2 = -1); stats over them mirror
+    // the engine's second decode.
+    "q_audio_resample" ->
+      """WITH f AS (SELECT doc_id, 64 + doc_id % 32 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM f),
+        |v AS (SELECT doc_id, i // 4 AS blk,
+        |  (doc_id * 7 + i * 31) % 2003 - 1001 AS smp FROM s),
+        |d AS (SELECT doc_id, blk, sum(smp) // count(*) AS o FROM v GROUP BY 1, 2)
+        |SELECT doc_id, 2000 AS sample_rate, 1 AS channels,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(o * o) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(o)) AS BIGINT) AS peak_abs
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
 
     // Frame directory + frame-0 raster recomputed from the closed form the
     // engine encoded (palette gray roundtrips losslessly).

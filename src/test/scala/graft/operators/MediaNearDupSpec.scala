@@ -98,6 +98,24 @@ class MediaNearDupSpec extends SparkSpec {
     assert(out.head._3 == 3L, "pair reports the shared frame count")
   }
 
+  test("decimatePcm: truncating block means, short tail, channel separation") {
+    // mono: blocks (1,2,3,4) -> 2 (10/4), (-1,-2) tail -> trunc(-3/2) = -1
+    // (truncation toward zero matches SQL integer division on negatives)
+    val mono = DecodedAudio(8000, 1, Array(1, 2, 3, 4, -1, -2))
+    val d = decimatePcm(mono, 4)
+    assert(d.sampleRate == 2000 && d.samples.toSeq == Seq(2, -1))
+    // stereo: channels decimate independently over interleaved frames
+    val st = DecodedAudio(8000, 2, Array(1, 100, 3, 300)) // frames (1,100),(3,300)
+    val d2 = decimatePcm(st, 2)
+    assert(d2.channels == 2 && d2.samples.toSeq == Seq(2, 200))
+    // WAV roundtrip through resampleAudio preserves the decimated samples
+    val wav = encodePcmWav(8000, 1, Array(1, 2, 3, 4, -1, -2))
+    val out = resampleAudio(Seq((1L, wav)).toDF("id", "blob"), "blob", "id", 4)
+      .collect().head.getAs[Array[Byte]]("blob")
+    val back = decodeWav(out).get
+    assert(back.sampleRate == 2000 && back.samples.toSeq == Seq(2, -1))
+  }
+
   test("hammingPairs alignKeys: identical hashes at different frames never meet") {
     val rows = Seq((1L, 0, 42L), (2L, 1, 42L), (3L, 1, 42L)).toDF("id", "frame_idx", "h")
     val out = hammingPairs(rows, maxHamming = 3, alignKeys = Seq("frame_idx"))
