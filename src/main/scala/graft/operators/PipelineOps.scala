@@ -268,6 +268,32 @@ object PipelineOps {
     df.withColumn(outCol, redacted)
   }
 
+  /** Luhn checksum validity (Luhn 1954 / ISO-7812 check digit) of a digit
+    * string — the payment-card-number VALIDATOR a PII scrub runs on its
+    * redaction candidates: a regex finds 13–19-digit runs, this separates
+    * real card numbers (report + redact) from order ids and timestamps
+    * that merely look like them (false-positive suppression). Every second
+    * digit from the RIGHT doubles, digits > 9 fold by −9, and the total
+    * must be ≡ 0 (mod 10).
+    *
+    * A pure column expression (aggregate HOF over the reversed digit
+    * string — no UDF, no explode/shuffle); NULL for empty or non-digit
+    * input, so malformed candidates classify instead of crash. */
+  def luhnValid(d: Column): Column = {
+    val clean = when(d.rlike("^[0-9]+$"), d) // else NULL, which propagates
+    val r = reverse(clean)
+    val total = aggregate(
+      sequence(lit(1), length(clean)),
+      lit(0),
+      (acc: Column, i: Column) => {
+        val dig = ascii(r.substr(i, lit(1))) - lit(48)
+        val dbl = dig * 2
+        acc + when(pmod(i, lit(2)) === 1, dig)
+          .otherwise(when(dbl > 9, dbl - 9).otherwise(dbl))
+      })
+    pmod(total, lit(10)) === 0
+  }
+
   /** Gopher-style repetition metrics per document: token count, distinct
     * ratio, most-frequent-token fraction, duplicate-token fraction. High
     * values of top_frac/dup_frac flag boilerplate and degenerate text.

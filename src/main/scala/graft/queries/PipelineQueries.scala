@@ -61,6 +61,21 @@ object PipelineQueries {
         .orderBy("c_custkey")
     },
 
+    // Luhn checksum screen (the payment-card validator behind PII scrubs):
+    // each doc carries a deterministic 16-digit candidate (zero-padded id
+    // + an arbitrary final digit), and the validator separates true
+    // card-shaped numbers from lookalikes — ~1 in 10 of the planted
+    // candidates validates, exactly the false-positive-suppression role
+    // the screen plays after a digit-run regex. Oracle recomputes the
+    // checksum as 16 unrolled closed-form terms.
+    "q_luhn_screen" -> { t =>
+      val cand = concat(lpad(col("doc_id").cast("string"), 15, "0"),
+        pmod(col("doc_id") * 7, lit(10)).cast("string"))
+      t.documents.select(col("doc_id"), cand.as("candidate"),
+          PipelineOps.luhnValid(cand).as("is_valid"))
+        .orderBy("doc_id")
+    },
+
     // Gopher-style repetition metrics: boilerplate/degenerate-text flags.
     "q_repetition_stats" -> { t =>
       PipelineOps.repetitionStats(t.documents).orderBy("doc_id")
@@ -466,6 +481,22 @@ object PipelineQueries {
       """SELECT c_custkey, c_name,
         |regexp_replace(regexp_replace(c_name, 'Customer#', 'id:', 'g'), '[0-9]{3,}', '<NUM>', 'g') AS redacted
         |FROM customer ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
+
+    // 16 unrolled Luhn terms: position p from the left has right-index
+    // 17-p; odd right-index digits pass through, even ones double-and-fold.
+    "q_luhn_screen" -> {
+      def dig(p: Int) = s"(ascii(substr(cand, $p, 1)) - 48)"
+      val terms = (1 to 16).map { p =>
+        if ((17 - p) % 2 == 1) dig(p)
+        else s"(CASE WHEN 2 * ${dig(p)} > 9 THEN 2 * ${dig(p)} - 9 ELSE 2 * ${dig(p)} END)"
+      }.mkString(" + ")
+      s"""WITH c AS (SELECT doc_id,
+         |  lpad(CAST(doc_id AS VARCHAR), 15, '0') ||
+         |    CAST((doc_id * 7) % 10 AS VARCHAR) AS cand
+         |  FROM documents)
+         |SELECT doc_id, cand AS candidate, ($terms) % 10 = 0 AS is_valid
+         |FROM c ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " ")
+    },
 
     "q_repetition_stats" ->
       """WITH tc AS (SELECT doc_id, tok, count(*) AS c FROM

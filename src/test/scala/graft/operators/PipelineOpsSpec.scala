@@ -178,9 +178,9 @@ class PipelineOpsSpec extends SparkSpec {
     // separator injection: ('a|b','c') vs ('a','b|c') are DIFFERENT rows and
     // must classify as changed — per-column fixed-width digests make the
     // encoding boundary-proof (a concat_ws("|") scheme hashes them equal)
-    val o3 = Seq((1L, "a|b", "c"), (2L, "x", "y|"), (3L, "p ", "q"))
+    val o3 = Seq((1L, "a|b", "c"), (2L, "x", "y|"), (3L, "p\u0000", "q"))
       .toDF("k", "s", "v")
-    val n3 = Seq((1L, "a", "b|c"), (2L, "x|", "y"), (3L, "p", " q"))
+    val n3 = Seq((1L, "a", "b|c"), (2L, "x|", "y"), (3L, "p", "\u0000q"))
       .toDF("k", "s", "v")
     val d3 = PipelineOps.snapshotDiff(o3, n3, "k", Seq("s", "v"))
       .orderBy("k").as[(Long, String)].collect().toSeq
@@ -540,5 +540,22 @@ class PipelineOpsSpec extends SparkSpec {
     val again = PipelineOps.dsirResample(d, isTarget = col("is_tgt"), k = 6)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(out == again)
+  }
+
+  test("luhnValid: textbook numbers, single-digit flips, non-digit input") {
+    val rows = Seq(
+      (1L, "79927398713"),  // the canonical valid Luhn example
+      (2L, "79927398714"),  // last digit off by one -> invalid
+      (3L, "79927398813"),  // interior digit flipped -> invalid (Luhn catches all single flips)
+      (4L, "0"),            // single zero: total 0 -> valid
+      (5L, "4242424242424242"), // classic valid test card
+      (6L, "4242-4242"),    // non-digit chars -> NULL, not a crash
+      (7L, "")              // empty -> NULL
+    ).toDF("id", "cand")
+    val out = rows.select(col("id"), PipelineOps.luhnValid(col("cand")).as("v"))
+      .orderBy("id").collect()
+    assert(out(0).getBoolean(1) && !out(1).getBoolean(1) && !out(2).getBoolean(1))
+    assert(out(3).getBoolean(1) && out(4).getBoolean(1))
+    assert(out(5).isNullAt(1) && out(6).isNullAt(1))
   }
 }
