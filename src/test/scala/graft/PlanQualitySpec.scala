@@ -407,6 +407,27 @@ class PlanQualitySpec extends SparkSpec {
       s"triangle counting degenerated to a cross product:\n$plan")
   }
 
+  test("animation near-dup: frame-aligned equi-join candidates, payloads never shuffle") {
+    val plan = executedPlan("q_gif_neardup").toString
+    // banded candidates are an equi-join on (frame_idx, chunk, chunk_val) —
+    // never a nested-loop or cartesian pairing of hash rows
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"hamming candidates degenerated to all-pairs:\n$plan")
+    // the gif payload stays in the decode stage: no exchange carries it
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("gif")),
+      s"payload bytes crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("audio near-dup: banded equi-join candidates, wav payloads never shuffle") {
+    val plan = executedPlan("q_audio_neardup").toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"hamming candidates degenerated to all-pairs:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("wav")),
+      s"payload bytes crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("bitext mining broadcasts the seed side and rank-prunes top-k map-side") {
     val plan = executedPlan("q_bitext_mine").toString
     // scoring = corpus scan x broadcast seed; a partial WindowGroupLimit
