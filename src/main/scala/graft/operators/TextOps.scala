@@ -46,16 +46,33 @@ object TextOps {
     * scan → per-class scores → deterministic argmax) is what's exercised;
     * production profiles drop in as data.
     *
-    * Scale shape: a pure codegen'd projection — one regexp pass per
-    * trigram over the scan, no shuffle, no UDF; the per-class argmax is a
-    * single array_max over a 4-element struct array. */
+    * Scale shape: ONE native Aho–Corasick pass per document for ALL
+    * profile trigrams (`keyword_counts` — amortized O(text bytes),
+    * independent of how many languages/trigrams the profile set carries;
+    * the r12 10× stress probe measured the per-trigram regexp form linear
+    * per byte but with a 20-pass constant), then a pure projection — no
+    * shuffle, no UDF; the per-class argmax is a single array_max over a
+    * 4-element struct array. The automaton counts EVERY occurrence, so
+    * regexp-oracle parity requires borderless trigrams (no proper suffix
+    * equals a prefix) — mechanically `require`d below, not assumed. */
   def langId(docs: DataFrame,
              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val hits = LangTrigramProfiles.map { case (l, tris) =>
-      tris.map(tr => size(regexp_extract_all(col(textCol), lit(tr), lit(0))))
-        .reduce(_ + _).cast("long").as(s"hits_$l")
+    val allTris = LangTrigramProfiles.flatMap(_._2).distinct.sorted
+    allTris.foreach { p =>
+      require(!(1 until p.length).exists(k => p.take(k) == p.takeRight(k)),
+        s"lang-id trigram '$p' has a border: overlapping-count parity with " +
+          "the non-overlapping regexp oracle would break")
     }
-    val scored = docs.select(col(idCol) +: hits: _*)
+    // counts indexed by the automaton's sorted-distinct pattern order;
+    // materialized ONCE per row (a named column, not 20 repeated subtrees)
+    val counts = call_function("keyword_counts", col(textCol),
+      array(allTris.map(lit): _*))
+    val withCounts = docs.select(col(idCol), counts.as("_tri_counts"))
+    val hits = LangTrigramProfiles.map { case (l, tris) =>
+      tris.map(tr => element_at(col("_tri_counts"), lit(allTris.indexOf(tr) + 1)))
+        .reduce(_ + _).as(s"hits_$l")
+    }
+    val scored = withCounts.select(col(idCol) +: hits: _*)
     // struct max orders by (h, negRank): highest count first, then the
     // HIGHEST negated profile index = lowest index = smallest language
     // (profiles are sorted ascending)

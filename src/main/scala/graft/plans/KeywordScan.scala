@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Byte-level Aho–Corasick automaton (Aho & Corasick 1975, CACM 18(6)):
@@ -131,6 +131,26 @@ final class AhoCorasick private (
       i += 1
     }
     java.util.Arrays.copyOf(buf, nOut)
+  }
+
+  /** Per-pattern occurrence counts (ALL occurrences — overlapping and
+    * nested emit too), indexed by the automaton's sorted-distinct pattern
+    * order: the counting readout behind profile scoring (language-ID
+    * trigram profiles, dictionary frequency features) — one automaton pass
+    * per document regardless of profile size, vs one regexp pass per
+    * pattern. Equals `regexp_extract_all`'s NON-overlapping count exactly
+    * when no pattern has a border (no proper suffix equals a prefix) —
+    * callers that need regex parity must require that property
+    * ([[graft.operators.TextOps.langId]] does). Allocates one
+    * nPatterns-long counts array per row, so it suits PROFILE-sized
+    * dictionaries; for 100k-phrase blocklists use the hit-sized
+    * [[matchArray]]/[[occurrences]] forms instead. */
+  def countArray(text: UTF8String): ArrayData = {
+    val ids = collectIds(text, perOccurrence = false)
+    val counts = new Array[Long](patterns.length)
+    var i = 0
+    while (i < ids.length) { counts(ids(i).toInt) += 1L; i += 1 }
+    ArrayData.toArrayData(counts)
   }
 
   /** Catalyst rows (pos int, phrase string) for [[occurrences]]. */
@@ -364,6 +384,31 @@ case class KeywordMatches(left: Expression, right: Expression) extends KeywordEx
     val ac = automatonRef(ctx)
     nullSafeCodeGen(ctx, ev, (a, _) =>
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ac.matchArray($a);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `keyword_counts(text, array<string> patterns) → array<long>` —
+  * per-phrase occurrence counts in the automaton's SORTED-DISTINCT phrase
+  * order (callers index accordingly): the profile-scoring sibling of
+  * [[KeywordMatches]] — one automaton pass per document independent of
+  * profile size, replacing one regexp pass per pattern. Counts EVERY
+  * occurrence; see [[AhoCorasick.countArray]] for the borderless-pattern
+  * condition under which this equals the non-overlapping regexp count. */
+case class KeywordCounts(left: Expression, right: Expression) extends KeywordExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "keyword_counts"
+
+  override def nullSafeEval(text: Any, pats: Any): Any =
+    automaton.countArray(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ac = automatonRef(ctx)
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ac.countArray($a);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

@@ -616,6 +616,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KeywordAny].getName, "keyword_any"),
       (children: Seq[Expression]) => KeywordAny(children(0), children(1))))
     extensions.injectFunction((
+      new FunctionIdentifier("keyword_counts"),
+      new ExpressionInfo(classOf[KeywordCounts].getName, "keyword_counts"),
+      (children: Seq[Expression]) => KeywordCounts(children(0), children(1))))
+    extensions.injectFunction((
       new FunctionIdentifier("keyword_spans"),
       new ExpressionInfo(classOf[KeywordSpans].getName, "keyword_spans"),
       (children: Seq[Expression]) => KeywordSpans(children(0), children(1))))

@@ -234,4 +234,31 @@ class KeywordScanSpec extends SparkSpec {
     assert(out(2).getAs[String]("hits") === "")
     assert(out(2).getAs[Long]("n_hits") === 0L)
   }
+
+  test("keyword_counts: per-pattern totals in sorted order; overlaps all count") {
+    import graft.plans.AhoCorasick
+    // patterns sort to [aa, he, the]; "aaa" contains TWO (overlapping)
+    // occurrences of "aa" — the documented every-occurrence semantics
+    val ac = AhoCorasick.build(Seq("the", "he", "aa"))
+    assert(ac.patterns.toSeq == Seq("aa", "he", "the"))
+    val got = ac.countArray(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the aaa the"))
+      .toLongArray().toSeq
+    assert(got == Seq(2L, 2L, 2L), s"counts: $got") // aa×2, he×2 (inside the×2), the×2
+    // DataFrame path: counts land as array<long>, null text -> null
+    import spark.implicits._
+    val out = Seq((1L, "the aaa the"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .selectExpr("id", "keyword_counts(t, array('the', 'he', 'aa')) AS c")
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Long](1) == Seq(2L, 2L, 2L) && out(1).isNullAt(1))
+    // borderless patterns: automaton totals equal the non-overlapping
+    // regexp count (the lang-id parity contract)
+    val txt = "the thing in the thicket heats the heather"
+    val viaRegex = Seq("the", "he").sorted.map(p =>
+      p.r.findAllMatchIn(txt).size.toLong)
+    val viaAc = AhoCorasick.build(Seq("the", "he")).countArray(
+      org.apache.spark.unsafe.types.UTF8String.fromString(txt)).toLongArray().toSeq
+    assert(viaAc == viaRegex, s"$viaAc vs $viaRegex")
+  }
 }
