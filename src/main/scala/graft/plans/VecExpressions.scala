@@ -620,6 +620,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KeywordCounts].getName, "keyword_counts"),
       (children: Seq[Expression]) => KeywordCounts(children(0), children(1))))
     extensions.injectFunction((
+      new FunctionIdentifier("bpe_apply"),
+      new ExpressionInfo(classOf[BpeApplyExpr].getName, "bpe_apply"),
+      (children: Seq[Expression]) => BpeApplyExpr(children(0), children(1))))
+    extensions.injectFunction((
       new FunctionIdentifier("keyword_spans"),
       new ExpressionInfo(classOf[KeywordSpans].getName, "keyword_spans"),
       (children: Seq[Expression]) => KeywordSpans(children(0), children(1))))
