@@ -28,6 +28,12 @@ object GraftSession {
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Recursive-CTE cumulative-row guardrail: the default 1M aborted
+    // q_graph_reach's BFS on the r12 10×-facts probe (a 6M-row lineitem's
+    // co-occurrence frontier legitimately exceeds 1M rows) — a reachability
+    // walk's volume is data-sized, not a runaway, so give the guardrail
+    // data-scale headroom and keep the level limit as the true cycle brake
+    .config("spark.sql.cteRecursionRowLimit", (100 * 1000 * 1000).toString)
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     // Dimension tables (region/nation/customer/supplier/part at test SF) are
     // broadcast; at production scale the 64 MB threshold still keeps the

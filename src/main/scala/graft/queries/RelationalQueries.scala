@@ -69,19 +69,40 @@ object RelationalQueries {
     },
 
     // X10 — TPC-H Q1 shape: wide partial aggregation over lineitem with a
-    // pushed-down date predicate.
+    // pushed-down date predicate. Money arithmetic in EXACT integer cents
+    // (the q_cohort_ltv convention): the double-sum form was bit-stable at
+    // the graded SFs but the r12 10×-facts probe (6M rows) flipped a 2-dp
+    // rounding boundary between Spark's and DuckDB's accumulation orders —
+    // the classic FP-reorder-at-scale trap. Per-row products stay inside
+    // long (price_cents ≤ ~1e7 × 200 × 200 ≈ 4e11), sums carry in
+    // decimal(38,0), and each output is one exact-integer → double
+    // division + round, mirrored token-for-token in the oracle.
     "q_pricing_summary" -> { t =>
+      def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+      val qtyC = cents(col("l_quantity"))
+      val priceC = cents(col("l_extendedprice"))
+      val discC = cents(col("l_discount"))
+      val taxC = cents(col("l_tax"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       t.lineitem
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          sum(dec(qtyC)).as("sq"),
+          sum(dec(priceC)).as("sbp"),
+          sum(dec(priceC * (lit(100L) - discC))).as("sdp"),
+          sum(dec(priceC * (lit(100L) - discC) * (lit(100L) + taxC))).as("sc"),
+          sum(dec(discC)).as("sd"),
           count(lit(1)).as("count_order"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          round(col("sq").cast("double") / 100.0, 2).as("sum_qty"),
+          round(col("sbp").cast("double") / 100.0, 2).as("sum_base_price"),
+          round(col("sdp").cast("double") / 10000.0, 2).as("sum_disc_price"),
+          round(col("sc").cast("double") / 1000000.0, 2).as("sum_charge"),
+          round(col("sq").cast("double") / 100.0 / col("count_order"), 4).as("avg_qty"),
+          round(col("sd").cast("double") / 100.0 / col("count_order"), 4).as("avg_disc"),
+          col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
 
@@ -588,18 +609,30 @@ object RelationalQueries {
         |SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin.replaceAll("\\s+", " "),
 
+    // Exact integer cents mirrored from the engine: sums are
+    // order-independent integers, each output one division + round.
     "q_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |round(sum(l_quantity), 2) AS sum_qty,
-        |round(sum(l_extendedprice), 2) AS sum_base_price,
-        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |round(avg(l_quantity), 4) AS avg_qty,
-        |round(avg(l_discount), 4) AS avg_disc,
-        |count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\\s+", " "),
+      """WITH c AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |  CAST(round(l_discount * 100) AS BIGINT) AS dc,
+        |  CAST(round(l_tax * 100) AS BIGINT) AS tc
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'),
+        |a AS (SELECT l_returnflag, l_linestatus,
+        |  sum(qc) AS sq, sum(pc) AS sbp,
+        |  sum(pc * (100 - dc)) AS sdp,
+        |  sum(pc * (100 - dc) * (100 + tc)) AS sc,
+        |  sum(dc) AS sd, count(*) AS count_order
+        |  FROM c GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus,
+        |round(CAST(sq AS DOUBLE) / 100.0, 2) AS sum_qty,
+        |round(CAST(sbp AS DOUBLE) / 100.0, 2) AS sum_base_price,
+        |round(CAST(sdp AS DOUBLE) / 10000.0, 2) AS sum_disc_price,
+        |round(CAST(sc AS DOUBLE) / 1000000.0, 2) AS sum_charge,
+        |round(CAST(sq AS DOUBLE) / 100.0 / count_order, 4) AS avg_qty,
+        |round(CAST(sd AS DOUBLE) / 100.0 / count_order, 4) AS avg_disc,
+        |CAST(count_order AS BIGINT) AS count_order
+        |FROM a ORDER BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\\s+", " "),
 
     "q_topk_revenue" ->
       """SELECT o_orderkey, o_totalprice FROM orders
