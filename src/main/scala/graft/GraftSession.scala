@@ -28,12 +28,12 @@ object GraftSession {
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    // Recursive-CTE cumulative-row guardrail: the default 1M aborted
-    // q_graph_reach's BFS on the r12 10×-facts probe (a 6M-row lineitem's
-    // co-occurrence frontier legitimately exceeds 1M rows) — a reachability
-    // walk's volume is data-sized, not a runaway, so give the guardrail
-    // data-scale headroom and keep the level limit as the true cycle brake
-    .config("spark.sql.cteRecursionRowLimit", (100 * 1000 * 1000).toString)
+    // Recursive-CTE cumulative-row guardrail stays at Spark's 1M default
+    // session-globally (the runaway backstop); the one query whose frontier
+    // volume is legitimately data-sized (q_graph_reach — a 6M-row lineitem
+    // backbone exceeded 1M on the r12 10×-facts probe) raises it to 100M
+    // scoped set/restore around its own eager materialization
+    // (AnalyticsQueries "q_graph_reach").
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     // Dimension tables (region/nation/customer/supplier/part at test SF) are
     // broadcast; at production scale the 64 MB threshold still keeps the

@@ -58,7 +58,13 @@ object TimeSeriesOps {
 
   private val DayNs = 86400L * 1000 * 1000 * 1000
 
-  /** Floor division on Column longs (DuckDB `//` semantics, negative-safe). */
+  /** Floor division on Column longs (floors toward -inf, negative-safe).
+    * NOT DuckDB `//` semantics: DuckDB integer `//` truncates toward zero
+    * ((-3)//2 = -1, probed), while this floors ((-3) floorDiv 2 = -2). The
+    * two agree exactly for non-negative inputs, which every ns-epoch
+    * timestamp in the driver testdata satisfies (all ts > 1970); oracles
+    * that must hold for negative inputs spell out the floor form
+    * `(x - ((x % N + N) % N)) // N` instead of bare `//` (q_changepoint). */
   private def floorDiv(c: Column, by: Long): Column =
     call_function("div", c - pmod(c, lit(by)), lit(by))
 

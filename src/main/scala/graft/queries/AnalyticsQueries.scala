@@ -402,12 +402,26 @@ object AnalyticsQueries {
     // the edge relation materializes ONCE up front — Spark re-evaluates
     // non-recursive CTEs on every recursion step, so an unstaged run
     // rebuilds the quadratic backbone per hop (measured 9.5 s → ~1 s).
+    // The recursive-CTE cumulative-row guardrail is raised to 100M ONLY for
+    // this query (a reachability frontier's volume is data-sized — the 10×
+    // probe's 6M-row lineitem legitimately exceeded the 1M default), and
+    // restored in a finally so the 1M default stays the session-global
+    // runaway backstop for every other recursive CTE. Because the limit is
+    // read at execution time, the walk is materialized EAGERLY
+    // (localCheckpoint) inside the raised-limit scope; the returned frame
+    // is a scan of the checkpointed blocks.
     "q_graph_reach" -> { t =>
-      t.lineitem.createOrReplaceTempView("lineitem_q_graph_reach")
-      t.spark.sql(AnalyticsQueries.graphReachEdgesSql("lineitem_q_graph_reach"))
-        .localCheckpoint(true)
-        .createOrReplaceTempView("g_q_graph_reach")
-      t.spark.sql(AnalyticsQueries.graphReachWalkSql("g_q_graph_reach"))
+      val limitKey = "spark.sql.cteRecursionRowLimit"
+      val prev = t.spark.conf.get(limitKey)
+      t.spark.conf.set(limitKey, (100 * 1000 * 1000).toString)
+      try {
+        t.lineitem.createOrReplaceTempView("lineitem_q_graph_reach")
+        t.spark.sql(AnalyticsQueries.graphReachEdgesSql("lineitem_q_graph_reach"))
+          .localCheckpoint(true)
+          .createOrReplaceTempView("g_q_graph_reach")
+        t.spark.sql(AnalyticsQueries.graphReachWalkSql("g_q_graph_reach"))
+          .localCheckpoint(true)
+      } finally t.spark.conf.set(limitKey, prev)
     },
 
     // Additive seasonal decomposition of the hourly event-count series per
@@ -801,8 +815,15 @@ object AnalyticsQueries {
 
     // Prefix sums / totals exact integers; the G statistic and both means
     // are fixed double expressions of them, mirrored token-for-token.
+    // Bucketing uses the explicit floor form (x - pmod(x,N)) // N, not bare
+    // `//`: DuckDB `//` truncates toward zero while the engine's floorDiv
+    // floors, and they diverge on pre-1970 (negative) ns epochs. The
+    // subtraction makes the dividend an exact multiple of N, so `//` on it
+    // is sign-safe and stays in exact int64 (no double rounding at ~1e18).
     "q_changepoint" ->
-      """WITH c AS (SELECT event_type AS k, epoch_ns(ts) // 3600000000000 AS b,
+      """WITH c AS (SELECT event_type AS k,
+        |    (epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000 + 3600000000000)
+        |      % 3600000000000)) // 3600000000000 AS b,
         |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
         |w AS (SELECT k, b, n,
         |    CAST(row_number() OVER (PARTITION BY k ORDER BY b) AS BIGINT) AS i,
