@@ -281,38 +281,72 @@ object SimilarityOps {
     * never flip a rank or a 6-dp margin), ties rank by ascending id, and
     * the margin is one exact-integer ratio rounded at 6 dp.
     *
-    * Scale shape: X is the seed side (model-sized — an eval set, a pivot
-    * corpus shard), broadcast onto two fully-codegen'd scans of the Y
-    * corpus; each scan rank-prunes per key immediately (WindowGroupLimit
-    * pushes the top-k map-side), so only (x_id, y_id, si) survivor rows
-    * reach the exchanges and vectors never shuffle. For seed sides past
-    * the broadcast budget, swap the scoring joins for [[banded]] LSH
-    * candidates exactly as [[nearDupPairsLsh]] does — mutual agreement
-    * and the margin compose unchanged. */
+    * Scale shape — TWO strategies behind a size crossover (the same
+    * broadcast↔partitioned discipline as [[GraphOps.pageRank]]):
+    *
+    *  - '''broadcast''' (seed side fits the session broadcast budget): X
+    *    broadcasts onto ONE fully-codegen'd scoring scan of the Y corpus;
+    *    each scored pair explodes into its two directed views (per-x and
+    *    per-y) so a single windowed top-k — WindowGroupLimit prunes it
+    *    map-side — covers BOTH directions in that one pass. Only
+    *    (side, key, other, si) survivor rows ((|X|+|Y|)·k, bounded) reach
+    *    the exchange; vectors never shuffle. Pre-r13 this ran the
+    *    |X|×|Y| scoring scan twice (once per direction).
+    *  - '''lsh''' (seed side past the budget — the 10M+-pair bitext case):
+    *    both sides hash into [[banded]] hyperplane sign buckets, the
+    *    candidate set is the band equi-join (never all-pairs), candidates
+    *    are scored ONCE after an id-keyed vector re-join, and the same
+    *    explode + windowed-top-k composes mutual agreement and the margin
+    *    on the survivor set. Top-k neighbourhoods (and therefore margin
+    *    denominators) are computed among candidates, so recall follows the
+    *    band parameters: wide cheap bands (e.g. 2×40 on this corpus) make
+    *    it exactly the broadcast output (pinned in ScalaTest); production
+    *    high-sim regimes use fewer wider bands and inherit LSH recall.
+    *
+    * The crossover estimates the seed table at dim×8+48 B/row against
+    * `spark.sql.autoBroadcastJoinThreshold` via one scalar aggregate
+    * (count + dim — model metadata, the [[GraphOps.pageRank]] precedent).
+    * Survivors materialize eagerly (localCheckpoint) so the scoring scan
+    * runs exactly once even though two aggregations consume them. */
   def marginMine(xSide: DataFrame, ySide: DataFrame, k: Int = 4,
                  minMargin: Double = 1.0,
-                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+                 vecCol: String = "embedding", idCol: String = "vec_id",
+                 lshPlanes: Int = 8, lshBands: Int = 8): DataFrame = {
+    val strategy = if (seedPastBroadcastBudget(xSide, vecCol)) "lsh" else "broadcast"
+    marginMineStrategy(xSide, ySide, k, minMargin, vecCol, idCol,
+      strategy, lshPlanes, lshBands)
+  }
+
+  /** True when the seed side's estimated in-memory footprint exceeds the
+    * session broadcast budget. One scalar aggregate (row count + vector
+    * dim) — bounded model metadata, never data rows. */
+  private[graft] def seedPastBroadcastBudget(seed: DataFrame, vecCol: String): Boolean = {
+    val thresh = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    if (thresh <= 0) return true
+    val m = seed.agg(count(lit(1)).as("n"), max(size(col(vecCol))).as("d")).head()
+    val n = m.getLong(0)
+    val dim = if (m.isNullAt(1)) 0L else m.getInt(1).toLong
+    n * (dim * 8L + 48L) > thresh
+  }
+
+  /** Strategy-pinned entry (tests pin lsh ≡ broadcast through this). */
+  private[graft] def marginMineStrategy(xSide: DataFrame, ySide: DataFrame,
+                                        k: Int, minMargin: Double,
+                                        vecCol: String, idCol: String,
+                                        strategy: String,
+                                        lshPlanes: Int = 8, lshBands: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val x = prepared(xSide, vecCol, idCol)
-      .select(col("id").as("x_id"), col("v").as("xv"), col("nrm").as("xn"))
-    val y = prepared(ySide, vecCol, idCol)
-      .select(col("id").as("y_id"), col("v").as("yv"), col("nrm").as("yn"))
-    def scored = y.join(broadcast(x), lit(true))
-      .withColumn("si",
-        round(cosinePrenormed(col("xv"), col("yv"), col("xn"), col("yn")) * 10000)
-          .cast("long"))
-      .select(col("x_id"), col("y_id"), col("si"))
-    val wX = Window.partitionBy("x_id").orderBy(col("si").desc, col("y_id"))
-    val xStats = scored.withColumn("rk", row_number().over(wX)).where(col("rk") <= k)
-      .groupBy("x_id")
+    val surv = marginSurvivors(xSide, ySide, k, vecCol, idCol,
+        strategy, lshPlanes, lshBands)
+      .localCheckpoint(true) // bounded: (|X|+|Y|)·k narrow rows
+    val xStats = surv.where(col("side") === 0).groupBy(col("key"))
       .agg(sum("si").as("sum_x"),
-        max(when(col("rk") === 1, struct(col("y_id"), col("si")))).as("best"))
-      .select(col("x_id"), col("sum_x"),
-        col("best.y_id").as("y_id"), col("best.si").as("si"))
-    val wY = Window.partitionBy("y_id").orderBy(col("si").desc, col("x_id"))
-    val yStats = scored.withColumn("rk", row_number().over(wY)).where(col("rk") <= k)
-      .groupBy("y_id")
-      .agg(sum("si").as("sum_y"), max(when(col("rk") === 1, col("x_id"))).as("best_x"))
+        max(when(col("rk") === 1, struct(col("other"), col("si")))).as("best"))
+      .select(col("key").as("x_id"), col("sum_x"),
+        col("best.other").as("y_id"), col("best.si").as("si"))
+    val yStats = surv.where(col("side") === 1).groupBy(col("key"))
+      .agg(sum("si").as("sum_y"), max(when(col("rk") === 1, col("other"))).as("best_x"))
+      .select(col("key").as("y_id"), col("sum_y"), col("best_x"))
     xStats.join(yStats, Seq("y_id"))
       .where(col("best_x") === col("x_id"))
       .withColumn("margin",
@@ -320,6 +354,62 @@ object SimilarityOps {
       .where(col("margin") >= minMargin)
       .select(col("x_id"), col("y_id"),
         round(col("si") / 10000.0, 4).as("sim"), col("margin"))
+  }
+
+  /** Pre-checkpoint survivor frame (side, key, other, si, rk): every
+    * scored pair exploded into its per-x (side 0) and per-y (side 1)
+    * directed views, rank-pruned to the top-k per (side, key) by one
+    * window — (si desc, other asc), the exact tie order of the former
+    * per-direction windows. Package-private so PlanQualitySpec pins the
+    * scoring plan that eager checkpointing hides from the final query. */
+  private[graft] def marginSurvivors(xSide: DataFrame, ySide: DataFrame, k: Int,
+                                     vecCol: String, idCol: String,
+                                     strategy: String,
+                                     lshPlanes: Int, lshBands: Int): DataFrame = {
+    val x = prepared(xSide, vecCol, idCol)
+    val y = prepared(ySide, vecCol, idCol)
+    val scored = strategy match {
+      case "broadcast" => marginScoredBroadcast(x, y)
+      case "lsh"       => marginScoredLsh(x, y, lshPlanes, lshBands)
+      case other => throw new IllegalArgumentException(
+        s"unknown marginMine strategy '$other' (broadcast|lsh)")
+    }
+    val both = scored.select(explode(array(
+        struct(lit(0).as("side"), col("x_id").as("key"), col("y_id").as("other"), col("si")),
+        struct(lit(1).as("side"), col("y_id").as("key"), col("x_id").as("other"), col("si")))).as("e"))
+      .select(col("e.side").as("side"), col("e.key").as("key"),
+        col("e.other").as("other"), col("e.si").as("si"))
+    val w = Window.partitionBy("side", "key").orderBy(col("si").desc, col("other"))
+    both.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Exhaustive scoring: one scan of Y against the broadcast seed. */
+  private def marginScoredBroadcast(x: DataFrame, y: DataFrame): DataFrame =
+    y.select(col("id").as("y_id"), col("v").as("yv"), col("nrm").as("yn"))
+      .join(broadcast(x.select(col("id").as("x_id"), col("v").as("xv"), col("nrm").as("xn"))),
+        lit(true))
+      .select(col("x_id"), col("y_id"),
+        round(cosinePrenormed(col("xv"), col("yv"), col("xn"), col("yn")) * 10000)
+          .cast("long").as("si"))
+
+  /** Candidate scoring past the broadcast budget: band equi-join on
+    * (band, bucket) over [[banded]] hyperplane signatures — only ids and
+    * two small ints cross that exchange — then ONE id-keyed vector
+    * re-join per side feeds a single scoring projection. Linear vector
+    * movement, no all-pairs anywhere. */
+  private def marginScoredLsh(x: DataFrame, y: DataFrame,
+                              nPlanes: Int, bands: Int): DataFrame = {
+    val xb = banded(x, nPlanes, bands)
+      .select(col("id").as("x_id"), col("band"), col("bucket"))
+    val yb = banded(y, nPlanes, bands)
+      .select(col("id").as("y_id"), col("band"), col("bucket"))
+    yb.join(xb, Seq("band", "bucket"))
+      .select("x_id", "y_id").distinct()
+      .join(x.select(col("id").as("x_id"), col("v").as("xv"), col("nrm").as("xn")), Seq("x_id"))
+      .join(y.select(col("id").as("y_id"), col("v").as("yv"), col("nrm").as("yn")), Seq("y_id"))
+      .select(col("x_id"), col("y_id"),
+        round(cosinePrenormed(col("xv"), col("yv"), col("xn"), col("yn")) * 10000)
+          .cast("long").as("si"))
   }
 
   /** (id, band, bucket) rows: `bands` bands of `nPlanes` hyperplane sign

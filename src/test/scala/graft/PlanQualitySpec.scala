@@ -429,17 +429,57 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("bitext mining broadcasts the seed side and rank-prunes top-k map-side") {
-    val plan = executedPlan("q_bitext_mine").toString
-    // scoring = corpus scan x broadcast seed; a partial WindowGroupLimit
-    // prunes each scan to k rows per key BEFORE the exchange, so only
-    // (x_id, y_id, si) survivors shuffle — never scored pair volume
+    // the scoring scan is eagerly checkpointed inside marginMine, so the
+    // registry query's final plan can't show it — pin the pre-checkpoint
+    // survivor plan the operator exposes for exactly this purpose
+    val emb = t.embeddings
+    val plan = graft.operators.SimilarityOps.marginSurvivors(
+        emb.where(col("vec_id") % 29 === 0), emb.where(col("vec_id") % 29 =!= 0),
+        k = 4, vecCol = "embedding", idCol = "vec_id",
+        strategy = "broadcast", lshPlanes = 8, lshBands = 8)
+      .queryExecution.executedPlan.toString
+    // scoring = ONE corpus scan x broadcast seed (pre-r13 ran it twice);
+    // a partial WindowGroupLimit prunes to k rows per (side, key) BEFORE
+    // the exchange, so only exploded survivors shuffle — never pair volume
     assert(plan.contains("BroadcastNestedLoopJoin"), s"seed side not broadcast:\n$plan")
     assert(plan.contains("WindowGroupLimit"), s"top-k not pruned map-side:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"scoring degenerated to a cartesian:\n$plan")
+    // exactly one scoring join: the explode-into-both-directions form pays
+    // the |X|x|Y| cosine scan once, not once per direction
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1,
+      s"scoring scan duplicated:\n$plan")
     // vectors never reach an exchange: every hash exchange carries ids/sums
     val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(exchanges.nonEmpty && exchanges.forall(l => !l.contains("xv") && !l.contains("yv")),
+    assert(exchanges.forall(l => !l.contains("xv") && !l.contains("yv")),
       s"an embedding column crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("bitext mining past the broadcast budget joins banded candidates, never all-pairs") {
+    val emb = t.embeddings
+    val plan = graft.operators.SimilarityOps.marginSurvivors(
+        emb.where(col("vec_id") % 29 === 0), emb.where(col("vec_id") % 29 =!= 0),
+        k = 4, vecCol = "embedding", idCol = "vec_id",
+        strategy = "lsh", lshPlanes = 2, lshBands = 40)
+      .queryExecution.executedPlan.toString
+    // candidate generation is an equi-join on (band, bucket) signature rows;
+    // nothing in the plan may fall back to a nested-loop / cartesian pairing
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"LSH candidates degenerated to all-pairs:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"top-k not pruned map-side:\n$plan")
+  }
+
+  test("bitext crossover flips to LSH exactly when the seed outgrows the broadcast budget") {
+    val emb = t.embeddings
+    val seed = emb.where(col("vec_id") % 29 === 0)
+    assert(!graft.operators.SimilarityOps.seedPastBroadcastBudget(seed, "embedding"),
+      "the sf0.001 seed panel must fit the 64 MB session budget")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1024") // 1 KB: any real seed table exceeds it
+      assert(graft.operators.SimilarityOps.seedPastBroadcastBudget(seed, "embedding"),
+        "a seed past the budget must select the banded-LSH path")
+    } finally spark.conf.set(key, prev)
   }
 
   test("rank-sum test never windows the value relation unpartitioned") {

@@ -18,9 +18,10 @@ class SourceAuditSpec extends AnyFunSuite {
   // file (relative to src/main/scala/graft) -> (expected site count, bound)
   private val allowed = Map(
     "operators/SimilarityOps.scala" ->
-      (3, "k-means fit sample (≤ 256·nCentroids vectors by construction); " +
+      (4, "k-means fit sample (≤ 256·nCentroids vectors by construction); " +
         "index-deletion emptied-cell list (≤ nCentroids touched cells); " +
-        "drift-refit predicate (1-row max-shift scalar)"),
+        "drift-refit predicate (1-row max-shift scalar); " +
+        "marginMine broadcast-budget crossover (1-row count+dim scalar)"),
     "operators/DedupOps.scala" ->
       (1, "1-row decimal checksum driving the label-propagation fixpoint"),
     "operators/QuantileOps.scala" ->

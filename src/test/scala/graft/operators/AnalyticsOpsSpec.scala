@@ -465,6 +465,28 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("marginMine LSH path with full-recall bands equals the broadcast path exactly") {
+    // same full-recall banding contract as the lshTopK≡bruteForce pin:
+    // 40 cheap 2-plane bands make the candidate set effectively exhaustive
+    // on a random corpus, so mutual-top-1, the k-NN margin sums, and the
+    // final (sim, margin) values must all reproduce bitwise
+    val rnd = new scala.util.Random(41)
+    val emb = (0 until 120).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val xs = emb.where(col("vec_id") % 13 === 0)
+    val ys = emb.where(col("vec_id") % 13 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Double)].collect().toSet
+    val bcast = rows(SimilarityOps.marginMineStrategy(xs, ys, k = 4, minMargin = 1.0,
+      vecCol = "embedding", idCol = "vec_id", strategy = "broadcast"))
+    val lsh = rows(SimilarityOps.marginMineStrategy(xs, ys, k = 4, minMargin = 1.0,
+      vecCol = "embedding", idCol = "vec_id", strategy = "lsh",
+      lshPlanes = 2, lshBands = 40))
+    assert(bcast.nonEmpty, "degenerate fixture: broadcast path mined no pairs")
+    assert(lsh == bcast,
+      s"LSH path diverged from broadcast: ${(bcast diff lsh) ++ (lsh diff bcast)}")
+  }
+
   test("changePoint locates a planted level shift at the exact boundary") {
     // hourly volumes 1,1,1,9,9,9: the split must land after bucket 3
     // (G = 576 there vs 288 at the flanks), boundary = start of bucket 3+1

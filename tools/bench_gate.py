@@ -8,12 +8,20 @@ triple from scheduler noise alone; the floor keeps the gate signal).
 
 Usage:
   python3 tools/bench_gate.py BENCH_NEW.json [REFERENCE.json]
-  python3 tools/bench_gate.py --update BENCH_NEW.json   # refresh reference
+  python3 tools/bench_gate.py --update RUN1.json RUN2.json RUN3.json [...]
+
+--update refuses fewer than 3 clean runs and records the per-query MEDIAN
+across them. A single run's minimum is not a reference: scheduler luck
+produces unrepresentatively tight floors that manufacture false regression
+marks (r12's q_pricing_summary sat at 3.8x a lucky 0.23 s minimum and
+re-measured HIGHER than its first pass — the reference was the defect).
+The median of >=3 runs is robust to one lucky and one unlucky run.
 
 Exit 1 on regression; prints each offender as
   REGRESSION q_name: 4.10s vs 0.61s reference (6.7x > 2.0x)
 """
 import json
+import statistics
 import sys
 from pathlib import Path
 
@@ -78,13 +86,33 @@ def load_queries(path):
 
 def main(argv):
     if argv and argv[0] == "--update":
-        loaded, partial = load_queries(argv[1])
-        if partial:
-            raise SystemExit("refusing --update from a partial (slowest-50) "
-                             "bench artifact; use the full all_queries line")
-        queries = {q: s for q, s in loaded.items() if s >= 0}
+        run_paths = argv[1:]
+        if len(run_paths) < 3:
+            raise SystemExit(
+                f"refusing --update from {len(run_paths)} run(s): a reference "
+                "is the MEDIAN of >=3 clean runs (one run's timings are "
+                "scheduler luck, see module docstring)")
+        runs = []
+        for p in run_paths:
+            loaded, partial = load_queries(p)
+            if partial:
+                raise SystemExit(f"refusing --update: {p} is a partial "
+                                 "(slowest-50) artifact; use the full "
+                                 "all_queries line")
+            runs.append({q: s for q, s in loaded.items() if s >= 0})
+        common = set(runs[0])
+        for r in runs[1:]:
+            common &= set(r)
+        uneven = sorted(set().union(*runs) - common)
+        if uneven:
+            raise SystemExit(
+                "refusing --update: queries not present (or errored) in every "
+                f"run: {', '.join(uneven)} — the median needs all runs")
+        queries = {q: round(statistics.median(r[q] for r in runs), 3)
+                   for q in sorted(common)}
         DEFAULT_REF.write_text(json.dumps(queries, indent=1, sort_keys=True) + "\n")
-        print(f"reference updated: {len(queries)} queries -> {DEFAULT_REF}")
+        print(f"reference updated: {len(queries)} queries (median of "
+              f"{len(runs)} runs) -> {DEFAULT_REF}")
         return 0
     cand, cand_partial = load_queries(argv[0])
     ref, _ = load_queries(argv[1] if len(argv) > 1 else DEFAULT_REF)
