@@ -335,6 +335,99 @@ object MultimodalOps {
     h
   }
 
+  /** Trim/shift-robust audio signature: the distinct set of overlapping
+    * window-sign shingles. [[audioEnvelopeHash]]'s 65 spans are RELATIVE
+    * to clip length, so a 100 ms leading-silence trim shifts every span —
+    * the most common real near-dup transform after re-encoding escaped it.
+    * Here windows are ABSOLUTE (`windowSamples` samples each, tail partial
+    * dropped): E(w) is the exact integer sum of squares, sign s(w) = 1 iff
+    * E(w+1) > E(w), and shingle j packs s(j)..s(j+shingleBits−1) LSB-first.
+    * A trim of any whole number of windows shifts the sign SEQUENCE but
+    * leaves the trimmed copy's content shingles a SUBSET of the original's
+    * (shift-robust at window granularity — the hop-size granularity every
+    * landmark/constellation fingerprint shares); uniform gain scaling
+    * multiplies every energy by the same positive factor, preserving all
+    * signs. Distinct + sorted, so the signature is a pure function of the
+    * clip. Clips shorter than (shingleBits+1) full windows yield no
+    * shingles. */
+  def audioShingles(a: DecodedAudio, windowSamples: Int = 4,
+                    shingleBits: Int = 16): Array[Long] = {
+    require(windowSamples > 0, s"windowSamples must be positive, got $windowSamples")
+    require(shingleBits >= 1 && shingleBits <= 63,
+      s"shingleBits must be in [1, 63], got $shingleBits")
+    val nW = a.samples.length / windowSamples
+    if (nW < shingleBits + 1) return Array.empty[Long]
+    val e = new Array[Long](nW)
+    var w = 0
+    while (w < nW) {
+      var sumSq = 0L
+      var i = w * windowSamples
+      val end = i + windowSamples
+      while (i < end) { val s = a.samples(i).toLong; sumSq += s * s; i += 1 }
+      e(w) = sumSq
+      w += 1
+    }
+    val nS = nW - 1
+    val out = new Array[Long](nS - shingleBits + 1)
+    var j = 0
+    while (j < out.length) {
+      var v = 0L
+      var i = 0
+      while (i < shingleBits) {
+        if (e(j + i + 1) > e(j + i)) v |= (1L << i)
+        i += 1
+      }
+      out(j) = v
+      j += 1
+    }
+    out.distinct.sorted
+  }
+
+  /** Shift-robust audio fingerprints over a binary column: decode, then
+    * one (id, shingle) row per DISTINCT [[audioShingles]] value — only
+    * (long, long) rows leave the decode pass, so downstream containment
+    * joins shuffle shingle ids, never samples. Undecodable or too-short
+    * payloads yield no rows. */
+  def audioShingleFingerprints(df: DataFrame, binCol: String, idCol: String,
+                               windowSamples: Int = 4,
+                               shingleBits: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWav(bytes).iterator.flatMap(a =>
+          audioShingles(a, windowSamples, shingleBits).iterator.map(v => (id, v)))
+      })
+      .toDF(idCol, "shingle")
+  }
+
+  /** Near-dup pairs by shingle-set containment over (id, shingle) rows
+    * ([[audioShingleFingerprints]] output): candidates are the shingle-value
+    * equi-join (the audio analog of an n-gram posting join — never
+    * all-pairs), a pair survives when the common-shingle count covers at
+    * least `minContainment` of the SMALLER side's set (containment, not
+    * Jaccard: a trimmed copy is a strict subset of its original, and
+    * min-side coverage scores it 1.0). Emits (ida, idb, n_common,
+    * containment). All exchanges carry (long, long) rows; per-id set sizes
+    * are clip-length-bounded (one shingle per window hop). */
+  def shingleContainmentPairs(shingles: DataFrame, minContainment: Double,
+                              idCol: String = "id",
+                              shingleCol: String = "shingle"): DataFrame = {
+    val s = shingles.select(col(idCol).as("id"), col(shingleCol).as("v"))
+    val counts = s.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    s.as("a").join(s.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(counts.select(col("id").as("ida"), col("n").as("na")), Seq("ida"))
+      .join(counts.select(col("id").as("idb"), col("n").as("nb")), Seq("idb"))
+      .withColumn("containment",
+        round(col("n_common").cast("double") / least(col("na"), col("nb")), 6))
+      .where(col("containment") >= minContainment)
+      .select(col("ida"), col("idb"), col("n_common"), col("containment"))
+  }
+
   /** Perceptual audio fingerprints over a binary column: decode, then the
     * [[audioEnvelopeHash]] envelope signature — (id, decoded, afp) only, so
     * downstream near-dup bucketing shuffles 64-bit fingerprints, never
@@ -580,6 +673,46 @@ object MultimodalOps {
       .join(counts.select(col("id").as("idb"), col("nf").as("nb")), Seq("idb"))
       .where(col("n_matched") === col("na") && col("n_matched") === col("nb"))
       .select(col("ida"), col("idb"), col("na").as("n_frames"), col("max_hamming"))
+  }
+
+  /** Frame-RATE-robust animation near-dup: [[animationNearDup]] requires
+    * equal frame counts and aligned indices, so a 30→15fps re-encode of the
+    * same animation escapes it. Here each animation's hash series first
+    * normalizes to `slots` keyframes sampled at RELATIVE positions — slot q
+    * takes frame ⌊q·nf/slots⌋ — and a pair is a near-dup when every aligned
+    * SLOT pair sits within `maxHamming`, regardless of frame counts. An
+    * integer-factor frame decimation maps slot q of the decimated copy to
+    * the same source frame as slot q of the original whenever the original
+    * count is a multiple of `slots` (⌊q·(nf/d)/S⌋·d = ⌊q·nf/S⌋ when S | nf),
+    * so rate-halved copies land in identical buckets — pinned in ScalaTest.
+    * Emits (ida, idb, n_frames_a, n_frames_b, max_hamming): the two counts
+    * are reported, not required equal.
+    *
+    * Scale shape: the nf join is id-keyed, the slot fan-out is a ×slots
+    * constant, and candidates ride [[hammingPairs]]' (slot, 16-bit-band)
+    * equi-keys — hashes shuffle, pixels never do. */
+  def animationNearDupNormalized(frameHashes: DataFrame, slots: Int = 4,
+                                 maxHamming: Int = 3,
+                                 idCol: String = "doc_id",
+                                 frameCol: String = "frame_idx",
+                                 hashCol: String = "dhash"): DataFrame = {
+    require(slots > 0, s"slots must be positive, got $slots")
+    val fh = frameHashes.select(col(idCol).as("id"),
+      col(frameCol).cast("long").as("frame_idx"), col(hashCol).as("h"))
+    val counts = fh.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+    val keyed = fh.join(counts, Seq("id"))
+      .withColumn("slot", explode(sequence(lit(0L), lit(slots - 1L))))
+      // non-negative operands: integer div == floor
+      .where(col("frame_idx") === call_function("div", col("slot") * col("nf"), lit(slots.toLong)))
+      .select(col("id"), col("slot"), col("h"))
+    hammingPairs(keyed, maxHamming, alignKeys = Seq("slot"))
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("n_matched"), max(col("hamming")).as("max_hamming"))
+      .where(col("n_matched") === slots)
+      .join(counts.select(col("id").as("ida"), col("nf").as("n_frames_a")), Seq("ida"))
+      .join(counts.select(col("id").as("idb"), col("nf").as("n_frames_b")), Seq("idb"))
+      .select(col("ida"), col("idb"), col("n_frames_a"), col("n_frames_b"),
+        col("max_hamming"))
   }
 
   /** Per-partition feature extraction: one digest + codec context per

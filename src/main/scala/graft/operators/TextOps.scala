@@ -80,12 +80,22 @@ object TextOps {
       case ((l, _), i) => struct(col(s"hits_$l").as("h"), lit(-i).as("nr"))
     }: _*))
     val names = array(LangTrigramProfiles.map(p => lit(p._1)): _*)
+    // confidence margin = top hit count − runner-up hit count (EXACT
+    // integers, so downstream cascades gate on it deterministically):
+    // sort the hit array ascending and subtract the last two. A tied
+    // argmax — and the all-zero 'other' rows — report margin 0, exactly
+    // the "don't trust this label" signal a lang-gated pipeline wants.
+    val sortedHits = array_sort(array(
+      LangTrigramProfiles.map { case (l, _) => col(s"hits_$l") }: _*))
+    val nLangs = LangTrigramProfiles.length
     scored.select(
       col(idCol) +:
         LangTrigramProfiles.map { case (l, _) => col(s"hits_$l") } :+
         when(best.getField("h") === 0, lit("other"))
           .otherwise(element_at(names, (-best.getField("nr")) + 1))
-          .as("predicted_lang"): _*)
+          .as("predicted_lang") :+
+        (element_at(sortedHits, nLangs) - element_at(sortedHits, nLangs - 1))
+          .as("margin"): _*)
   }
 
   /** Composite quality score from length, lexical diversity, and stopword

@@ -72,8 +72,12 @@ object TextQueries {
       s"WHEN $laterGe THEN '$l'"
     }.mkString(" ")
     val anyPos = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ") = 0")
+    // margin = top − runner-up hit count, derived from the same generated
+    // hit columns (exact BIGINTs; negative list indexing = sorted tail)
+    val sorted = langs.map(l => s"hits_$l").mkString("list_sort([", ", ", "])")
     s"""SELECT doc_id, ${langs.map(l => s"hits_$l").mkString(", ")},
-       |CASE WHEN $anyPos THEN 'other' $cascade ELSE '${langs.last}' END AS predicted_lang
+       |CASE WHEN $anyPos THEN 'other' $cascade ELSE '${langs.last}' END AS predicted_lang,
+       |($sorted[-1] - $sorted[-2]) AS margin
        |FROM (SELECT doc_id, $hitCols FROM documents)""".stripMargin.replaceAll("\\s+", " ")
   }
 
@@ -313,6 +317,18 @@ object TextQueries {
     // language), all-zero scores -> 'other' (zh has no Latin profile).
     "q_lang_id" -> { t =>
       TextOps.langId(t.documents).orderBy("doc_id")
+    },
+
+    // Language-confidence gate: the filter cascade consuming langId's
+    // margin column the way real pipelines gate on lang confidence —
+    // stage 1 drops unidentified docs, stage 2 drops low-margin (ambiguous)
+    // predictions. One scan; the oracle reuses the generated lang-id body
+    // verbatim so gate and classifier cannot drift apart.
+    "q_lang_gate" -> { t =>
+      graft.operators.PipelineOps.filterCascade(TextOps.langId(t.documents), Seq(
+        "lang_known" -> (col("predicted_lang") =!= "other"),
+        "min_margin" -> (col("margin") >= 2)
+      )).orderBy("stage")
     },
 
     // Language-ID evaluation against the labeled lang column: the full
@@ -841,6 +857,42 @@ object TextQueries {
         .orderBy("ida", "idb")
     },
 
+    // TRIM/SHIFT-robust audio near-dup (the transform q_audio_neardup's
+    // relative-span envelope dies on): 96 real WAVs in 12 groups — group g
+    // is one md5-derived 80-window level sequence; member m gain-scales by
+    // (m+1) AND prepends (m%4) windows of leading silence (the trim), and
+    // member 7 additionally bumps window 5's level (near-miss). The engine
+    // ENCODES, really DECODES, fingerprints with overlapping window-sign
+    // shingles (absolute 4-sample windows, 16-bit shingles) and pairs by
+    // shingle-set containment ≥ 0.5 — trimmed+gain-scaled copies share the
+    // whole content-shingle set while unrelated clips share ~0. The oracle
+    // re-derives windows, signs, shingles and the containment join in SQL.
+    "q_audio_neardup_shift" -> { t =>
+      val s = t.spark
+      import s.implicits._
+      val wavs = t.documents.select(col("doc_id")).where(col("doc_id") < 96).as[Long]
+        .mapPartitions { ids =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          ids.map { id =>
+            val g = id % 12
+            val m = (id / 12).toInt
+            val silence = Array.fill((m % 4) * 4)(0)
+            val content = Array.tabulate(320) { i =>
+              val w = i / 4
+              val lvl = 1 + (md.digest(s"s:$g:$w".getBytes("UTF-8"))(0) & 0xFF) +
+                (if (m == 7 && w == 5) 1 else 0)
+              lvl * (m + 1)
+            }
+            (id, graft.operators.MultimodalOps.encodePcmWav(8000, 1, silence ++ content))
+          }
+        }.toDF("doc_id", "wav")
+      val fps = graft.operators.MultimodalOps.audioShingleFingerprints(
+        wavs, "wav", "doc_id", windowSamples = 4, shingleBits = 16)
+      graft.operators.MultimodalOps.shingleContainmentPairs(fps, minContainment = 0.5,
+          idCol = "doc_id")
+        .orderBy("ida", "idb")
+    },
+
     // ANIMATION near-dup over per-frame perceptual hashes: 96 real animated
     // GIFs in 12 groups (2-4 frames each, md5-derived pixels; member m bumps
     // one pixel by +1 luma in EVERY frame — the image-plant perturbation,
@@ -869,6 +921,45 @@ object TextQueries {
         }.toDF("doc_id", "gif")
       val fh = graft.operators.MultimodalOps.frameHashes(gifs, "gif", "doc_id")
       graft.operators.MultimodalOps.animationNearDup(fh, maxHamming = 3)
+        .orderBy("ida", "idb")
+    },
+
+    // Frame-RATE-robust animation near-dup (the transform q_gif_neardup's
+    // aligned-index join dies on): 96 real animated GIFs in 12 groups —
+    // group g is one md5-derived 8-frame animation; odd members re-encode
+    // at HALF the frame rate (every 2nd source frame, 4 frames), member 7
+    // bumps one pixel per frame (near-miss). Each series normalizes to 4
+    // keyframe SLOTS at relative positions (slot q → frame ⌊q·nf/4⌋ —
+    // exactly the same source frame for both rates since 4 | 8), then the
+    // slot-aligned band join matches every slot within Hamming 3 — so
+    // rate-halved copies pair with full-rate originals, which the
+    // equal-frame-count q_gif_neardup can never emit. Oracle recomputes
+    // the 4 sampled frames' dHashes closed-form and mirrors the rollup.
+    "q_gif_neardup_rate" -> { t =>
+      val s = t.spark
+      import s.implicits._
+      val gifs = t.documents.select(col("doc_id")).where(col("doc_id") < 96).as[Long]
+        .mapPartitions { ids =>
+          javax.imageio.ImageIO.setUseCache(false)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          ids.map { id =>
+            val g = id % 12
+            val m = (id / 12).toInt
+            val d = 1 + m % 2 // frame-decimation factor: odd members at half rate
+            (id, graft.operators.MultimodalOps.encodeGrayGifFrames(9, 8,
+              frames = 8 / d,
+              pixel = (x, y, f) => {
+                // pixels keyed on the SOURCE frame index f·d, so the
+                // decimated copy shows the same content where it samples
+                val base = md.digest(s"r:$g:${f * d}:$x:$y".getBytes("UTF-8"))(0) & 0xFF
+                val bump = if (m == 7 && x == 2 && y == 3) 1 else 0
+                (base + bump) % 256
+              }))
+          }
+        }.toDF("doc_id", "gif")
+      val fh = graft.operators.MultimodalOps.frameHashes(gifs, "gif", "doc_id")
+      graft.operators.MultimodalOps.animationNearDupNormalized(fh, slots = 4,
+          maxHamming = 3)
         .orderBy("ida", "idb")
     },
 
@@ -1079,6 +1170,79 @@ object TextQueries {
       "SELECT DISTINCT a.id AS ida, c.id AS idb, bit_count(xor(a.h, c.h)) AS hamming " +
       "FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.id < c.id " +
       "WHERE bit_count(xor(a.h, c.h)) <= 3 ORDER BY ida, idb"
+  }
+
+  /** q_audio_neardup_shift oracle: window w's sample value is closed-form
+    * (0 in the silence prefix, lvl·gain in content), E(w) = 4·val(w)², and
+    * val ≥ 0 reduces the energy-sign to val(w+1) > val(w) — so signs,
+    * 16-bit shingles (one self-join packing 16 consecutive signs), the
+    * distinct sets, and the containment join all re-derive in SQL with the
+    * trim and gain handled BY the reduction, proving shift/gain invariance
+    * independently of the engine's decode path. */
+  private val audioNeardupShiftOracle: String =
+    """WITH mm AS (SELECT doc_id, doc_id % 12 AS g, doc_id // 12 AS m,
+      |    (doc_id // 12) % 4 AS t FROM documents WHERE doc_id < 96),
+      |win AS (SELECT doc_id, g, m, t, unnest(range(0, 80 + t)) AS w FROM mm),
+      |lv AS (SELECT doc_id, w,
+      |    CASE WHEN w < t THEN 0
+      |      ELSE (('0x' || substr(md5('s:' || g || ':' || (w - t)), 1, 2))::UBIGINT::BIGINT
+      |            + 1 + CASE WHEN m = 7 AND w - t = 5 THEN 1 ELSE 0 END) * (m + 1)
+      |    END AS val
+      |  FROM win),
+      |sg AS (SELECT a.doc_id, a.w AS j,
+      |    CASE WHEN b.val > a.val THEN 1 ELSE 0 END AS s
+      |  FROM lv a JOIN lv b ON b.doc_id = a.doc_id AND b.w = a.w + 1),
+      |sh AS (SELECT a.doc_id, a.j, sum(b.s * (1::BIGINT << (b.j - a.j))) AS v
+      |  FROM sg a JOIN sg b ON b.doc_id = a.doc_id
+      |    AND b.j >= a.j AND b.j <= a.j + 15
+      |  GROUP BY a.doc_id, a.j HAVING count(*) = 16),
+      |ds AS (SELECT DISTINCT doc_id, v FROM sh),
+      |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY doc_id),
+      |pr AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |    CAST(count(*) AS BIGINT) AS n_common
+      |  FROM ds a JOIN ds b ON a.v = b.v AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT ida, idb, n_common,
+      |  round(CAST(n_common AS DOUBLE) / least(na.n, nb.n), 6) AS containment
+      |FROM pr JOIN n na ON na.doc_id = ida JOIN n nb ON nb.doc_id = idb
+      |WHERE CAST(n_common AS DOUBLE) / least(na.n, nb.n) >= 0.5
+      |ORDER BY ida, idb""".stripMargin.replaceAll("\\s+", " ")
+
+  /** q_gif_neardup_rate oracle: every member samples the SAME four source
+    * frames (slot q → source frame 2q, for both full- and half-rate
+    * members — the 4 | 8 invariance the engine relies on), so the oracle
+    * recomputes those frames' dHashes closed-form, mirrors the slot-aligned
+    * band join, and requires all 4 slots matched; frame counts are derived
+    * from the member's decimation factor, reported but not required equal. */
+  private val gifNeardupRateOracle: String = {
+    def p(x: Int, y: Int) =
+      s"(('0x' || substr(md5('r:' || (doc_id % 12) || ':' || (2 * slot) || ':$x:$y'), 1, 2))::UBIGINT + " +
+        s"CASE WHEN doc_id // 12 = 7 AND $x = 2 AND $y = 3 THEN 1 ELSE 0 END) % 256"
+    val pxCols = (for (y <- 0 until 8; x <- 0 until 9) yield
+      s"${p(x, y)} AS c${x}_$y").mkString(", ")
+    val dhash = (for (y <- 0 until 8; x <- 0 until 8) yield
+      s"CASE WHEN c${x + 1}_$y > c${x}_$y THEN ${bitPow(y * 8 + x)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sl AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS slot
+       |  FROM documents WHERE doc_id < 96),
+       |px AS (SELECT doc_id, slot, $pxCols FROM sl),
+       |h AS (SELECT doc_id AS id, slot, ($dhash) AS h FROM px),
+       |b AS (SELECT id, slot, h, band, (h >> (band * 16)) & 65535 AS bv FROM h
+       |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+       |pr AS (SELECT DISTINCT a.id AS ida, c.id AS idb, a.slot,
+       |    bit_count(xor(a.h, c.h)) AS hd
+       |  FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv
+       |    AND a.slot = c.slot AND a.id < c.id
+       |  WHERE bit_count(xor(a.h, c.h)) <= 3),
+       |agg AS (SELECT ida, idb, count(*) AS n_matched, max(hd) AS max_hamming
+       |  FROM pr GROUP BY ida, idb),
+       |nf AS (SELECT doc_id,
+       |    CAST(CASE WHEN (doc_id // 12) % 2 = 1 THEN 4 ELSE 8 END AS BIGINT) AS nf
+       |  FROM documents WHERE doc_id < 96)
+       |SELECT agg.ida, agg.idb, na.nf AS n_frames_a, nb.nf AS n_frames_b,
+       |  agg.max_hamming
+       |FROM agg JOIN nf na ON na.doc_id = agg.ida JOIN nf nb ON nb.doc_id = agg.idb
+       |WHERE agg.n_matched = 4 ORDER BY ida, idb""".stripMargin
+      .replaceAll("\\s+", " ")
   }
 
   /** q_gif_neardup oracle: per-(doc, frame) closed-form pixels → dHash →
@@ -1501,6 +1665,23 @@ object TextQueries {
 
     "q_lang_id" -> (langIdOracleBody + " ORDER BY doc_id"),
 
+    // The gate consumes the SAME generated predictor body, then mirrors the
+    // filterCascade rollup (first-failing-stage, cumulative remaining).
+    "q_lang_gate" ->
+      s"""WITH p AS ($langIdOracleBody),
+         |st AS (SELECT CASE WHEN NOT (predicted_lang != 'other') THEN 1
+         |  WHEN NOT (margin >= 2) THEN 2 ELSE 0 END AS stage FROM p),
+         |c AS (SELECT stage, count(*) AS n FROM st GROUP BY stage),
+         |t AS (SELECT count(*) AS total FROM st),
+         |d AS (SELECT * FROM (VALUES (1, 'lang_known'), (2, 'min_margin'))
+         |  AS v(stage, filter))
+         |SELECT CAST(d.stage AS BIGINT) AS stage, d.filter,
+         |  coalesce(c.n, 0) AS dropped,
+         |  CAST(t.total - sum(coalesce(c.n, 0)) OVER (ORDER BY d.stage
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS remaining
+         |FROM d LEFT JOIN c USING (stage) CROSS JOIN t
+         |ORDER BY stage""".stripMargin.replaceAll("\\s+", " "),
+
     // The prediction subquery IS the q_lang_id oracle; shares divide
     // exact counts inside each actual-language partition (10-row matrix).
     "q_langid_confusion" ->
@@ -1899,6 +2080,8 @@ object TextQueries {
         |FROM gx GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\\s+", " "),
 
     "q_audio_neardup" -> audioNeardupOracle,
+    "q_audio_neardup_shift" -> audioNeardupShiftOracle,
+    "q_gif_neardup_rate" -> gifNeardupRateOracle,
 
     "q_gif_neardup" -> gifNeardupOracle,
 

@@ -710,6 +710,7 @@ class PlanQualitySpec extends SparkSpec {
     // catalog so a new query can't quietly ship an all-pairs join.
     val bnljBounded = Map(
       "q_filter_cascade"     -> "crossJoin(broadcast(total)) — 1-row corpus count",
+      "q_lang_gate"          -> "filterCascade's crossJoin(broadcast(total)) — 1-row corpus count",
       "q_balance_classes"    -> "broadcast scalar min class count (1 row)",
       "q_hard_negatives"     -> "broadcast query panel (k query vectors)",
       "q_stale_index_filter" -> "broadcast max-id/2 threshold (1 row)",
@@ -744,8 +745,11 @@ class PlanQualitySpec extends SparkSpec {
       "q_pareto_users"       -> "broadcast decile boundaries + revenue total (1 row each)",
       "q_session_stats"      -> "broadcast duration quantiles (1 row from exactQuantiles)",
       "q_crosscorr"          -> "broadcast lag fan-out table (2·maxLag+1 rows)",
-      "q_rank_sum"           -> "broadcast sample totals + tie term + value range (1 row, q_ks_test's shape)",
-      "q_bitext_mine"        -> "broadcast seed side (model-sized, every-29th panel); corpus scan rank-prunes map-side"
+      "q_rank_sum"           -> "broadcast sample totals + tie term + value range (1 row, q_ks_test's shape)"
+      // q_bitext_mine's broadcast-seed BNLJ no longer appears here: the
+      // scoring scan materializes eagerly inside marginMine, so its plan
+      // is pinned directly via marginSurvivors in the dedicated bitext
+      // tests above (one BNLJ, WindowGroupLimit, no cartesian).
     )
     val (issues, bnljSeen) = SparkEntry.queries.toSeq.foldLeft(
         (Seq.empty[String], Set.empty[String])) { case ((is, seen), (name, fn)) =>

@@ -124,4 +124,61 @@ class MediaNearDupSpec extends SparkSpec {
     assert(out == Seq((2L, 3L, 1, 0)),
       s"only the frame-aligned pair is a candidate: $out")
   }
+
+  test("audioShingles: a whole-window trim + gain leaves a strict shingle subset") {
+    def lvl(w: Int) = 1 + (w * 37 + 11) % 100
+    val content = Array.tabulate(320)(i => lvl(i / 4))
+    val orig = audioShingles(DecodedAudio(8000, 1, content), 4, 16).toSet
+    // trim = DROPPING 3 leading silence windows the original carried
+    val padded = audioShingles(
+      DecodedAudio(8000, 1, Array.fill(12)(0) ++ content.map(_ * 5)), 4, 16).toSet
+    assert(orig.subsetOf(padded),
+      "content shingles are position-independent: the unpadded clip's set " +
+        "must survive a 3-window pad + 5x gain intact")
+    assert(padded.size > orig.size, "the pad boundary adds its own shingles")
+    // the envelope hash, by contrast, DOES die on the same transform — the
+    // gap this signature exists to close
+    assert(audioEnvelopeHash(DecodedAudio(8000, 1, content)) !=
+      audioEnvelopeHash(DecodedAudio(8000, 1, Array.fill(12)(0) ++ content)),
+      "if the relative-span envelope survived trims this kernel would be redundant")
+    // too-short clips yield no shingles rather than unstable partial ones
+    assert(audioShingles(DecodedAudio(8000, 1, Array.fill(67)(1)), 4, 16).isEmpty)
+  }
+
+  test("audio shingle containment end-to-end: trimmed+gain copies pair at 1.0") {
+    def lvlA(w: Int) = 1 + (w * 37 + 11) % 100
+    def lvlB(w: Int) = 1 + (w * 91 + 3) % 100
+    def wav(lvl: Int => Int, gain: Int, padWindows: Int) =
+      encodePcmWav(8000, 1,
+        Array.fill(padWindows * 4)(0) ++ Array.tabulate(320)(i => lvl(i / 4) * gain))
+    val rows = Seq(
+      (1L, wav(lvlA, 1, 0)),
+      (2L, wav(lvlA, 5, 3)),  // louder, 3 windows of leading silence
+      (3L, wav(lvlB, 1, 0)))  // unrelated envelope
+    val fps = audioShingleFingerprints(rows.toDF("id", "blob"), "blob", "id")
+    val out = shingleContainmentPairs(fps, minContainment = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"exactly the trimmed+gain pair: $out")
+    assert(out.head._4 == 1.0,
+      s"the untrimmed clip's set is a subset, so min-side containment is exactly 1.0: $out")
+  }
+
+  test("animationNearDupNormalized pairs a frame-rate-halved copy; aligned join cannot") {
+    def pix(x: Int, y: Int, fSrc: Int) = (x * 31 + y * 17 + fSrc * 97) % 256
+    val full = encodeGrayGifFrames(9, 8, 8, (x, y, f) => pix(x, y, f))
+    val halved = encodeGrayGifFrames(9, 8, 4, (x, y, f) => pix(x, y, f * 2))
+    val other = encodeGrayGifFrames(9, 8, 8, (x, y, f) => ((x + 3) * (y + 5) + f * 53) % 256)
+    val fh = frameHashes(Seq((1L, full), (2L, halved), (3L, other)).toDF("id", "blob"),
+      "blob", "id")
+    val out = animationNearDupNormalized(fh, slots = 4, maxHamming = 3, idCol = "id")
+      .as[(Long, Long, Long, Long, Int)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"exactly the rate-halved pair: $out")
+    assert(out.head._3 == 8L && out.head._4 == 4L && out.head._5 == 0,
+      s"counts reported unequal, slots identical: $out")
+    // the equal-count aligned-index form is structurally blind to this pair
+    assert(animationNearDup(fh, maxHamming = 3, idCol = "id").collect().isEmpty,
+      "animationNearDup matching a rate-halved copy would make the normalized form redundant")
+  }
 }
