@@ -428,6 +428,28 @@ class PlanQualitySpec extends SparkSpec {
       s"payload bytes crossed a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("shift-robust audio near-dup: shingle equi-join, wav payloads never shuffle") {
+    val plan = executedPlan("q_audio_neardup_shift").toString
+    // candidates are the shingle-VALUE equi-join (posting-join shape); the
+    // containment rollup and count joins are id-keyed — nothing all-pairs
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"shingle candidates degenerated to all-pairs:\n$plan")
+    // samples stay in the decode stage: every exchange carries (long, long)
+    // shingle/id rows, never the wav payload
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("wav")),
+      s"payload bytes crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("rate-robust animation near-dup: slot rides the band key, payloads never shuffle") {
+    val plan = executedPlan("q_gif_neardup_rate").toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"hamming candidates degenerated to all-pairs:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("gif")),
+      s"payload bytes crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("bitext mining broadcasts the seed side and rank-prunes top-k map-side") {
     // the scoring scan is eagerly checkpointed inside marginMine, so the
     // registry query's final plan can't show it — pin the pre-checkpoint

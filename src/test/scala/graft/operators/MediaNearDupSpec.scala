@@ -125,6 +125,18 @@ class MediaNearDupSpec extends SparkSpec {
       s"only the frame-aligned pair is a candidate: $out")
   }
 
+  test("audioShingles matches a hand-computed shingle set") {
+    // 1-sample windows, 2-bit shingles: samples (1,2,1,2,1) -> E (1,4,1,4,1)
+    // -> signs (1,0,1,0) -> shingles 1+2·0=1, 0+2·1=2, 1+2·0=1 -> {1,2}
+    val a = DecodedAudio(8000, 1, Array(1, 2, 1, 2, 1))
+    assert(audioShingles(a, windowSamples = 1, shingleBits = 2).toSeq == Seq(1L, 2L))
+    // the tail partial window is dropped, never a short unstable span:
+    // appending ONE extra sample (6 samples, window=1 keeps all) vs a
+    // 5-sample clip at window=2 (2 full windows, 1 sign, too short)
+    assert(audioShingles(DecodedAudio(8000, 1, Array(1, 2, 1, 2, 1)),
+      windowSamples = 2, shingleBits = 2).isEmpty)
+  }
+
   test("audioShingles: a whole-window trim + gain leaves a strict shingle subset") {
     def lvl(w: Int) = 1 + (w * 37 + 11) % 100
     val content = Array.tabulate(320)(i => lvl(i / 4))

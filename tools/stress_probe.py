@@ -194,11 +194,22 @@ def main(argv=None):
             line += "  <-- SUPER-LINEAR"
         print(line)
 
-    artifact = {"metric": "stress_probe_10x", "tier": args.tier,
-                "sf_dir": args.sf_dir, "probe_dir": args.probe_dir,
-                "floor_sec": FLOOR_SEC, "default_bound": DEFAULT_BOUND,
-                "wall_s": round(time.time() - t0, 1), "queries": rows}
-    Path(args.out).write_text(json.dumps(artifact, indent=1, sort_keys=True) + "\n")
+    # per-tier results MERGE into the artifact (a wave1 run must not erase
+    # the wave3 record): the file keys tiers, each with its own run block
+    out_path = Path(args.out)
+    try:
+        artifact = json.loads(out_path.read_text())
+        if artifact.get("metric") != "stress_probe_10x":
+            artifact = {}
+    except (FileNotFoundError, json.JSONDecodeError):
+        artifact = {}
+    artifact.update({"metric": "stress_probe_10x", "sf_dir": args.sf_dir,
+                     "probe_dir": args.probe_dir, "floor_sec": FLOOR_SEC,
+                     "default_bound": DEFAULT_BOUND})
+    artifact.setdefault("tiers", {})[args.tier] = {
+        "wall_s": round(time.time() - t0, 1), "queries": rows,
+        "ok": not failures}
+    out_path.write_text(json.dumps(artifact, indent=1, sort_keys=True) + "\n")
     print(f"artifact -> {args.out}")
     for f in failures:
         print(f)
