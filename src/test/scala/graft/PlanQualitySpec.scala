@@ -693,6 +693,7 @@ class PlanQualitySpec extends SparkSpec {
       "q_pack_sequences"   -> "offset prefix over per-bucket subtotals (bucket count rows)",
       "q_token_budget"     -> "budget prefix over per-bucket subtotals (bucket count rows)",
       "q_filter_cascade"   -> "cumulative survivors over per-stage counts (|filters| rows)",
+      "q_lang_gate"        -> "cumulative survivors over per-stage counts (|filters| rows)",
       "q_zipf_slope"       -> "ranks the top-k token-frequency table (k=100 rows by construction)",
       "q_source_gini"      -> "ranks the per-source rollup (|sources| rows by construction)",
       "q_quantile_bins"    -> "exactQuantiles window path: the constant group key folds away; only planned below the executor-comfort crossover (selection path above plans NO window)",
