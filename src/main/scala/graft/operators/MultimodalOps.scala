@@ -336,32 +336,46 @@ object MultimodalOps {
   }
 
   /** Trim/shift-robust audio signature: the distinct set of overlapping
-    * window-sign shingles. [[audioEnvelopeHash]]'s 65 spans are RELATIVE
-    * to clip length, so a 100 ms leading-silence trim shifts every span —
-    * the most common real near-dup transform after re-encoding escaped it.
-    * Here windows are ABSOLUTE (`windowSamples` samples each, tail partial
-    * dropped): E(w) is the exact integer sum of squares, sign s(w) = 1 iff
-    * E(w+1) > E(w), and shingle j packs s(j)..s(j+shingleBits−1) LSB-first.
-    * A trim of any whole number of windows shifts the sign SEQUENCE but
-    * leaves the trimmed copy's content shingles a SUBSET of the original's
-    * (shift-robust at window granularity — the hop-size granularity every
-    * landmark/constellation fingerprint shares); uniform gain scaling
-    * multiplies every energy by the same positive factor, preserving all
-    * signs. Distinct + sorted, so the signature is a pure function of the
-    * clip. Clips shorter than (shingleBits+1) full windows yield no
-    * shingles. */
+    * window-sign shingles over the SILENCE-STRIPPED clip.
+    * [[audioEnvelopeHash]]'s 65 spans are RELATIVE to clip length, so a
+    * 100 ms leading-silence trim shifts every span — the most common real
+    * near-dup transform after re-encoding escaped it. Here:
+    *
+    *  1. leading and trailing silence (|sample| ≤ `silenceEps`) strips
+    *     FIRST, so windowing anchors at the content onset — the signature
+    *     is EXACTLY invariant to any silence pad/trim, at any offset, not
+    *     just whole-window multiples;
+    *  2. windows are ABSOLUTE (`windowSamples` samples each, tail partial
+    *     dropped): E(w) is the exact integer sum of squares, sign
+    *     s(w) = 1 iff E(w+1) > E(w), and shingle j packs
+    *     s(j)..s(j+shingleBits−1) LSB-first. A NON-silence shift (content
+    *     prepended) still lands at window granularity: the copy's content
+    *     shingles remain a near-superset of the original's (the hop-size
+    *     granularity every landmark/constellation fingerprint shares);
+    *  3. uniform gain scaling multiplies every energy by the same
+    *     positive factor, preserving all signs (and maps silence to
+    *     silence at eps 0).
+    *
+    * Distinct + sorted, so the signature is a pure function of the clip.
+    * Clips shorter than (shingleBits+1) full windows after stripping
+    * yield no shingles. */
   def audioShingles(a: DecodedAudio, windowSamples: Int = 4,
-                    shingleBits: Int = 16): Array[Long] = {
+                    shingleBits: Int = 16, silenceEps: Int = 0): Array[Long] = {
     require(windowSamples > 0, s"windowSamples must be positive, got $windowSamples")
     require(shingleBits >= 1 && shingleBits <= 63,
       s"shingleBits must be in [1, 63], got $shingleBits")
-    val nW = a.samples.length / windowSamples
+    require(silenceEps >= 0, s"silenceEps must be non-negative, got $silenceEps")
+    var lo = 0
+    var hi = a.samples.length
+    while (lo < hi && math.abs(a.samples(lo)) <= silenceEps) lo += 1
+    while (hi > lo && math.abs(a.samples(hi - 1)) <= silenceEps) hi -= 1
+    val nW = (hi - lo) / windowSamples
     if (nW < shingleBits + 1) return Array.empty[Long]
     val e = new Array[Long](nW)
     var w = 0
     while (w < nW) {
       var sumSq = 0L
-      var i = w * windowSamples
+      var i = lo + w * windowSamples
       val end = i + windowSamples
       while (i < end) { val s = a.samples(i).toLong; sumSq += s * s; i += 1 }
       e(w) = sumSq

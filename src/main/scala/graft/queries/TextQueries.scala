@@ -860,13 +860,17 @@ object TextQueries {
     // TRIM/SHIFT-robust audio near-dup (the transform q_audio_neardup's
     // relative-span envelope dies on): 96 real WAVs in 12 groups — group g
     // is one md5-derived 80-window level sequence; member m gain-scales by
-    // (m+1) AND prepends (m%4) windows of leading silence (the trim), and
-    // member 7 additionally bumps window 5's level (near-miss). The engine
-    // ENCODES, really DECODES, fingerprints with overlapping window-sign
-    // shingles (absolute 4-sample windows, 16-bit shingles) and pairs by
-    // shingle-set containment ≥ 0.5 — trimmed+gain-scaled copies share the
-    // whole content-shingle set while unrelated clips share ~0. The oracle
-    // re-derives windows, signs, shingles and the containment join in SQL.
+    // (m+1) AND prepends (m·7 % 13) samples of leading silence — an
+    // ARBITRARY offset, deliberately not a window multiple — and member 7
+    // additionally bumps window 5's level (near-miss). The engine ENCODES,
+    // really DECODES, strips silence (so windowing anchors at the content
+    // onset — exact invariance to any-offset silence trims), fingerprints
+    // with overlapping window-sign shingles (absolute 4-sample windows,
+    // 16-bit shingles) and pairs by shingle-set containment ≥ 0.5 —
+    // trimmed+gain-scaled copies share the whole content-shingle set while
+    // unrelated clips share ~0. The oracle re-derives the STRIPPED
+    // windows, signs, shingles and the containment join in SQL: silence
+    // never appears in it at all, which IS the invariance proof.
     "q_audio_neardup_shift" -> { t =>
       val s = t.spark
       import s.implicits._
@@ -876,7 +880,7 @@ object TextQueries {
           ids.map { id =>
             val g = id % 12
             val m = (id / 12).toInt
-            val silence = Array.fill((m % 4) * 4)(0)
+            val silence = Array.fill(m * 7 % 13)(0)
             val content = Array.tabulate(320) { i =>
               val w = i / 4
               val lvl = 1 + (md.digest(s"s:$g:$w".getBytes("UTF-8"))(0) & 0xFF) +
@@ -1172,22 +1176,22 @@ object TextQueries {
       "WHERE bit_count(xor(a.h, c.h)) <= 3 ORDER BY ida, idb"
   }
 
-  /** q_audio_neardup_shift oracle: window w's sample value is closed-form
-    * (0 in the silence prefix, lvl·gain in content), E(w) = 4·val(w)², and
-    * val ≥ 0 reduces the energy-sign to val(w+1) > val(w) — so signs,
-    * 16-bit shingles (one self-join packing 16 consecutive signs), the
-    * distinct sets, and the containment join all re-derive in SQL with the
-    * trim and gain handled BY the reduction, proving shift/gain invariance
-    * independently of the engine's decode path. */
+  /** q_audio_neardup_shift oracle: the engine strips silence before
+    * windowing, so the planted silence prefix NEVER APPEARS here — the
+    * oracle's windows are the bare 80 content windows for every member,
+    * which is itself the proof of any-offset trim invariance. Window w's
+    * value is closed-form lvl·gain, E(w) = 4·val(w)², and val ≥ 0 reduces
+    * the energy-sign to val(w+1) > val(w) (gain invariance BY the
+    * reduction); signs, 16-bit shingles (one self-join packing 16
+    * consecutive signs), distinct sets, and the containment join all
+    * re-derive in SQL. */
   private val audioNeardupShiftOracle: String =
-    """WITH mm AS (SELECT doc_id, doc_id % 12 AS g, doc_id // 12 AS m,
-      |    (doc_id // 12) % 4 AS t FROM documents WHERE doc_id < 96),
-      |win AS (SELECT doc_id, g, m, t, unnest(range(0, 80 + t)) AS w FROM mm),
+    """WITH mm AS (SELECT doc_id, doc_id % 12 AS g, doc_id // 12 AS m
+      |  FROM documents WHERE doc_id < 96),
+      |win AS (SELECT doc_id, g, m, unnest(range(0, 80)) AS w FROM mm),
       |lv AS (SELECT doc_id, w,
-      |    CASE WHEN w < t THEN 0
-      |      ELSE (('0x' || substr(md5('s:' || g || ':' || (w - t)), 1, 2))::UBIGINT::BIGINT
-      |            + 1 + CASE WHEN m = 7 AND w - t = 5 THEN 1 ELSE 0 END) * (m + 1)
-      |    END AS val
+      |    (('0x' || substr(md5('s:' || g || ':' || w), 1, 2))::UBIGINT::BIGINT
+      |      + 1 + CASE WHEN m = 7 AND w = 5 THEN 1 ELSE 0 END) * (m + 1) AS val
       |  FROM win),
       |sg AS (SELECT a.doc_id, a.w AS j,
       |    CASE WHEN b.val > a.val THEN 1 ELSE 0 END AS s

@@ -137,22 +137,30 @@ class MediaNearDupSpec extends SparkSpec {
       windowSamples = 2, shingleBits = 2).isEmpty)
   }
 
-  test("audioShingles: a whole-window trim + gain leaves a strict shingle subset") {
+  test("audioShingles: any-offset silence pad + gain leaves the signature IDENTICAL") {
     def lvl(w: Int) = 1 + (w * 37 + 11) % 100
     val content = Array.tabulate(320)(i => lvl(i / 4))
-    val orig = audioShingles(DecodedAudio(8000, 1, content), 4, 16).toSet
-    // trim = DROPPING 3 leading silence windows the original carried
+    val orig = audioShingles(DecodedAudio(8000, 1, content), 4, 16).toSeq
+    // 13 leading + 5 trailing zeros — deliberately NOT window multiples —
+    // plus 5x gain: silence strips before windowing, so the windows anchor
+    // at the content onset and the signature reproduces exactly
     val padded = audioShingles(
-      DecodedAudio(8000, 1, Array.fill(12)(0) ++ content.map(_ * 5)), 4, 16).toSet
-    assert(orig.subsetOf(padded),
-      "content shingles are position-independent: the unpadded clip's set " +
-        "must survive a 3-window pad + 5x gain intact")
-    assert(padded.size > orig.size, "the pad boundary adds its own shingles")
+      DecodedAudio(8000, 1,
+        Array.fill(13)(0) ++ content.map(_ * 5) ++ Array.fill(5)(0)), 4, 16).toSeq
+    assert(padded == orig,
+      "silence-stripped windowing must make any-offset pads/trims invisible")
     // the envelope hash, by contrast, DOES die on the same transform — the
     // gap this signature exists to close
     assert(audioEnvelopeHash(DecodedAudio(8000, 1, content)) !=
-      audioEnvelopeHash(DecodedAudio(8000, 1, Array.fill(12)(0) ++ content)),
+      audioEnvelopeHash(DecodedAudio(8000, 1, Array.fill(13)(0) ++ content)),
       "if the relative-span envelope survived trims this kernel would be redundant")
+    // a CONTENT shift (non-silence prefix) still degrades gracefully: the
+    // original's shingles survive as a subset when the prefix pads to a
+    // whole window (hop granularity — the constellation-fingerprint contract)
+    val contentShift = audioShingles(
+      DecodedAudio(8000, 1, Array.fill(4)(9) ++ content), 4, 16).toSet
+    assert(orig.toSet.subsetOf(contentShift),
+      "whole-window content prefix must leave the original set a subset")
     // too-short clips yield no shingles rather than unstable partial ones
     assert(audioShingles(DecodedAudio(8000, 1, Array.fill(67)(1)), 4, 16).isEmpty)
   }
@@ -160,12 +168,12 @@ class MediaNearDupSpec extends SparkSpec {
   test("audio shingle containment end-to-end: trimmed+gain copies pair at 1.0") {
     def lvlA(w: Int) = 1 + (w * 37 + 11) % 100
     def lvlB(w: Int) = 1 + (w * 91 + 3) % 100
-    def wav(lvl: Int => Int, gain: Int, padWindows: Int) =
+    def wav(lvl: Int => Int, gain: Int, padSamples: Int) =
       encodePcmWav(8000, 1,
-        Array.fill(padWindows * 4)(0) ++ Array.tabulate(320)(i => lvl(i / 4) * gain))
+        Array.fill(padSamples)(0) ++ Array.tabulate(320)(i => lvl(i / 4) * gain))
     val rows = Seq(
       (1L, wav(lvlA, 1, 0)),
-      (2L, wav(lvlA, 5, 3)),  // louder, 3 windows of leading silence
+      (2L, wav(lvlA, 5, 13)), // louder, 13 samples of silence (no window multiple)
       (3L, wav(lvlB, 1, 0)))  // unrelated envelope
     val fps = audioShingleFingerprints(rows.toDF("id", "blob"), "blob", "id")
     val out = shingleContainmentPairs(fps, minContainment = 0.5)

@@ -50,6 +50,9 @@ REPO = Path(__file__).resolve().parent.parent
 
 # The r12 wave composition, kept as named tiers so "re-verify wave N after
 # a change" is one flag. Names are registry query names (SparkEntry.queries).
+# NOT probed: the planted-fixture media queries (q_audio_neardup*,
+# q_gif_neardup*, q_image_*) — their inputs are fixed-size synthetic plants
+# (96 payloads regardless of sf dir), so a "10x" run would measure nothing.
 TIERS = {
     "wave1": [  # dedup / IR / embeddings over documents+embeddings
         "q_similarity_topk", "q_ann_lsh", "q_ivf_ann", "q_text_dedup_exact",
@@ -62,7 +65,8 @@ TIERS = {
         "q_keyword_redact", "q_leakage_split", "q_hash_split", "q_mix_sources",
         "q_decontaminate", "q_boilerplate_strip", "q_char_entropy",
         "q_repetition_stats", "q_readability", "q_dataset_card",
-        "q_containment_dedup", "q_dedup_clusters", "q_winnow",
+        "q_containment_dedup", "q_dedup_clusters", "q_winnow", "q_dsir_sample",
+        "q_lang_gate",
     ],
     "wave3": [  # graph / stats over lineitem+events facts
         "q_pagerank", "q_triangle_count", "q_clustering_coeff", "q_kcore",
