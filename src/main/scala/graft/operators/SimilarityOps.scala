@@ -412,6 +412,58 @@ object SimilarityOps {
           .cast("long").as("si"))
   }
 
+  /** Greedy k-center (farthest-point) core-set selection — the classic
+    * 2-approximation to the k-center objective (Gonzalez 1985; the
+    * diverse-subset selector of Sener & Savarese 2018's core-set active
+    * learning): seed with the lowest-id vector, then k−1 times pick the
+    * candidate FARTHEST from the selected set (max over candidates of the
+    * min distance to any center), ties to the lowest id. The selector a
+    * curation pipeline uses to pull a maximally-diverse exemplar panel
+    * from an embedded corpus.
+    *
+    * Determinism: distances quantize to exact integers BEFORE any
+    * comparison — d = 10000 − round(cos·10000) — so min-chains, the
+    * argmax, and tie-breaks are integer decisions on both engines.
+    *
+    * Scale shape: the selected set is MODEL metadata (k vectors), pulled
+    * one bounded row per round; each round is one codegen'd scan that
+    * extends a `least` chain with the newest center as an array literal
+    * and takes a TakeOrdered(1) — never a candidate×candidate or
+    * candidate×corpus join. k scans total (inherent to the greedy — each
+    * choice depends on the last); the result itself is a k-row frame.
+    * Returns (rank, vec_id, sep_dist) where sep_dist is the quantized
+    * min-distance at selection time (NULL for the seed) — the classic
+    * "coverage radius" curve a curator reads k off of. */
+  def kCenterSelect(emb: DataFrame, k: Int,
+                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && k <= 128, s"k must be in [1, 128] (k driver rounds), got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = prepared(emb, vecCol, idCol)
+      .select(col("id").cast("long").as("id"), col("v"), col("nrm"))
+    // seed: lowest id — 1 bounded row to the driver (model metadata)
+    val seed = p.orderBy(col("id")).limit(1).head()
+    val sel = scala.collection.mutable.ArrayBuffer[(Long, Seq[Double], Double, Option[Long])](
+      (seed.getLong(0), seed.getSeq[Double](1), seed.getDouble(2), None))
+    var frame = p
+    for (i <- 1 until k) {
+      val (cid, cv, cn, _) = sel.last
+      val d = lit(10000L) -
+        round(cosinePrenormed(array(cv.map(lit): _*), col("v"), lit(cn), col("nrm")) * 10000)
+          .cast("long")
+      frame = frame.where(col("id") =!= cid)
+        .withColumn("md", if (i == 1) d else least(col("md"), d))
+      val r = frame.orderBy(col("md").desc, col("id")).limit(1)
+        .select(col("id"), col("v"), col("nrm"), col("md")).head()
+      sel += ((r.getLong(0), r.getSeq[Double](1), r.getDouble(2), Some(r.getLong(3))))
+    }
+    sel.toSeq.zipWithIndex
+      .map { case ((id, _, _, md), rank) => (rank.toLong, id, md) }
+      .toDF("rank", "vec_id", "sep_dist")
+      .select(col("rank"), col("vec_id"),
+        col("sep_dist").cast("long").as("sep_dist"))
+  }
+
   /** (id, band, bucket) rows: `bands` bands of `nPlanes` hyperplane sign
     * bits each, one row per band. Only ids and two small ints go through the
     * candidate join — vectors are re-fetched for scoring afterwards, so the

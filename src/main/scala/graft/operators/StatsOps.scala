@@ -467,4 +467,69 @@ object StatsOps {
         round(col("nn") * col("p_exp"), 4).as("n_exp"),
         round(dev * dev / (col("nn") * col("p_exp")), 6).as("chi2_term"))
   }
+
+  /** Poisson(1) inverse-CDF thresholds at 2³² scale: weight k is assigned
+    * iff the 32-bit hash uniform u < T(k) and u ≥ T(k−1) — i.e. the first
+    * k with u < T(k), else 9. Computed once from the exact series
+    * (60-digit decimal e) and frozen as integer literals so the engine and
+    * the generated oracle SQL compare the SAME longs — no floating CDF at
+    * query time. P(w=9) ≈ 1.1e-6 absorbs the tail. */
+  val PoissonThresholds: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L,
+    4292415291L, 4294609777L, 4294923276L, 4294962463L)
+
+  /** Poisson-bootstrap confidence interval for the per-group mean — THE
+    * distributed bootstrap (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams"): classical resampling needs the whole sample
+    * on one machine per replica; here replica b assigns every row an
+    * independent Poisson(1) weight (multinomial→Poisson approximation),
+    * so all `b` resamples ride ONE scan as a ×b explode + one partial-
+    * aggregated groupBy. No row-level resample shuffle exists at any
+    * scale.
+    *
+    * Determinism: the weight is a pure function of (id, replica) — a
+    * 32-bit md5 uniform compared against frozen integer
+    * [[PoissonThresholds]] — and values quantize to exact integer cents
+    * BEFORE weighting, so every replica sum is an exact long and each
+    * replica mean is ONE division. The CI is an exact order statistic of
+    * the ≤ b replica means (a bounded per-group array, sorted): lo = the
+    * max(1, ⌊loPct·b⌋)-th smallest, hi = the min(b, ⌈hiPct·b⌉)-th.
+    * Replicas that drew total weight 0 (probability e^{-n·b} — only
+    * conceivable for single-digit groups) are dropped from the order
+    * statistic rather than polluting it with NULL.
+    *
+    * Output: (key, n, mean, ci_lo, ci_hi), mean/CI rounded to 6 dp. */
+  def bootstrapCi(df: DataFrame, keyCol: Column, valCol: Column, idCol: Column,
+                  b: Int = 32, loPct: Double = 0.025, hiPct: Double = 0.975): DataFrame = {
+    require(b >= 2, s"need at least 2 replicas, got $b")
+    require(loPct > 0 && hiPct < 1 && loPct < hiPct,
+      s"percentiles must satisfy 0 < lo < hi < 1, got ($loPct, $hiPct)")
+    val cents = round(valCol * 100).cast("long")
+    val base = df.where(valCol.isNotNull)
+      .select(keyCol.as("k"), cents.as("cv"), idCol.cast("string").as("rid"))
+    val rep = base.select(col("k"), col("cv"), col("rid"),
+      explode(sequence(lit(0), lit(b - 1))).as("rep"))
+    val u = conv(substring(md5(concat(col("rid"), lit(":"), col("rep"))), 1, 8), 16, 10)
+      .cast("long")
+    // first threshold the uniform falls under = the Poisson(1) draw
+    val w = PoissonThresholds.zipWithIndex.foldRight(lit(9): Column) {
+      case ((t, k), rest) => when(u < t, lit(k)).otherwise(rest)
+    }.cast("long")
+    val perRep = rep.withColumn("w", w)
+      .groupBy(col("k"), col("rep"))
+      .agg(sum(col("w") * col("cv")).as("sv"), sum(col("w")).as("sw"))
+      .where(col("sw") > 0)
+      .select(col("k"), (col("sv").cast("double") / col("sw") / 100.0).as("mean_r"))
+    val kLo = math.max(1, math.floor(loPct * b).toInt)
+    val kHi = math.min(b, math.ceil(hiPct * b).toInt)
+    val stats = base.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("cv")).as("sv"))
+    perRep.groupBy(col("k"))
+      .agg(sort_array(collect_list(col("mean_r"))).as("ms"), count(lit(1)).as("nr"))
+      .join(stats, Seq("k"))
+      .select(col("k"), col("n"),
+        round(col("sv").cast("double") / col("n") / 100.0, 6).as("mean"),
+        round(element_at(col("ms"), least(lit(kLo), col("nr")).cast("int")), 6).as("ci_lo"),
+        round(element_at(col("ms"), least(lit(kHi), col("nr")).cast("int")), 6).as("ci_hi"))
+  }
 }

@@ -356,6 +356,35 @@ object TextOps {
         size(split(col("bpe_text"), "[ " + sep + "]")).cast("long").as("n_symbols"))
   }
 
+  /** Tokenizer-fertility report per language: how many BPE symbols the
+    * trained merge table spends per whitespace word (fertility — the
+    * standard tokenizer-efficiency metric multilingual pipelines budget
+    * by) and how many bytes each symbol carries. High fertility on a
+    * language = the tokenizer fragments it = that data costs more context
+    * window per word — exactly what a mixture designer gates on.
+    *
+    * One codegen'd scan (the native `bpe_apply` pass + two splits) into a
+    * partial-aggregated groupBy over the |langs|-sized rollup; ratios are
+    * single divisions of exact long sums, so the report is
+    * partitioning-independent. */
+  def tokenizerFertility(docs: DataFrame, merges: Seq[(String, String)],
+                         sep: String = "·", textCol: String = "text",
+                         langCol: String = "lang"): DataFrame = {
+    val flat = sep +: merges.flatMap { case (a, b) => Seq(a, b) }
+    val clean = call_function("bpe_apply", col(textCol), array(flat.map(lit): _*))
+    docs
+      .select(col(langCol).as("lang"),
+        size(split(clean, "[ " + sep + "]")).cast("long").as("n_symbols"),
+        size(split(col(textCol), " ")).cast("long").as("n_words"),
+        octet_length(col(textCol)).cast("long").as("n_bytes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_symbols").as("ss"), sum("n_words").as("swd"), sum("n_bytes").as("sb"))
+      .select(col("lang"), col("n_docs"),
+        round(col("ss").cast("double") / col("swd"), 6).as("fertility"),
+        round(col("sb").cast("double") / col("ss"), 6).as("bytes_per_symbol"))
+  }
+
   /** The original replace-CHAIN formulation of BPE application, kept as the
     * independent reference the native [[graft.plans.BpeMerger]] is
     * property-tested against (and the formulation the DuckDB oracle still

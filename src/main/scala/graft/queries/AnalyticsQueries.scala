@@ -83,6 +83,22 @@ object AnalyticsQueries {
         .orderBy("segment")
     },
 
+    // Poisson-bootstrap CI for the per-type mean value — the distributed
+    // bootstrap (Chamandy et al.): replica b gives every row a hash-derived
+    // Poisson(1) weight, so all 64 resamples ride ONE scan as a ×64 explode
+    // + a partial-aggregated groupBy; the CI is an exact order statistic of
+    // the 64 replica means (a bounded per-group array). Weights compare a
+    // 32-bit md5 uniform against frozen integer thresholds shared with the
+    // oracle; values quantize to exact cents before weighting.
+    "q_bootstrap_ci" -> { t =>
+      import org.apache.spark.sql.functions._
+      graft.operators.StatsOps.bootstrapCi(
+          t.events, keyCol = col("event_type"), valCol = col("value"),
+          idCol = col("event_id"), b = 64)
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    },
+
     // Chi-square independence of event type × value band (100-wide bands,
     // clamped at 4): exact integer contingency table, marginals on
     // partitioned windows, grand total broadcast back (1-row BNLJ).
@@ -887,6 +903,38 @@ object AnalyticsQueries {
         |FROM d JOIN md USING (event_type)
         |WHERE md.mad > 0 AND abs(0.6745 * (d.value - d.med) / md.mad) > 3.5
         |ORDER BY d.event_type, d.event_id""".stripMargin.replaceAll("\\s+", " "),
+
+    // The weight cascade is GENERATED from the same frozen PoissonThresholds
+    // constant the engine folds into its plan — one source of truth; sums
+    // are exact longs over cents, each replica mean one division, the CI an
+    // exact order statistic of the sorted replica-mean list.
+    "q_bootstrap_ci" -> {
+      val cascade = graft.operators.StatsOps.PoissonThresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+      s"""WITH base AS (SELECT event_type AS k,
+         |    CAST(round(value * 100) AS BIGINT) AS cv,
+         |    CAST(event_id AS VARCHAR) AS rid
+         |  FROM events WHERE value IS NOT NULL),
+         |rep AS (SELECT k, cv, rid, unnest(range(0, 64)) AS rep FROM base),
+         |wv AS (SELECT k, rep, cv, CASE $cascade ELSE 9 END AS w
+         |  FROM (SELECT k, rep, cv,
+         |    ('0x' || substr(md5(rid || ':' || rep), 1, 8))::UBIGINT::BIGINT AS u
+         |    FROM rep)),
+         |pr AS (SELECT k, rep, sum(w * cv) AS sv, sum(w) AS sw
+         |  FROM wv GROUP BY 1, 2),
+         |mr AS (SELECT k, CAST(sv AS DOUBLE) / sw / 100.0 AS mean_r
+         |  FROM pr WHERE sw > 0),
+         |ms AS (SELECT k, list_sort(list(mean_r)) AS ms, count(*) AS nr
+         |  FROM mr GROUP BY k),
+         |st AS (SELECT k, CAST(count(*) AS BIGINT) AS n, sum(cv) AS sv
+         |  FROM base GROUP BY k)
+         |SELECT st.k AS event_type, st.n,
+         |  round(CAST(st.sv AS DOUBLE) / st.n / 100.0, 6) + 0 AS mean,
+         |  round(ms.ms[LEAST(1, ms.nr)], 6) + 0 AS ci_lo,
+         |  round(ms.ms[LEAST(63, ms.nr)], 6) + 0 AS ci_hi
+         |FROM st JOIN ms ON ms.k = st.k
+         |ORDER BY event_type""".stripMargin.replaceAll("\\s+", " ")
+    },
 
     "q_ab_test" ->
       """WITH f AS (

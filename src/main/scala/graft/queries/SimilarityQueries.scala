@@ -20,12 +20,26 @@ object SimilarityQueries {
       |  FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)""".stripMargin
 
+  /** Selection size of the k-center query/oracle pair (one constant both
+    * sides are generated from). */
+  private val KCenterK = 8
+
   val queries: Map[String, Tables => DataFrame] = Map(
     // X3 — exact brute-force cosine top-k for a broadcast query set.
     "q_similarity_topk" -> { t =>
       val queries = t.embeddings.where(col("vec_id") < 10)
       SimilarityOps.bruteForceTopK(t.embeddings, queries, k = 5)
         .orderBy("query_id", "rank")
+    },
+
+    // Greedy k-center (farthest-point) core-set selection: the maximally-
+    // diverse 8-exemplar panel from the embedded corpus (Gonzalez 1985 /
+    // Sener & Savarese core-sets). Distances quantize to exact integers
+    // before every comparison, so the greedy's argmax and tie-breaks are
+    // integer decisions the unrolled-CTE oracle replays step by step.
+    "q_kcenter_select" -> { t =>
+      SimilarityOps.kCenterSelect(t.embeddings, k = SimilarityQueries.KCenterK)
+        .orderBy("rank")
     },
 
     // Same semantics as q_similarity_topk through the bounded-state
@@ -264,7 +278,37 @@ object SimilarityQueries {
     }
   )
 
+  /** q_kcenter_select oracle: the greedy unrolled — step i's min-dist CTE
+    * extends step i−1's with a `least` against the (i−1)-th chosen center
+    * and excludes it from the candidate pool, exactly as the engine's
+    * round-i scan does; every distance is the same quantized integer
+    * 10000 − round(cos·10000), so argmax and ties replay bit-for-bit. */
+  private val kCenterOracle: String = {
+    def dist(eA: String, nA: String, eB: String, nB: String) =
+      s"(10000 - CAST(round(list_dot_product($eA, $eB) / ($nA * $nB) * 10000) AS BIGINT))"
+    val sb = new StringBuilder(dotCte + ", ")
+    sb ++= "sel0 AS (SELECT vec_id, e, nrm FROM n " +
+      "WHERE vec_id = (SELECT min(vec_id) FROM n)), "
+    sb ++= s"m1 AS (SELECT n.vec_id, n.e, n.nrm, " +
+      s"${dist("n.e", "n.nrm", "s.e", "s.nrm")} AS md " +
+      "FROM n CROSS JOIN sel0 s WHERE n.vec_id <> s.vec_id), "
+    sb ++= "c1 AS (SELECT * FROM m1 ORDER BY md DESC, vec_id LIMIT 1), "
+    for (i <- 2 until KCenterK) {
+      sb ++= s"m$i AS (SELECT m.vec_id, m.e, m.nrm, " +
+        s"least(m.md, ${dist("m.e", "m.nrm", "c.e", "c.nrm")}) AS md " +
+        s"FROM m${i - 1} m CROSS JOIN c${i - 1} c WHERE m.vec_id <> c.vec_id), "
+      sb ++= s"c$i AS (SELECT * FROM m$i ORDER BY md DESC, vec_id LIMIT 1), "
+    }
+    val unions = (s"SELECT 0 AS rank, vec_id, CAST(NULL AS BIGINT) AS sep_dist FROM sel0" +:
+      (1 until KCenterK).map(i =>
+        s"SELECT $i AS rank, vec_id, md AS sep_dist FROM c$i")).mkString(" UNION ALL ")
+    sb ++= s"u AS ($unions) " +
+      "SELECT CAST(rank AS BIGINT) AS rank, vec_id, sep_dist FROM u ORDER BY rank"
+    sb.toString.replaceAll("\\s+", " ")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_kcenter_select" -> kCenterOracle,
     // The scaled-copy norm is recomputed from the scaled vector exactly as
     // the engine does (×2 is exact FP scaling, so sqrt(4S) = 2·sqrt(S)
     // bitwise); dot argument order mirrors cosinePrenormed(bv, v).

@@ -190,6 +190,16 @@ object TextQueries {
       TextOps.bpeApply(t.documents, bpeMerges).orderBy("doc_id")
     },
 
+    // Tokenizer-fertility report: BPE symbols per whitespace word and bytes
+    // per symbol, per language — the tokenizer-efficiency metric a mixture
+    // designer budgets context window by. One codegen'd scan (native
+    // bpe_apply + two splits) into a |langs|-sized rollup; ratios are
+    // single divisions of exact long sums. Oracle shares the generated
+    // BPE-applied-text expression with q_bpe_apply verbatim.
+    "q_tokenizer_fertility" -> { t =>
+      TextOps.tokenizerFertility(t.documents, bpeMerges).orderBy("lang")
+    },
+
     // X1 — exact dedup by content digest.
     "q_text_dedup_exact" -> { t =>
       DedupOps.exact(t.documents).orderBy("h")
@@ -1303,22 +1313,39 @@ object TextQueries {
       .otherwise(body)
   }
 
-  /** q_bpe_apply oracle, generated from the same bpeMerges artifact: char
-    * symbolization via RE2 ('g' flag — DuckDB replaces first-only by
-    * default), then the merge chain as nested literal replace() calls. */
-  private val bpeApplyOracle: String = {
+  /** The BPE-applied-text SQL expression, generated from the same bpeMerges
+    * artifact the engine folds into its plan: char symbolization via RE2
+    * ('g' flag — DuckDB replaces first-only by default), then the merge
+    * chain as nested literal replace() calls. Shared by the q_bpe_apply and
+    * q_tokenizer_fertility oracles so applier and metric cannot drift. */
+  private val bpeCleanSql: String = {
     // SEP-wrapped words + boundary-anchored patterns, mirroring the engine
     val base =
       "regexp_replace(regexp_replace(text, '(\\S)', '\\1·', 'g'), '(^| )', '\\1·', 'g')"
     val merged = bpeMerges.foldLeft(base) { case (acc, (a, b)) =>
       s"replace($acc, '·${a}·${b}·', '·${a}${b}·')"
     }
-    val clean =
-      s"regexp_replace(regexp_replace($merged, '·( |$$)', '\\1', 'g'), '(^| )·', '\\1', 'g')"
-    s"SELECT doc_id, bpe_text, CAST(len(string_split_regex(bpe_text, '[ ·]')) AS BIGINT)" +
-      s" AS n_symbols FROM (SELECT doc_id, $clean AS bpe_text FROM documents)" +
-      " ORDER BY doc_id"
+    s"regexp_replace(regexp_replace($merged, '·( |$$)', '\\1', 'g'), '(^| )·', '\\1', 'g')"
   }
+
+  private val bpeApplyOracle: String =
+    s"SELECT doc_id, bpe_text, CAST(len(string_split_regex(bpe_text, '[ ·]')) AS BIGINT)" +
+      s" AS n_symbols FROM (SELECT doc_id, $bpeCleanSql AS bpe_text FROM documents)" +
+      " ORDER BY doc_id"
+
+  /** q_tokenizer_fertility oracle: per-doc symbol/word/byte counts from the
+    * shared [[bpeCleanSql]] expression, rolled up per language; each ratio
+    * is one division of exact BIGINT sums. */
+  private val tokenizerFertilityOracle: String =
+    s"""WITH d AS (SELECT lang,
+       |    CAST(len(string_split_regex($bpeCleanSql, '[ ·]')) AS BIGINT) AS n_symbols,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+       |  FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(CAST(sum(n_symbols) AS DOUBLE) / sum(n_words), 6) AS fertility,
+       |  round(CAST(sum(n_bytes) AS DOUBLE) / sum(n_symbols), 6) AS bytes_per_symbol
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\\s+", " ")
 
   val oracles: Map[String, String] = Map(
     // Independent evaluation strategy: one `contains` branch per phrase
@@ -2086,6 +2113,7 @@ object TextQueries {
     "q_audio_neardup" -> audioNeardupOracle,
     "q_audio_neardup_shift" -> audioNeardupShiftOracle,
     "q_gif_neardup_rate" -> gifNeardupRateOracle,
+    "q_tokenizer_fertility" -> tokenizerFertilityOracle,
 
     "q_gif_neardup" -> gifNeardupOracle,
 

@@ -18,10 +18,12 @@ class SourceAuditSpec extends AnyFunSuite {
   // file (relative to src/main/scala/graft) -> (expected site count, bound)
   private val allowed = Map(
     "operators/SimilarityOps.scala" ->
-      (4, "k-means fit sample (≤ 256·nCentroids vectors by construction); " +
+      (6, "k-means fit sample (≤ 256·nCentroids vectors by construction); " +
         "index-deletion emptied-cell list (≤ nCentroids touched cells); " +
         "drift-refit predicate (1-row max-shift scalar); " +
-        "marginMine broadcast-budget crossover (1-row count+dim scalar)"),
+        "marginMine broadcast-budget crossover (1-row count+dim scalar); " +
+        "kCenterSelect seed + per-round argmax (1 bounded row × k ≤ 128 " +
+        "rounds — the selected set IS the model)"),
     "operators/DedupOps.scala" ->
       (1, "1-row decimal checksum driving the label-propagation fixpoint"),
     "operators/QuantileOps.scala" ->

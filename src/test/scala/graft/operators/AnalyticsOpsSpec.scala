@@ -465,6 +465,43 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("bootstrapCi: constant values collapse the CI to the mean; mixed values bracket it") {
+    import org.apache.spark.sql.functions.col
+    // a constant column has every replica mean equal to it, whatever the
+    // Poisson weights drew — CI must collapse to [c, c] exactly
+    val const = (1 to 50).map(i => ("a", 5.0, i.toLong)).toDF("k", "v", "id")
+    val r = StatsOps.bootstrapCi(const, col("k"), col("v"), col("id"), b = 16)
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(r == (("a", 50L, 5.0, 5.0, 5.0)), s"constant-column CI must collapse: $r")
+    // mixed values: point mean inside a non-degenerate CI
+    val mixed = (1 to 200).map(i => ("b", if (i % 2 == 0) 1.0 else 9.0, i.toLong))
+      .toDF("k", "v", "id")
+    val m = StatsOps.bootstrapCi(mixed, col("k"), col("v"), col("id"), b = 64)
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(m._3 == 5.0, s"point estimate is the exact full-sample mean: $m")
+    assert(m._4 < 5.0 && 5.0 < m._5, s"CI must bracket the mean: $m")
+    assert(m._4 > 1.0 && m._5 < 9.0,
+      s"a 200-row half-half mix cannot bootstrap anywhere near the extremes: $m")
+  }
+
+  test("kCenterSelect replays the hand-computed farthest-point greedy") {
+    // seed = lowest id (1); round 1 picks the opposite vector (dist 20000),
+    // round 2 the orthogonal one (min-dist 10000); the near-duplicate of
+    // the seed (id 2, cos ~ 1) is never selected
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.01f)),
+      (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.kCenterSelect(emb, k = 3)
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(out == Seq((0L, 1L, None), (1L, 4L, Some(20000L)), (2L, 3L, Some(10000L))),
+      s"greedy trace diverged: $out")
+    // k = 1 degenerates to the seed alone
+    assert(SimilarityOps.kCenterSelect(emb, k = 1).as[(Long, Long, Option[Long])]
+      .collect().toSeq == Seq((0L, 1L, None)))
+  }
+
   test("marginMine LSH path with full-recall bands equals the broadcast path exactly") {
     // same full-recall banding contract as the lshTopK≡bruteForce pin:
     // 40 cheap 2-plane bands make the candidate set effectively exhaustive
