@@ -505,8 +505,12 @@ object StatsOps {
     require(loPct > 0 && hiPct < 1 && loPct < hiPct,
       s"percentiles must satisfy 0 < lo < hi < 1, got ($loPct, $hiPct)")
     val cents = round(valCol * 100).cast("long")
-    val base = df.where(valCol.isNotNull)
-      .select(keyCol.as("k"), cents.as("cv"), idCol.cast("string").as("rid"))
+    // fanOut: the ×b explode + per-replica md5 is the query's entire cost
+    // and sits in the scan stage — on a single-row-group parquet source it
+    // would all run on ONE core (the documented small-file trap; a no-op
+    // at production scale). Narrow columns only, per the fanOut contract.
+    val base = ScaleOps.fanOut(df.where(valCol.isNotNull)
+      .select(keyCol.as("k"), cents.as("cv"), idCol.cast("string").as("rid")))
     val rep = base.select(col("k"), col("cv"), col("rid"),
       explode(sequence(lit(0), lit(b - 1))).as("rep"))
     val u = conv(substring(md5(concat(col("rid"), lit(":"), col("rep"))), 1, 8), 16, 10)

@@ -15,7 +15,12 @@ class DeterminismSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private val sensitive = Seq(
     "q_ewma", "q_cusum", "q_pq_codes", "q_ivf_pq", "q_semantic_dedup",
-    "q_quality_classifier", "q_random_projection")
+    "q_quality_classifier", "q_random_projection",
+    // r13: the Poisson-bootstrap CI (exact-cents replica sums + order-stat
+    // CI must not depend on partial-agg order) and the k-center greedy
+    // (each round's integer argmax collected driver-side must be a pure
+    // function of the corpus SET)
+    "q_bootstrap_ci", "q_kcenter_select")
 
   private def run(name: String): Seq[Row] =
     SparkEntry.queries(name)(spark, dir).collect().toSeq
