@@ -70,7 +70,7 @@ TIERS = {
     ],
     "wave3": [  # graph / stats over lineitem+events facts
         "q_pagerank", "q_triangle_count", "q_clustering_coeff", "q_kcore",
-        "q_graph_reach", "q_rank_sum", "q_changepoint",
+        "q_graph_reach", "q_rank_sum", "q_changepoint", "q_bootstrap_ci",
     ],
 }
 TIERS["all"] = TIERS["wave1"] + TIERS["wave2"] + TIERS["wave3"]
