@@ -436,9 +436,44 @@ object SimilarityOps {
     * "coverage radius" curve a curator reads k off of. */
   def kCenterSelect(emb: DataFrame, k: Int,
                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    require(k >= 1 && k <= 128, s"k must be in [1, 128] (k driver rounds), got $k")
     val spark = emb.sparkSession
     import spark.implicits._
+    kCenterGreedy(emb, k, vecCol, idCol).zipWithIndex
+      .map { case ((id, _, _, md), rank) => (rank.toLong, id, md) }
+      .toDF("rank", "vec_id", "sep_dist")
+      .select(col("rank"), col("vec_id"),
+        col("sep_dist").cast("long").as("sep_dist"))
+  }
+
+  /** Core-set partition: every vector assigned to its NEAREST
+    * [[kCenterSelect]] center — the per-stratum view a curator samples
+    * from once the exemplar panel is chosen (with the same quantized
+    * integer distance and lowest-center-id tie-break as the greedy).
+    * One codegen'd corpus scan against the k-center model riding along as
+    * array literals (an argmin over k structs) — no join, no shuffle
+    * beyond the scan; centers assign to themselves at distance 0. */
+  def kCenterAssign(emb: DataFrame, k: Int,
+                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val centers = kCenterGreedy(emb, k, vecCol, idCol)
+    val p = prepared(emb, vecCol, idCol)
+      .select(col("id").cast("long").as("id"), col("v"), col("nrm"))
+    val best = array_min(array(centers.map { case (cid, cv, cn, _) =>
+      struct(
+        (lit(10000L) -
+          round(cosinePrenormed(array(cv.map(lit): _*), col("v"), lit(cn), col("nrm")) * 10000)
+            .cast("long")).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+    p.select(col("id").as("vec_id"), best.getField("cid").as("center_id"),
+      best.getField("d").as("dist"))
+  }
+
+  /** The farthest-point greedy itself: selected (id, vector, norm,
+    * min-dist-at-selection) in selection order — bounded model metadata
+    * (k rows), shared by [[kCenterSelect]] and [[kCenterAssign]]. */
+  private def kCenterGreedy(emb: DataFrame, k: Int, vecCol: String,
+                            idCol: String): Seq[(Long, Seq[Double], Double, Option[Long])] = {
+    require(k >= 1 && k <= 128, s"k must be in [1, 128] (k driver rounds), got $k")
     val p = prepared(emb, vecCol, idCol)
       .select(col("id").cast("long").as("id"), col("v"), col("nrm"))
     // seed: lowest id — 1 bounded row to the driver (model metadata)
@@ -457,11 +492,7 @@ object SimilarityOps {
         .select(col("id"), col("v"), col("nrm"), col("md")).head()
       sel += ((r.getLong(0), r.getSeq[Double](1), r.getDouble(2), Some(r.getLong(3))))
     }
-    sel.toSeq.zipWithIndex
-      .map { case ((id, _, _, md), rank) => (rank.toLong, id, md) }
-      .toDF("rank", "vec_id", "sep_dist")
-      .select(col("rank"), col("vec_id"),
-        col("sep_dist").cast("long").as("sep_dist"))
+    sel.toSeq
   }
 
   /** (id, band, bucket) rows: `bands` bands of `nPlanes` hyperplane sign

@@ -42,6 +42,15 @@ object SimilarityQueries {
         .orderBy("rank")
     },
 
+    // Core-set partition: every vector assigned to its nearest k-center
+    // exemplar (same quantized distance + lowest-center-id tie-break as
+    // the greedy) — the per-stratum view a curator samples from. One
+    // codegen'd scan against the k-vector model as array literals.
+    "q_kcenter_assign" -> { t =>
+      SimilarityOps.kCenterAssign(t.embeddings, k = SimilarityQueries.KCenterK)
+        .orderBy("vec_id")
+    },
+
     // Same semantics as q_similarity_topk through the bounded-state
     // aggregator (O(k) state per query, map-side combine, no window sort) —
     // the formulation that also runs unchanged on a streaming corpus
@@ -283,32 +292,57 @@ object SimilarityQueries {
     * and excludes it from the candidate pool, exactly as the engine's
     * round-i scan does; every distance is the same quantized integer
     * 10000 − round(cos·10000), so argmax and ties replay bit-for-bit. */
-  private val kCenterOracle: String = {
-    def dist(eA: String, nA: String, eB: String, nB: String) =
-      s"(10000 - CAST(round(list_dot_product($eA, $eB) / ($nA * $nB) * 10000) AS BIGINT))"
+  private def kcDist(eA: String, nA: String, eB: String, nB: String) =
+    s"(10000 - CAST(round(list_dot_product($eA, $eB) / ($nA * $nB) * 10000) AS BIGINT))"
+
+  /** The unrolled greedy CTE chain (sel0, m1/c1, …, m_{K−1}/c_{K−1}) —
+    * shared by the selection and assignment oracles so both replay the
+    * SAME centers. */
+  private val kCenterCtes: String = {
     val sb = new StringBuilder(dotCte + ", ")
     sb ++= "sel0 AS (SELECT vec_id, e, nrm FROM n " +
       "WHERE vec_id = (SELECT min(vec_id) FROM n)), "
     sb ++= s"m1 AS (SELECT n.vec_id, n.e, n.nrm, " +
-      s"${dist("n.e", "n.nrm", "s.e", "s.nrm")} AS md " +
+      s"${kcDist("n.e", "n.nrm", "s.e", "s.nrm")} AS md " +
       "FROM n CROSS JOIN sel0 s WHERE n.vec_id <> s.vec_id), "
     sb ++= "c1 AS (SELECT * FROM m1 ORDER BY md DESC, vec_id LIMIT 1), "
     for (i <- 2 until KCenterK) {
       sb ++= s"m$i AS (SELECT m.vec_id, m.e, m.nrm, " +
-        s"least(m.md, ${dist("m.e", "m.nrm", "c.e", "c.nrm")}) AS md " +
+        s"least(m.md, ${kcDist("m.e", "m.nrm", "c.e", "c.nrm")}) AS md " +
         s"FROM m${i - 1} m CROSS JOIN c${i - 1} c WHERE m.vec_id <> c.vec_id), "
       sb ++= s"c$i AS (SELECT * FROM m$i ORDER BY md DESC, vec_id LIMIT 1), "
     }
+    sb.toString
+  }
+
+  private val kCenterOracle: String = {
     val unions = (s"SELECT 0 AS rank, vec_id, CAST(NULL AS BIGINT) AS sep_dist FROM sel0" +:
       (1 until KCenterK).map(i =>
         s"SELECT $i AS rank, vec_id, md AS sep_dist FROM c$i")).mkString(" UNION ALL ")
-    sb ++= s"u AS ($unions) " +
-      "SELECT CAST(rank AS BIGINT) AS rank, vec_id, sep_dist FROM u ORDER BY rank"
-    sb.toString.replaceAll("\\s+", " ")
+    (kCenterCtes + s"u AS ($unions) " +
+      "SELECT CAST(rank AS BIGINT) AS rank, vec_id, sep_dist FROM u ORDER BY rank")
+      .replaceAll("\\s+", " ")
+  }
+
+  /** q_kcenter_assign oracle: the shared center chain, then per vector the
+    * argmin over the k centers with the same (dist, center_id) tie order
+    * the engine's struct array_min uses. */
+  private val kCenterAssignOracle: String = {
+    val centers = (s"SELECT vec_id, e, nrm FROM sel0" +:
+      (1 until KCenterK).map(i => s"SELECT vec_id, e, nrm FROM c$i")).mkString(" UNION ALL ")
+    (kCenterCtes + s"centers AS ($centers), " +
+      s"a AS (SELECT n.vec_id, c.vec_id AS center_id, " +
+      s"${kcDist("n.e", "n.nrm", "c.e", "c.nrm")} AS d " +
+      "FROM n CROSS JOIN centers c), " +
+      "r AS (SELECT vec_id, center_id, d, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY d, center_id) AS rk FROM a) " +
+      "SELECT vec_id, center_id, d AS dist FROM r WHERE rk = 1 ORDER BY vec_id")
+      .replaceAll("\\s+", " ")
   }
 
   val oracles: Map[String, String] = Map(
     "q_kcenter_select" -> kCenterOracle,
+    "q_kcenter_assign" -> kCenterAssignOracle,
     // The scaled-copy norm is recomputed from the scaled vector exactly as
     // the engine does (×2 is exact FP scaling, so sqrt(4S) = 2·sqrt(S)
     // bitwise); dot argument order mirrors cosinePrenormed(bv, v).

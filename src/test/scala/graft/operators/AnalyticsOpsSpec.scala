@@ -500,6 +500,15 @@ class AnalyticsOpsSpec extends SparkSpec {
     // k = 1 degenerates to the seed alone
     assert(SimilarityOps.kCenterSelect(emb, k = 1).as[(Long, Long, Option[Long])]
       .collect().toSeq == Seq((0L, 1L, None)))
+    // the partition: each center assigns to itself at distance 0, the
+    // near-duplicate of the seed lands in the seed's stratum just above it
+    val asg = SimilarityOps.kCenterAssign(emb, k = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(asg.map(a => (a._1, a._2)) == Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L)),
+      s"assignment strata diverged: $asg")
+    assert(asg.filter(_._1 != 2L).forall(_._3 == 0L), s"centers must self-assign at 0: $asg")
+    assert(asg(1)._3 > 0L && asg(1)._3 < 50L,
+      s"the near-dup sits just off its center: $asg")
   }
 
   test("marginMine LSH path with full-recall bands equals the broadcast path exactly") {
