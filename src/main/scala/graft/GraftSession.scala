@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Shared SparkSession configuration for every entrypoint (Verify, Bench,
   * tests). Centralised so the correctness gate, the benchmark and the test
@@ -53,6 +53,43 @@ object GraftSession {
   def releaseMaterialized(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Lineage-truncation strategy seam — the ONLY place the library decides
+    * between executor-local and reliable checkpoints. Every iterative /
+    * multi-consumer operator routes its barrier through here (via the
+    * [[Ckpt]] extension): with no checkpoint directory configured (tests,
+    * bench, single-box runs) it is an executor-local checkpoint — fastest,
+    * but blocks die with their executor; when the caller has set
+    * `sparkContext.setCheckpointDir(...)` (a real cluster run) the SAME
+    * call sites become reliable HDFS/object-store checkpoints, so a lost
+    * node costs a re-read of the checkpoint file instead of the whole
+    * iterative job (kCore, connectedComponents, the index lifecycle, …).
+    * Lazy (`eager = false`) checkpoints keep the kCore discipline either
+    * way: materialized by the very next probe job, one job per round. */
+  def checkpointed[T](ds: Dataset[T], eager: Boolean = true): Dataset[T] = {
+    quietTruncatedUnpersistWarning
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) ds.checkpoint(eager)
+    else ds.localCheckpoint(eager)
+  }
+
+  /** Iterative operators (kCenterGreedy per-round release,
+    * [[releaseMaterialized]] between queries) unpersist locally-checkpointed
+    * frames that are DELIBERATELY never recomputed; Spark warns on every such
+    * unpersist ("lineage has been truncated and cannot be recomputed").
+    * Known-benign — an actual post-release recompute throws, it doesn't warn
+    * — so the emitting logger is pinned to ERROR once to keep bench/test
+    * output readable (one warning per round × 242 queries otherwise). */
+  private lazy val quietTruncatedUnpersistWarning: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
+  /** Call-site sugar for [[checkpointed]]: `df.ckpt(true)` reads like the
+    * `localCheckpoint` it replaces while keeping the strategy switch in one
+    * place. */
+  implicit class Ckpt[T](private val ds: Dataset[T]) extends AnyVal {
+    def ckpt(eager: Boolean): Dataset[T] = checkpointed(ds, eager)
   }
 
   /** Local session for tests / ad-hoc runs. */

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.GraftSession.Ckpt
+
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -388,7 +390,7 @@ object DedupOps {
     // 2.5→3.2s) but candidate-doc pruning dominates wherever blocking is
     // effective (minhash 4.9→1.9s) — and at 100 TB re-shingling the full
     // corpus for verification is never acceptable.
-    val cands = cands0.localCheckpoint(true)
+    val cands = cands0.ckpt(true)
     // Only documents that appear in some candidate pair need a shingle set
     // — semi-join the corpus down BEFORE re-shingling, so the verify
     // explode+aggregate is candidate-sized, not corpus-sized (under
@@ -665,7 +667,7 @@ object DedupOps {
     // 3.6→2.7s). Pairs are orders of magnitude smaller than the corpus
     // that produced them.
     val p0 = pairs.select(col(idaCol).as("src"), col(idbCol).as("dst"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val edges = p0
       .union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -688,7 +690,7 @@ object DedupOps {
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("cluster"))
       .select(col("src").as("id"), col("cluster"))
-      .localCheckpoint(false)
+      .ckpt(false)
     var prevSum = labelSum(labels)
     var iter = 0
     var done = false
@@ -705,7 +707,7 @@ object DedupOps {
         .join(combined.select(col("id").as("cluster"), col("cluster").as("jump")),
           Seq("cluster"), "left")
         .select(col("id"), coalesce(col("jump"), col("cluster")).as("cluster"))
-        .localCheckpoint(false) // materialized by the labelSum probe below
+        .ckpt(false) // materialized by the labelSum probe below
       val s = labelSum(next)
       labels = next
       done = s == prevSum

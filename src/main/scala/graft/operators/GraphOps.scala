@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.GraftSession.Ckpt
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -85,7 +87,7 @@ object GraphOps {
     val counted = sets
       .select(explode(concat(col("items"), marker)).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val itemCnt = counted.where(col("item").isNotNull)
     val nGroups = counted.where(col("item").isNull).select(col("cnt").as("n_groups"))
     val edges = sets
@@ -125,6 +127,40 @@ object GraphOps {
   def triangleCounts(edges: DataFrame): DataFrame =
     triangleCountsFromUnd(canonicalUndirected(edges))
 
+  /** Bounded-cost [[triangleCounts]]: exact triangle counts over the
+    * subgraph INDUCED by nodes of backbone degree ≤ `maxDegree` — hub
+    * exclusion as the cost bound (the [[linkPrediction]] `maxDegree`
+    * precedent). Rationale: a degree-D hub contributes O(D²) of the wedge
+    * volume while carrying the WEAKEST cohesion signal (everything
+    * co-occurs with a bestseller), and the w≥2 co-occurrence backbone
+    * densifies super-linearly with fact volume — at 100× facts the exact
+    * variant's m^1.5 legitimately grows past budget, whereas the induced
+    * subgraph's wedge volume is bounded by m·maxDegree. Semantics are
+    * EXACT on the capped subgraph (counts/degrees are of that subgraph),
+    * not an estimator of the uncapped quantity — callers wanting hub
+    * triangles run the exact variant on the hub neighbourhood. */
+  def triangleCountsCapped(edges: DataFrame, maxDegree: Int): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    triangleCountsFromUnd(cappedUndirected(canonicalUndirected(edges), maxDegree))
+  }
+
+  /** The induced subgraph of `und` on nodes of degree ≤ `maxDegree`:
+    * degree table over the canonical edge set, then a two-sided semi-join
+    * keeping edges whose BOTH endpoints survive. Materialized for the same
+    * reason as [[canonicalUndirected]] — it feeds the degree table twice
+    * plus the orientation join downstream. */
+  private def cappedUndirected(und: DataFrame, maxDegree: Int): DataFrame = {
+    val keep = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .where(col("d") <= maxDegree)
+      .select(col("n"))
+    und
+      .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+      .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
+      .ckpt(true)
+  }
+
   /** Canonical undirected edge set (one row per unordered pair), materialized
     * with an executor-local checkpoint (the connectedComponents pattern; swap
     * for reliable `checkpoint` on a cluster): it feeds the degree table TWICE
@@ -139,7 +175,7 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
+      .ckpt(true)
 
   /** Triangle counting over an ALREADY-canonical, already-materialized
     * undirected edge set — the shared entry for [[triangleCounts]] and
@@ -160,7 +196,7 @@ object GraphOps {
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"))
-      .localCheckpoint(true)
+      .ckpt(true)
     // edge-iterator closure: the triangle u≺v≺w is edge u→v with
     // w ∈ N⁺(u) ∩ N⁺(v), so attach both endpoints' out-neighbour sets to
     // every oriented edge and intersect in codegen — the O(m^1.5)
@@ -194,13 +230,26 @@ object GraphOps {
     * Determinism: triangle and degree counts are exact integers; the
     * coefficient is one division. Scale shape: [[triangleCounts]]'
     * O(m^1.5) bound + one degree aggregation + a node-keyed left join. */
-  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+  def clusteringCoefficient(edges: DataFrame): DataFrame =
     // ONE canonical backbone shared between the degree table and the
     // triangle count — the r11 form called triangleCounts(edges), which
     // re-derived (and re-checkpointed) its own copy of `und`, running the
     // expensive upstream (collect_set + quadratic pair explode + shuffle)
     // twice for the suite's slowest query.
-    val und = canonicalUndirected(edges)
+    clusteringFromUnd(canonicalUndirected(edges))
+
+  /** Bounded-cost [[clusteringCoefficient]]: coefficients over the
+    * degree-capped induced subgraph, with [[triangleCountsCapped]]'s
+    * semantics — degrees, triangle counts and the 2·tri/(d·(d−1)) division
+    * are all those OF the capped subgraph (internally consistent: the
+    * coefficient stays in [0, 1] by construction, which mixing capped
+    * triangles with uncapped degrees would break). */
+  def clusteringCoefficientCapped(edges: DataFrame, maxDegree: Int): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    clusteringFromUnd(cappedUndirected(canonicalUndirected(edges), maxDegree))
+  }
+
+  private def clusteringFromUnd(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
     deg.where(col("degree") >= 2)
@@ -241,7 +290,7 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true) // feeds adjacency, degrees, and the anti-join
+      .ckpt(true) // feeds adjacency, degrees, and the anti-join
     val adj = und.select(col("a").as("n"), col("b").as("nb"))
       .unionAll(und.select(col("b").as("n"), col("a").as("nb")))
       .groupBy("n").agg(sort_array(collect_set(col("nb"))).as("ns"))
@@ -316,7 +365,7 @@ object GraphOps {
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint(false)
+      .ckpt(false)
     var prevNodes = -1L
     var rounds = 0
     var converged = false
@@ -324,14 +373,14 @@ object GraphOps {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k)
         .select(col("src").as("node"))
-        .localCheckpoint(false) // materialized by the count probe below
+        .ckpt(false) // materialized by the count probe below
       val n = keep.count()
       if (n == prevNodes) converged = true
       else {
         e = e
           .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
           .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
-          .localCheckpoint(false) // materialized by next round's probe
+          .ckpt(false) // materialized by next round's probe
         prevNodes = n
       }
       rounds += 1

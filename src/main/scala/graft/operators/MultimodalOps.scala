@@ -436,10 +436,13 @@ object MultimodalOps {
       .agg(count(lit(1)).as("n_common"))
       .join(counts.select(col("id").as("ida"), col("n").as("na")), Seq("ida"))
       .join(counts.select(col("id").as("idb"), col("n").as("nb")), Seq("idb"))
-      .withColumn("containment",
-        round(col("n_common").cast("double") / least(col("na"), col("nb")), 6))
-      .where(col("containment") >= minContainment)
-      .select(col("ida"), col("idb"), col("n_common"), col("containment"))
+      // threshold on the UNROUNDED ratio (mirroring the oracle's WHERE);
+      // rounding happens only on output — a pair whose true containment sits
+      // within 5e-7 below the threshold must fail on both engines
+      .withColumn("raw_c", col("n_common").cast("double") / least(col("na"), col("nb")))
+      .where(col("raw_c") >= minContainment)
+      .select(col("ida"), col("idb"), col("n_common"),
+        round(col("raw_c"), 6).as("containment"))
   }
 
   /** Perceptual audio fingerprints over a binary column: decode, then the

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.GraftSession.Ckpt
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -655,7 +657,7 @@ object PipelineOps {
     val latest = changes
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
-      .localCheckpoint(true)
+      .ckpt(true)
     val upserts = latest.where(col(opCol) =!= "D")
       .drop("__rn", seqCol, opCol)
     base
@@ -846,7 +848,7 @@ object PipelineOps {
     // integer sums: Σ_tokens lr = Σ_buckets n·lr.
     val perDoc = tok.groupBy(col("doc_id"), col("is_tgt"), col("b"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val counts = perDoc.groupBy("b").agg(
       sum("n").as("raw_n"),
       sum(when(col("is_tgt"), col("n")).otherwise(0L)).as("tgt_n"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.GraftSession.Ckpt
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -94,7 +96,7 @@ object QualityOps {
       .groupBy("bin").agg(
         sum(when(col("__is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
         sum(when(col("__is_ref"), 0L).otherwise(1L)).as("cur_cnt"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val spine = ref.sparkSession.range(nBins)
       .select(col("id").cast("int").as("bin"))
     val totals = counts.agg(sum(col("ref_cnt")).as("ref_total"),

@@ -1,5 +1,8 @@
 package graft.operators
 
+import graft.GraftSession
+import graft.GraftSession.Ckpt
+
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -313,6 +316,12 @@ object SimilarityOps {
                  vecCol: String = "embedding", idCol: String = "vec_id",
                  lshPlanes: Int = 8, lshBands: Int = 8): DataFrame = {
     val strategy = if (seedPastBroadcastBudget(xSide, vecCol)) "lsh" else "broadcast"
+    // The crossover changes RESULT semantics, not just cost (the lsh path's
+    // recall follows the band parameters), so a conf- or data-size-driven
+    // flip must be observable rather than silent.
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"marginMine strategy=$strategy (seed side vs autoBroadcastJoinThreshold; " +
+        s"lsh recall follows bands=$lshBands x planes=$lshPlanes)")
     marginMineStrategy(xSide, ySide, k, minMargin, vecCol, idCol,
       strategy, lshPlanes, lshBands)
   }
@@ -338,7 +347,7 @@ object SimilarityOps {
     require(k >= 1, s"k must be >= 1, got $k")
     val surv = marginSurvivors(xSide, ySide, k, vecCol, idCol,
         strategy, lshPlanes, lshBands)
-      .localCheckpoint(true) // bounded: (|X|+|Y|)·k narrow rows
+      .ckpt(true) // bounded: (|X|+|Y|)·k narrow rows
     val xStats = surv.where(col("side") === 0).groupBy(col("key"))
       .agg(sum("si").as("sum_x"),
         max(when(col("rk") === 1, struct(col("other"), col("si")))).as("best"))
@@ -426,11 +435,15 @@ object SimilarityOps {
     * argmax, and tie-breaks are integer decisions on both engines.
     *
     * Scale shape: the selected set is MODEL metadata (k vectors), pulled
-    * one bounded row per round; each round is one codegen'd scan that
-    * extends a `least` chain with the newest center as an array literal
-    * and takes a TakeOrdered(1) — never a candidate×candidate or
-    * candidate×corpus join. k scans total (inherent to the greedy — each
-    * choice depends on the last); the result itself is a k-row frame.
+    * one bounded row per round; each round is ONE job — a TakeOrdered(1)
+    * probe that materializes a lazily-checkpointed frame whose stored `md`
+    * column is updated by a single new distance against the newest center
+    * (riding as an array literal) — never a candidate×candidate or
+    * candidate×corpus join, never a re-read of the source: total distance
+    * work is n·k (inherent to the greedy — each choice depends on the
+    * last), resident state ~one (id, v, nrm, md) copy of the corpus (each
+    * round releases the previous round's blocks), and the result itself is
+    * a k-row frame.
     * Returns (rank, vec_id, sep_dist) where sep_dist is the quantized
     * min-distance at selection time (NULL for the seed) — the classic
     * "coverage radius" curve a curator reads k off of. */
@@ -453,11 +466,32 @@ object SimilarityOps {
     * array literals (an argmin over k structs) — no join, no shuffle
     * beyond the scan; centers assign to themselves at distance 0. */
   def kCenterAssign(emb: DataFrame, k: Int,
-                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val centers = kCenterGreedy(emb, k, vecCol, idCol)
+                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    kCenterAssignWith(emb, kCenterFit(emb, k, vecCol, idCol), vecCol, idCol)
+
+  /** Fit the exemplar panel ALONE: (center_id, vector, norm) in selection
+    * order — bounded model metadata, the artifact a maintained core-set
+    * lifecycle freezes between refits (the kCenter mirror of [[fitIvfPq]]'s
+    * models: build once, serve appends against it, re-greedy on drift via
+    * [[driftExceeds]] — CoreSetLifecycleSpec pins the discipline). */
+  def kCenterFit(emb: DataFrame, k: Int,
+                 vecCol: String = "embedding",
+                 idCol: String = "vec_id"): Seq[(Long, Seq[Double], Double)] =
+    kCenterGreedy(emb, k, vecCol, idCol).map { case (id, v, n, _) => (id, v, n) }
+
+  /** [[kCenterAssign]] against an ALREADY-fitted frozen panel — a pure
+    * codegen projection (argmin over k struct literals: no join, no
+    * shuffle, no state), so the SAME call serves a batch corpus and a
+    * STREAMING append feed unchanged: streamed rows assign to the frozen
+    * panel exactly as a batch re-run would (streamed ≡ batch pinned in
+    * CoreSetLifecycleSpec). */
+  def kCenterAssignWith(emb: DataFrame, panel: Seq[(Long, Seq[Double], Double)],
+                        vecCol: String = "embedding",
+                        idCol: String = "vec_id"): DataFrame = {
+    require(panel.nonEmpty, "kCenterAssignWith: empty panel")
     val p = prepared(emb, vecCol, idCol)
       .select(col("id").cast("long").as("id"), col("v"), col("nrm"))
-    val best = array_min(array(centers.map { case (cid, cv, cn, _) =>
+    val best = array_min(array(panel.map { case (cid, cv, cn) =>
       struct(
         (lit(10000L) -
           round(cosinePrenormed(array(cv.map(lit): _*), col("v"), lit(cn), col("nrm")) * 10000)
@@ -474,24 +508,52 @@ object SimilarityOps {
   private def kCenterGreedy(emb: DataFrame, k: Int, vecCol: String,
                             idCol: String): Seq[(Long, Seq[Double], Double, Option[Long])] = {
     require(k >= 1 && k <= 128, s"k must be in [1, 128] (k driver rounds), got $k")
+    val spark = emb.sparkSession
+    val sc = spark.sparkContext
     val p = prepared(emb, vecCol, idCol)
       .select(col("id").cast("long").as("id"), col("v"), col("nrm"))
     // seed: lowest id — 1 bounded row to the driver (model metadata)
-    val seed = p.orderBy(col("id")).limit(1).head()
+    val seedRows = p.orderBy(col("id")).limit(1).take(1)
+    require(seedRows.nonEmpty, "kCenterGreedy: empty input — no vectors to select from")
+    val seed = seedRows(0)
     val sel = scala.collection.mutable.ArrayBuffer[(Long, Seq[Double], Double, Option[Long])](
       (seed.getLong(0), seed.getSeq[Double](1), seed.getDouble(2), None))
-    var frame = p
-    for (i <- 1 until k) {
+    // `md` is MATERIALIZED each round: a lazy checkpoint computed by the very
+    // next TakeOrdered probe (the kCore one-job-per-round pattern,
+    // GraphOps.kCore), so round i evaluates exactly ONE new distance per row
+    // against the newest center — least(stored md, d_new) — instead of
+    // re-deriving the whole i-term least-chain from the parquet scan up
+    // (the pre-r14 form: O(k²) distance work + k source re-reads). Each
+    // round's frame supersedes the last, so the previous round's blocks are
+    // released as soon as the new frame is materialized — resident state is
+    // ~one (id, v, nrm, md) copy of the corpus, not k of them.
+    var frame: DataFrame = p
+    var prevIds: Set[Int] = Set.empty
+    var exhausted = false
+    var i = 1
+    while (i < k && !exhausted) {
       val (cid, cv, cn, _) = sel.last
       val d = lit(10000L) -
         round(cosinePrenormed(array(cv.map(lit): _*), col("v"), lit(cn), col("nrm")) * 10000)
           .cast("long")
-      frame = frame.where(col("id") =!= cid)
-        .withColumn("md", if (i == 1) d else least(col("md"), d))
+      val before = sc.getPersistentRDDs.keySet.toSet
+      frame = GraftSession.checkpointed(
+        frame.where(col("id") =!= cid)
+          .withColumn("md", if (i == 1) d else least(col("md"), d)),
+        eager = false) // materialized by the argmax probe below
       val r = frame.orderBy(col("md").desc, col("id")).limit(1)
-        .select(col("id"), col("v"), col("nrm"), col("md")).head()
-      sel += ((r.getLong(0), r.getSeq[Double](1), r.getDouble(2), Some(r.getLong(3))))
+        .select(col("id"), col("v"), col("nrm"), col("md")).take(1)
+      val fresh = sc.getPersistentRDDs.keySet.toSet -- before
+      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevIds = fresh
+      if (r.isEmpty) exhausted = true // n < k: return the selected prefix
+      else {
+        val row = r(0)
+        sel += ((row.getLong(0), row.getSeq[Double](1), row.getDouble(2), Some(row.getLong(3))))
+      }
+      i += 1
     }
+    prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     sel.toSeq
   }
 
@@ -917,12 +979,12 @@ object SimilarityOps {
     val idx = spark.read.parquet(path)
     val rm = broadcast(removedIds.select(col(idCol)).distinct())
     val touched = idx.join(rm, Seq(idCol)).select(col("cell")).distinct()
-      .localCheckpoint(true)
+      .ckpt(true)
     val survivors = idx
       .join(broadcast(touched), Seq("cell"))
       .join(rm, Seq(idCol), "left_anti")
       .select(col(idCol), col("codes"), col("cell"))
-      .localCheckpoint(true)
+      .ckpt(true)
     // fully-emptied inverted lists: touched cells with zero survivors —
     // bounded by the coarse-quantizer size, a metadata collect
     val emptied = touched
@@ -1196,13 +1258,13 @@ object SimilarityOps {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
-      .localCheckpoint(true)
+      .ckpt(true)
     // only candidate members need their vector for the exact rescore —
     // semi-join the prepared corpus down ONCE, then both verify joins read
     // the bounded result instead of re-preparing the corpus each
     val candIds = cands.select(col("ida").as("id"))
       .union(cands.select(col("idb").as("id"))).distinct()
-    val needed = p.join(candIds, Seq("id"), "left_semi").localCheckpoint(true)
+    val needed = p.join(candIds, Seq("id"), "left_semi").ckpt(true)
     cands
       .join(needed.select(col("id").as("ida"), col("v").as("va"), col("nrm").as("na")), Seq("ida"))
       .join(needed.select(col("id").as("idb"), col("v").as("vb"), col("nrm").as("nb")), Seq("idb"))

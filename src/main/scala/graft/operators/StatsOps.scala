@@ -494,6 +494,14 @@ object StatsOps {
     * replica mean is ONE division. The CI is an exact order statistic of
     * the ≤ b replica means (a bounded per-group array, sorted): lo = the
     * max(1, ⌊loPct·b⌋)-th smallest, hi = the min(b, ⌈hiPct·b⌉)-th.
+    * CONVENTION: the floor-with-min-1 lower index is deliberately
+    * conservative — at the documented defaults (loPct=0.025, b=64) it
+    * selects the MINIMUM replica mean (empirical ~1.5th percentile)
+    * rather than ceil's 2.5th-percentile order statistic; the generated
+    * oracle SQL hardcodes the same indices, so both engines share the
+    * convention exactly (ADVICE r13). Callers wanting textbook
+    * percentile-bootstrap endpoints can raise b (the index granularity)
+    * or loPct.
     * Replicas that drew total weight 0 (probability e^{-n·b} — only
     * conceivable for single-digit groups) are dropped from the order
     * statistic rather than polluting it with NULL.

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.GraftSession.Ckpt
+
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -291,7 +293,7 @@ object TextOps {
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val merges = scala.collection.mutable.Buffer.empty[DataFrame]
     var r = 1
     while (r <= rounds) {
@@ -305,7 +307,7 @@ object TextOps {
         .agg(min(struct((lit(-1L) * col("n")).as("negN"), col("pr").as("p"))).as("m"))
         .select(lit(r.toLong).as("round"), col("m.p").as("pair"),
           (lit(-1L) * col("m.negN")).as("n"))
-        .localCheckpoint(true) // 1 row: the round's output AND its broadcast
+        .ckpt(true) // 1 row: the round's output AND its broadcast
       merges += best
       vocab = vocab
         .crossJoin(broadcast(best.select(col("pair").as("bp"))))
@@ -317,7 +319,7 @@ object TextOps {
               concat(lit(" "),
                 call_function("replace", col("bp"), lit(" "), lit("")),
                 lit(" "))))).as("s"))
-        .localCheckpoint(true)
+        .ckpt(true)
       r += 1
     }
     // an exhausted vocabulary yields a NULL argmin for the remaining

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.GraftSession.Ckpt
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -306,7 +308,7 @@ object TimeSeriesOps {
       .select(col("b"),
         when(col("b") === col("bucket"), col("x")).otherwise(lit(0L)).as("x"),
         when(col("b") === col("bucket"), col("y")).otherwise(lit(0L)).as("y"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val lags = df.sparkSession.range(-maxLag.toLong, maxLag + 1L)
       .select(col("id").as("lag"))
     val stats = dense.crossJoin(broadcast(lags))
@@ -354,7 +356,7 @@ object TimeSeriesOps {
     val counts = df
       .select(col(keyCol).as("k"), floorDiv(col(tsNsCol), DayNs).as("d"))
       .groupBy("k", "d").agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // feeds the pair join twice + the resid pass
+      .ckpt(true) // feeds the pair join twice + the resid pass
     // explicit renames, not as("a")/as("b"): a self-join of one
     // checkpointed plan shares attribute ids, and alias-qualified
     // resolution can silently bind both sides to one attribute

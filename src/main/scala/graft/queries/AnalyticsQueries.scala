@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.GraftSession.Ckpt
+
 import graft.Tables
 import graft.operators.{FuzzyOps, GraphOps, ParetoOps, PipelineOps, QualityOps, QuantileOps, TimeSeriesOps}
 import org.apache.spark.sql.DataFrame
@@ -330,6 +332,29 @@ object AnalyticsQueries {
         .orderBy("node")
     },
 
+    // Bounded-cost backbone variants (r13 VERDICT #5): exact triangle
+    // counts / coefficients on the subgraph induced by nodes of backbone
+    // degree ≤ 8 — hubs excluded, so wedge volume is bounded by m·cap and
+    // the densifying-backbone growth at 100× facts can't blow the budget.
+    // Cap = 8 deliberately BITES at sf0.01 (backbone max degree 13, 50
+    // nodes over) so the capped semantics are oracle-tested, not
+    // vacuously ≡ the exact variant.
+    "q_triangle_capped" -> { t =>
+      import org.apache.spark.sql.functions.col
+      GraphOps.triangleCountsCapped(
+          GraphOps.coOccurrenceEdges(t.lineitem, "l_orderkey", "l_partkey")
+            .where(col("w") >= 2), maxDegree = 8)
+        .orderBy("node")
+    },
+
+    "q_clustering_capped" -> { t =>
+      import org.apache.spark.sql.functions.col
+      GraphOps.clusteringCoefficientCapped(
+          GraphOps.coOccurrenceEdges(t.lineitem, "l_orderkey", "l_partkey")
+            .where(col("w") >= 2), maxDegree = 8)
+        .orderBy("node")
+    },
+
     // Distribution drift between corpus snapshots: PSI of the value column,
     // first ingest half (by event id) vs second, 10 fixed-width bins with
     // dyadic Laplace smoothing so empty bins stay finite AND shares stay
@@ -433,10 +458,10 @@ object AnalyticsQueries {
       try {
         t.lineitem.createOrReplaceTempView("lineitem_q_graph_reach")
         t.spark.sql(AnalyticsQueries.graphReachEdgesSql("lineitem_q_graph_reach"))
-          .localCheckpoint(true)
+          .ckpt(true)
           .createOrReplaceTempView("g_q_graph_reach")
         t.spark.sql(AnalyticsQueries.graphReachWalkSql("g_q_graph_reach"))
-          .localCheckpoint(true)
+          .ckpt(true)
       } finally t.spark.conf.set(limitKey, prev)
     },
 
@@ -656,8 +681,61 @@ object AnalyticsQueries {
        |SELECT node, CAST(min(d) AS BIGINT) AS hops FROM walk
        |GROUP BY node ORDER BY node""".stripMargin.replaceAll("\\s+", " ")
 
+  /** The q_triangle_count / q_clustering_coeff oracle with ONE extra
+    * induced-subgraph stage mirroring the engine's cappedUndirected:
+    * keep = backbone nodes of degree ≤ cap, e = edges with BOTH endpoints
+    * kept; everything downstream (degrees, orientation, wedge join,
+    * closure) re-derives on the capped subgraph. Pure integer counting. */
+  private def cappedTriangleOracle(cap: Int, coeff: Boolean): String = {
+    val base =
+      s"""WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+         |e0 AS (SELECT a.item AS a, b.item AS b
+         |  FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |deg0 AS (SELECT n, count(*) AS d FROM (
+         |  SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0) GROUP BY n),
+         |keep AS (SELECT n FROM deg0 WHERE d <= $cap),
+         |e AS (SELECT e0.a AS a, e0.b AS b FROM e0
+         |  JOIN keep ka ON ka.n = e0.a JOIN keep kb ON kb.n = e0.b),
+         |deg AS (SELECT n, count(*) AS d FROM (
+         |  SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY n),
+         |o AS (SELECT
+         |  CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+         |    THEN e.a ELSE e.b END AS u,
+         |  CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+         |    THEN e.b ELSE e.a END AS v,
+         |  CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+         |    THEN db.d ELSE da.d END AS dv
+         |  FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+         |t AS (SELECT w1.u, w1.v AS x, w2.v AS y
+         |  FROM o w1 JOIN o w2 ON w1.u = w2.u
+         |    AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))
+         |  JOIN o cl ON cl.u = w1.v AND cl.v = w2.v),
+         |nodes AS (SELECT u AS node FROM t
+         |  UNION ALL SELECT x FROM t UNION ALL SELECT y FROM t)""".stripMargin
+    val tail =
+      if (!coeff)
+        """
+          |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+          |FROM nodes GROUP BY node ORDER BY node""".stripMargin
+      else
+        """,
+          |tri AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+          |  FROM nodes GROUP BY node)
+          |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+          |  coalesce(tri.n_tri, 0) AS n_tri,
+          |  round(2.0 * coalesce(tri.n_tri, 0)
+          |    / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS coeff
+          |FROM deg LEFT JOIN tri ON tri.node = deg.n
+          |WHERE deg.d >= 2 ORDER BY node""".stripMargin
+    (base + tail).replaceAll("\\s+", " ")
+  }
+
   val oracles: Map[String, String] = Map(
     "q_kcore" -> kcoreOracleSql(k = 2, rounds = 12),
+
+    "q_triangle_capped" -> cappedTriangleOracle(cap = 8, coeff = false),
+    "q_clustering_capped" -> cappedTriangleOracle(cap = 8, coeff = true),
 
     // g materializes once (mirroring the engine's staged checkpoint);
     // the walk text after it is graphReachWalkSql verbatim.
@@ -907,7 +985,11 @@ object AnalyticsQueries {
     // The weight cascade is GENERATED from the same frozen PoissonThresholds
     // constant the engine folds into its plan — one source of truth; sums
     // are exact longs over cents, each replica mean one division, the CI an
-    // exact order statistic of the sorted replica-mean list.
+    // exact order statistic of the sorted replica-mean list. The hardcoded
+    // CI indices LEAST(1,nr)/LEAST(63,nr) mirror the engine's
+    // max(1,floor(.025*64))=1 / min(64,ceil(.975*64))=63 convention — the
+    // lower endpoint is the conservative MIN replica mean, documented in
+    // StatsOps.bootstrapCi.
     "q_bootstrap_ci" -> {
       val cascade = graft.operators.StatsOps.PoissonThresholds.zipWithIndex
         .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")

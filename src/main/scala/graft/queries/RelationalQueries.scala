@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.GraftSession.Ckpt
+
 import graft.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -282,11 +284,11 @@ object RelationalQueries {
       val e = t.events.withColumn("tsn", col("ts") - (col("ts") % 1000))
       val s1 = e.where(col("event_type") === "view")
         .groupBy("user_id").agg(min("tsn").as("t_view"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val s2 = e.join(s1, "user_id")
         .where(col("event_type") === "click" && col("tsn") > col("t_view"))
         .groupBy("user_id").agg(min("tsn").as("t_click"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val s3 = e.join(s2, "user_id")
         .where(col("event_type") === "purchase" && col("tsn") > col("t_click"))
         .groupBy("user_id").agg(min("tsn").as("t_purchase"))
@@ -341,7 +343,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"),
           min(col("tsn")).as("st"), max(col("tsn")).as("en"))
         .select(col("n_events"), expr("(en - st) div 1000").as("dur_us"))
-        .localCheckpoint(true) // feeds the quantile pass and the summary
+        .ckpt(true) // feeds the quantile pass and the summary
       val qs = graft.operators.QuantileOps.exactQuantiles(
         sessions.select(lit(1).as("g"), col("dur_us").cast("double").as("v")),
         // 2 dp, not 6: µs durations reach 10^11, where DuckDB's

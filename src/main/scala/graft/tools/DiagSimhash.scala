@@ -1,5 +1,7 @@
 package graft.tools
 
+import graft.GraftSession.Ckpt
+
 import graft.{GraftSession, Tables}
 import graft.operators.DedupOps
 import org.apache.spark.sql.{Column, SparkSession}
@@ -66,9 +68,9 @@ object DiagSimhash {
         col("a.chunk") === firstCollidingChunk && lengthGate)
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
     time("cands")(cands.count())
-    time("cands ckpt")(cands.localCheckpoint(true).count())
+    time("cands ckpt")(cands.ckpt(true).count())
     // verify internals
-    val cands2 = cands.localCheckpoint(true)
+    val cands2 = cands.ckpt(true)
     val candIds = cands2.select(col("ida").as("__cand_id"))
       .union(cands2.select(col("idb").as("__cand_id")))
       .distinct()

@@ -34,11 +34,20 @@ class SourceAuditSpec extends AnyFunSuite {
       (1, "dev-only plan-dump utility, never on the query path"),
     "tools/ProfileKeyword.scala" ->
       (2, "dev-only profiler: two 1-row scalar aggregates (sum of hit counts) " +
-        "read for timing printouts, never on the query path")
+        "read for timing printouts, never on the query path"),
+    "tools/ProfileKCenter.scala" ->
+      (1, "dev-only profiler: collects the k-row (k ≤ 128) panel for timing " +
+        "printouts, never on the query path")
   )
 
   test("driver-side materialization only at allowlisted bounded-metadata sites") {
-    val pattern = """\.(collect\(\)|toLocalIterator|collectAsList|first\(\)|head\(\))""".r
+    // `take(1)` included: Dataset.take is driver-side materialization like
+    // head() (the r14 kCenter rewrite switched head() → take(1) and silently
+    // left the audit — this keeps the swap visible). Collection/string
+    // `.take(n)` with n ≠ 1 doesn't match; a collection `.take(1)` in
+    // src/main would demand an allowlist note, which is cheap and honest.
+    val pattern =
+      """\.(collect\(\)|toLocalIterator|collectAsList|first\(\)|head\(\)|take\(1\))""".r
     val found: Map[String, Int] = Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
       .map { p: Path =>

@@ -511,6 +511,57 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"the near-dup sits just off its center: $asg")
   }
 
+  test("kCenterGreedy runs ONE job per round (md materialized, no least-chain re-eval)") {
+    // r13 VERDICT item 1: the pre-r14 greedy re-evaluated all i previous
+    // distance expressions from the source scan up on round i (O(k²) work,
+    // k source re-reads). With the per-round checkpoint the marginal cost
+    // of one more round is exactly ONE TakeOrdered probe job — pinned here
+    // as jobs(k+Δ) − jobs(k) == Δ, which fails if any round re-derives the
+    // chain through extra jobs or the probe stops materializing the frame.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val emb = (1L to 40L).map(i =>
+        (i, Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat)))
+      .toDF("vec_id", "embedding")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def jobsFor(k: Int): Int =
+      try {
+        jobs.set(0)
+        SimilarityOps.kCenterSelect(emb, k).collect()
+        Thread.sleep(300) // listener events are async; the bus drains quickly
+        jobs.get()
+      } finally graft.GraftSession.releaseMaterialized(spark)
+    try {
+      val j5 = jobsFor(5)
+      val j9 = jobsFor(9)
+      assert(j9 - j5 == 4, s"per-round job count must be flat at 1: k=5→$j5 jobs, k=9→$j9")
+      // per-round release: the greedy leaves no persistent blocks behind
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      SimilarityOps.kCenterSelect(emb, 6).collect()
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"greedy must release its per-round frames, leaked RDDs: $leaked")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("kCenterGreedy guards: empty input fails clearly, n < k returns the selected prefix") {
+    val tiny = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    // n = 3 < k = 8: the greedy exhausts the corpus and returns all 3 in
+    // selection order instead of throwing from an empty argmax probe
+    val prefix = SimilarityOps.kCenterSelect(tiny, k = 8)
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(prefix.map(_._2) == Seq(1L, 3L, 2L), s"prefix on exhaustion diverged: $prefix")
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.kCenterSelect(empty, k = 2).collect()
+    }
+    assert(e.getMessage.contains("empty input"), s"guard message: ${e.getMessage}")
+  }
+
   test("marginMine LSH path with full-recall bands equals the broadcast path exactly") {
     // same full-recall banding contract as the lshTopK≡bruteForce pin:
     // 40 cheap 2-plane bands make the candidate set effectively exhaustive

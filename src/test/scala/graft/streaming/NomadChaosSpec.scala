@@ -17,6 +17,45 @@ import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
 class NomadChaosSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Silence the loggers that flood during the INJECTED kill window (the
+    * executor/task-abort/state-store-commit stack traces are the expected
+    * signature of crashing between sink write and checkpoint commit — r13
+    * observed hundreds of `failedToCommitStateFileError` traces per run),
+    * restoring their exact prior configuration afterwards so a REAL
+    * state-store failure in any other run or suite still logs. Scoped to
+    * the chaos-injection run only; the failure itself is still asserted on
+    * (`e.getMessage.contains("chaos")`), so a non-injected death surfaces
+    * through the assert even while the loggers are off. */
+  private def quietKillWindow[T](f: => T): T = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.config.Configurator
+    val loggers = Seq(
+      "org.apache.spark.executor.Executor",
+      "org.apache.spark.scheduler.TaskSetManager",
+      "org.apache.spark.sql.execution.streaming",
+      "org.apache.spark.sql.execution.streaming.state",
+      "org.apache.spark.util.Utils")
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    // remember which loggers had an EXPLICIT config (vs inheriting) so the
+    // restore removes the configs this scope created instead of pinning a
+    // level that wasn't pinned before
+    val prev = loggers.map { l =>
+      val lc = cfg.getLoggerConfig(l)
+      l -> (if (lc.getName == l) Some(lc.getLevel) else None)
+    }
+    loggers.foreach(Configurator.setLevel(_, Level.OFF))
+    try f
+    finally {
+      prev.foreach {
+        case (l, Some(lvl)) => Configurator.setLevel(l, lvl)
+        case (l, None) => ctx.getConfiguration.removeLogger(l)
+      }
+      ctx.updateLoggers()
+    }
+  }
+
   private def allocFrame(index: Long, job: String, evs: (String, Long, String)*): String = {
     val events = evs.map { case (typ, time, details) =>
       s"""{"Type":"$typ","Time":$time,"DisplayMessage":"$typ done","Details":$details}"""
@@ -94,7 +133,8 @@ class NomadChaosSpec extends SparkSpec {
     // CHAOS run: crash inside batch 1 (sink written, commit pending), then
     // restart from the same checkpoint and drain to completion.
     val (outChaos, cpChaos) = (s"$root/out-chaos", s"$root/cp-chaos")
-    assert(run(outChaos, cpChaos, chaosOnBatch = Some(1L)), "injected crash did not fire")
+    assert(quietKillWindow(run(outChaos, cpChaos, chaosOnBatch = Some(1L))),
+      "injected crash did not fire")
     assert(!run(outChaos, cpChaos, chaosOnBatch = None), "restart run must finish cleanly")
 
     // CLEAN reference run: same input, fresh checkpoint, never interrupted.

@@ -27,7 +27,7 @@ the answer one command instead of commit archaeology:
   4. writes a BENCH-like JSON artifact (default STRESS_PROBE.json)
 
 Usage:
-  python3 tools/stress_probe.py [--tier wave1|wave2|wave3|all]
+  python3 tools/stress_probe.py [--tier wave1|wave2|wave3|wave4|all]
                                 [--queries q_a,q_b] [--regen]
                                 [--sf-dir /root/testdata/sf0.1]
                                 [--probe-dir /tmp/graft_stress10x]
@@ -72,8 +72,12 @@ TIERS = {
         "q_pagerank", "q_triangle_count", "q_clustering_coeff", "q_kcore",
         "q_graph_reach", "q_rank_sum", "q_changepoint", "q_bootstrap_ci",
     ],
+    "wave4": [  # embeddings-heavy r13/r14 additions (r13 VERDICT gap #2)
+        "q_kcenter_select", "q_kcenter_assign", "q_tokenizer_fertility",
+        "q_semantic_dedup_incr", "q_adc_rerank",
+    ],
 }
-TIERS["all"] = TIERS["wave1"] + TIERS["wave2"] + TIERS["wave3"]
+TIERS["all"] = TIERS["wave1"] + TIERS["wave2"] + TIERS["wave3"] + TIERS["wave4"]
 
 # Queries whose OUTPUT grows super-linearly on this corpus BY CONSTRUCTION
 # (replicas of one doc are near-dups of their source, so pair volume grows
