@@ -485,7 +485,11 @@ object StatsOps {
     * independent Poisson(1) weight (multinomial→Poisson approximation),
     * so all `b` resamples ride ONE scan as a ×b explode + one partial-
     * aggregated groupBy. No row-level resample shuffle exists at any
-    * scale.
+    * scale. (The column-wise form — 2b agg columns, no row blow-up —
+    * looks cheaper on paper but measures ~4× SLOWER fully evaluated: the
+    * 2b+2-expression aggregate falls out of whole-stage codegen; kept as
+    * [[bootstrapCiColumnar]] with the parity pin. See ARCHITECTURE
+    * "q_bootstrap_ci attribution".)
     *
     * Determinism: the weight is a pure function of (id, replica) — a
     * 32-bit md5 uniform compared against frozen integer
@@ -543,5 +547,56 @@ object StatsOps {
         round(col("sv").cast("double") / col("n") / 100.0, 6).as("mean"),
         round(element_at(col("ms"), least(lit(kLo), col("nr")).cast("int")), 6).as("ci_lo"),
         round(element_at(col("ms"), least(lit(kHi), col("nr")).cast("int")), 6).as("ci_hi"))
+  }
+
+  /** The COLUMN-WISE form of [[bootstrapCi]]: each replica is two agg
+    * columns (Σw·cv, Σw) of ONE groupBy(key) — no ×b row blow-up, no
+    * join. Measured and REJECTED as the public form: fully evaluated it
+    * runs ~4× slower than the explode form (5.7 s vs 1.3 s at sf0.1
+    * b=64) because the 2b+2-expression HashAggregate falls out of
+    * whole-stage codegen, while the exploded plan keeps one narrow
+    * codegen'd weight expression per row. (A count()-based A/B picks the
+    * WRONG winner here — ColumnPruning deletes the unused agg columns;
+    * tools/ProfileBootstrap evaluates with a noop write for this reason.)
+    * Kept private as the measured alternative and bitwise-parity anchor
+    * (AnalyticsOpsSpec "bootstrap forms agree"). */
+  private[graft] def bootstrapCiColumnar(df: DataFrame, keyCol: Column, valCol: Column,
+                                         idCol: Column, b: Int = 32,
+                                         loPct: Double = 0.025,
+                                         hiPct: Double = 0.975): DataFrame = {
+    require(b >= 2, s"need at least 2 replicas, got $b")
+    require(loPct > 0 && hiPct < 1 && loPct < hiPct,
+      s"percentiles must satisfy 0 < lo < hi < 1, got ($loPct, $hiPct)")
+    val cents = round(valCol * 100).cast("long")
+    val base = ScaleOps.fanOut(df.where(valCol.isNotNull)
+      .select(keyCol.as("k"), cents.as("cv"), idCol.cast("string").as("rid")))
+    def weight(rep: Int): Column = {
+      val u = conv(substring(md5(concat(col("rid"), lit(":"), lit(rep))), 1, 8), 16, 10)
+        .cast("long")
+      PoissonThresholds.zipWithIndex.foldRight(lit(9): Column) {
+        case ((t, j), rest) => when(u < t, lit(j)).otherwise(rest)
+      }.cast("long")
+    }
+    val aggCols = (0 until b).flatMap { r =>
+      val w = weight(r)
+      Seq(sum(w * col("cv")).as(s"sv$r"), sum(w).as(s"sw$r"))
+    } ++ Seq(count(lit(1)).as("n"), sum(col("cv")).as("sv"))
+    val perK = base.groupBy(col("k")).agg(aggCols.head, aggCols.tail: _*)
+    // replica means as a bounded array; sw=0 replicas drop out before the
+    // order statistic (the NULL filter), mirroring the exploded form's
+    // WHERE sw > 0
+    val ms = array_sort(filter(
+      array((0 until b).map(r =>
+        when(col(s"sw$r") > 0,
+          col(s"sv$r").cast("double") / col(s"sw$r") / 100.0)): _*),
+      m => m.isNotNull))
+    val kLo = math.max(1, math.floor(loPct * b).toInt)
+    val kHi = math.min(b, math.ceil(hiPct * b).toInt)
+    perK
+      .withColumn("ms", ms)
+      .select(col("k"), col("n"),
+        round(col("sv").cast("double") / col("n") / 100.0, 6).as("mean"),
+        round(element_at(col("ms"), least(lit(kLo), size(col("ms")))), 6).as("ci_lo"),
+        round(element_at(col("ms"), least(lit(kHi), size(col("ms")))), 6).as("ci_hi"))
   }
 }

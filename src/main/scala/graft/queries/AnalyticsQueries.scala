@@ -91,7 +91,10 @@ object AnalyticsQueries {
     // + a partial-aggregated groupBy; the CI is an exact order statistic of
     // the 64 replica means (a bounded per-group array). Weights compare a
     // 32-bit md5 uniform against frozen integer thresholds shared with the
-    // oracle; values quantize to exact cents before weighting.
+    // oracle; values quantize to exact cents before weighting. (r14
+    // attribution: the r13 1.86× is first-run variance, not plan — the
+    // column-wise no-explode alternative measured 4× WORSE fully
+    // evaluated; see ARCHITECTURE "q_bootstrap_ci attribution".)
     "q_bootstrap_ci" -> { t =>
       import org.apache.spark.sql.functions._
       graft.operators.StatsOps.bootstrapCi(
