@@ -144,6 +144,44 @@ object GraphOps {
     triangleCountsFromUnd(cappedUndirected(canonicalUndirected(edges), maxDegree))
   }
 
+  /** DOULION global-triangle ESTIMATOR (Tsourakakis/Kang/Koutra/Faloutsos,
+    * KDD 2009): sparsify the canonical edge set with a deterministic
+    * dyadic coin — keep an edge iff its 32-bit md5 uniform is below
+    * 2^(32−shift), i.e. p = 2^−shift — count triangles EXACTLY on the
+    * sample (same degree-ordered closure as [[triangleCounts]]), and
+    * scale by p^−3 = 2^(3·shift). E[estimate] = the true global count
+    * (each triangle survives with probability p³ independently of the
+    * others' expectations); the dyadic p keeps the estimator an exact
+    * integer, and the hash coin makes the "randomness" reproducible on
+    * any engine (the PoissonThresholds discipline).
+    *
+    * ESTIMATOR SEMANTICS — read before reaching for it: the output is an
+    * unbiased estimate of the GLOBAL triangle count with relative variance
+    * that shrinks as triangle count grows (the DOULION paper's
+    * concentration regime is exactly the massive-graph case this option
+    * exists for); on triangle-poor graphs the estimate is coarse
+    * (sf0.1's single backbone triangle estimates as 0 or 8). Per-node
+    * readouts want [[triangleCounts]] (exact) or [[triangleCountsCapped]]
+    * (exact on the capped subgraph) — a per-node sampled count is
+    * high-variance noise. Cost: the closure runs on p·m edges, so wedge
+    * volume drops by ~p^1.5 at the same graph; at growing data the caller
+    * raises `shift` to hold cost flat, trading variance for budget.
+    * Returns ONE row: (n_sampled_tri, n_tri_est). */
+  def triangleCountGlobalSampled(edges: DataFrame, shift: Int = 1): DataFrame = {
+    require(shift >= 1 && shift <= 10, s"shift must be in [1, 10], got $shift")
+    val und = canonicalUndirected(edges)
+    val u = conv(substring(md5(concat_ws(":", col("a"), col("b"))), 1, 8), 16, 10)
+      .cast("long")
+    val sampled = und.where(u < lit(1L << (32 - shift)))
+    // sum of per-node credits = 3 · sampled triangles (each triangle
+    // credits its three members once)
+    triangleCountsFromUnd(sampled)
+      .agg(coalesce(sum(col("n_tri")), lit(0L)).as("credits"))
+      .select(
+        (col("credits") / 3).cast("long").as("n_sampled_tri"),
+        ((col("credits") / 3).cast("long") * (1L << (3 * shift))).as("n_tri_est"))
+  }
+
   /** The induced subgraph of `und` on nodes of degree ≤ `maxDegree`:
     * degree table over the canonical edge set, then a two-sided semi-join
     * keeping edges whose BOTH endpoints survive. Materialized for the same

@@ -358,6 +358,18 @@ object AnalyticsQueries {
         .orderBy("node")
     },
 
+    // DOULION global-triangle estimator at p = 1/2: deterministic md5 coin
+    // per canonical edge, exact closure on the sample, ×8 integer scale-up.
+    // The second bounded-cost mode (degree cap = exact on a subgraph;
+    // this = unbiased estimate of the FULL count) — estimator semantics
+    // documented on the operator. 1-row output, exact integers.
+    "q_triangle_doulion" -> { t =>
+      import org.apache.spark.sql.functions.col
+      GraphOps.triangleCountGlobalSampled(
+        GraphOps.coOccurrenceEdges(t.lineitem, "l_orderkey", "l_partkey")
+          .where(col("w") >= 2), shift = 1)
+    },
+
     // Distribution drift between corpus snapshots: PSI of the value column,
     // first ingest half (by event id) vs second, 10 fixed-width bins with
     // dyadic Laplace smoothing so empty bins stay finite AND shares stay
@@ -739,6 +751,33 @@ object AnalyticsQueries {
 
     "q_triangle_capped" -> cappedTriangleOracle(cap = 8, coeff = false),
     "q_clustering_capped" -> cappedTriangleOracle(cap = 8, coeff = true),
+
+    // Same md5 coin (u < 2^31 ⇔ p = 1/2), same degree-ordered closure on
+    // the sampled edge set; t has one row per sampled triangle, ×8 scale.
+    "q_triangle_doulion" ->
+      """WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+        |e0 AS (SELECT a.item AS a, b.item AS b
+        |  FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s AS (SELECT a, b FROM e0
+        |  WHERE ('0x' || substr(md5(a || ':' || b), 1, 8))::UBIGINT::BIGINT < 2147483648),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |  SELECT a AS n FROM s UNION ALL SELECT b AS n FROM s) GROUP BY n),
+        |o AS (SELECT
+        |  CASE WHEN da.d < db.d OR (da.d = db.d AND s.a < s.b)
+        |    THEN s.a ELSE s.b END AS u,
+        |  CASE WHEN da.d < db.d OR (da.d = db.d AND s.a < s.b)
+        |    THEN s.b ELSE s.a END AS v,
+        |  CASE WHEN da.d < db.d OR (da.d = db.d AND s.a < s.b)
+        |    THEN db.d ELSE da.d END AS dv
+        |  FROM s JOIN deg da ON da.n = s.a JOIN deg db ON db.n = s.b),
+        |t AS (SELECT w1.u
+        |  FROM o w1 JOIN o w2 ON w1.u = w2.u
+        |    AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))
+        |  JOIN o cl ON cl.u = w1.v AND cl.v = w2.v)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sampled_tri,
+        |  CAST(count(*) * 8 AS BIGINT) AS n_tri_est
+        |FROM t""".stripMargin.replaceAll("\\s+", " "),
 
     // g materializes once (mirroring the engine's staged checkpoint);
     // the walk text after it is graphReachWalkSql verbatim.

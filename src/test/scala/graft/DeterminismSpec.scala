@@ -20,7 +20,10 @@ class DeterminismSpec extends SparkSpec {
     // CI must not depend on partial-agg order) and the k-center greedy
     // (each round's integer argmax collected driver-side must be a pure
     // function of the corpus SET)
-    "q_bootstrap_ci", "q_kcenter_select")
+    "q_bootstrap_ci", "q_kcenter_select",
+    // r14: the DOULION estimate is integer counting on a hash-selected
+    // edge set — nothing may depend on which partition flipped the coin
+    "q_triangle_doulion")
 
   private def run(name: String): Seq[Row] =
     SparkEntry.queries(name)(spark, dir).collect().toSeq

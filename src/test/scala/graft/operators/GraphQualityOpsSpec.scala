@@ -127,6 +127,53 @@ class GraphQualityOpsSpec extends SparkSpec {
     assert(!out.contains(5L), "degree-1 node has no defined coefficient")
   }
 
+  test("capped backbone: hub exclusion removes hub triangles, leaves the rest exact") {
+    // triangle {1,2,3}; hub 10 connected to everything (degree 5) forms
+    // triangles (10,1,2),(10,2,3),(10,1,3). cap=4 drops the hub: only the
+    // base triangle survives, with subgraph degrees (node 1: d=2, was 3)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (10L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // uncapped: node 1 touches triangles {1,2,3},{10,1,2},{10,1,3} → 3
+    val exact = GraphOps.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact(10L) == 3L && exact(1L) == 3L, s"exact counts: $exact")
+    val capped = GraphOps.triangleCountsCapped(edges, maxDegree = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"capped must count only the hub-free triangle: $capped")
+    // a cap above every degree reproduces the exact variant bit for bit
+    val wide = GraphOps.triangleCountsCapped(edges, maxDegree = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide == exact, s"non-biting cap must equal exact: $wide vs $exact")
+    // capped coefficients are of the INDUCED subgraph: node 1 there has
+    // d=2 and its 1 triangle → coeff 1.0 (uncapped it is 2·3/(3·2)=1.0
+    // too, but node 4: uncapped d=1 excluded; capped d=0 — absent)
+    val cc = GraphOps.clusteringCoefficientCapped(edges, maxDegree = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(cc == Map(1L -> ((2L, 1.0)), 2L -> ((2L, 1.0)), 3L -> ((2L, 1.0))),
+      s"capped coefficients live on the induced subgraph: $cc")
+  }
+
+  test("DOULION estimator: exact-integer x8 scale, deterministic coin, empty-sample safe") {
+    // K5: C(5,3) = 10 triangles; the md5 coin keeps a deterministic edge
+    // subset, so the sampled count is a fixed integer and the estimate is
+    // exactly 8x it
+    val und = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = GraphOps.triangleCountGlobalSampled(edges, shift = 1)
+      .as[(Long, Long)].collect().head
+    assert(r._2 == 8 * r._1, s"estimate must be the exact x8 integer: $r")
+    assert(r._1 <= 10, s"cannot sample more triangles than exist: $r")
+    val r2 = GraphOps.triangleCountGlobalSampled(edges, shift = 1)
+      .as[(Long, Long)].collect().head
+    assert(r == r2, "the hash coin makes the estimator deterministic")
+    // a graph with no triangles estimates 0 (empty aggregate path)
+    val path = Seq((1L, 2L), (2L, 3L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
+    assert(GraphOps.triangleCountGlobalSampled(path, shift = 1)
+      .as[(Long, Long)].collect().head == ((0L, 0L)))
+  }
+
   test("pageRank converges toward degree-proportional mass on a symmetric graph") {
     // path graph a-b-c: b is twice as central as the endpoints
     val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))

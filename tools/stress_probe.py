@@ -71,7 +71,7 @@ TIERS = {
     "wave3": [  # graph / stats over lineitem+events facts
         "q_pagerank", "q_triangle_count", "q_clustering_coeff", "q_kcore",
         "q_graph_reach", "q_rank_sum", "q_changepoint", "q_bootstrap_ci",
-        "q_triangle_capped", "q_clustering_capped",
+        "q_triangle_capped", "q_clustering_capped", "q_triangle_doulion",
     ],
     "wave4": [  # embeddings-heavy r13/r14 additions (r13 VERDICT gap #2)
         "q_kcenter_select", "q_kcenter_assign", "q_tokenizer_fertility",
