@@ -515,6 +515,37 @@ class PlanQualitySpec extends SparkSpec {
       s"event-type filter not pushed to the scan:\n$plan")
   }
 
+  test("capped backbone keeps the exact variant's plan discipline on the induced subgraph") {
+    // same invariants as the exact triangle/coefficient plans: the
+    // quadratic upstream runs ONCE into the checkpointed backbone (the
+    // final plan never re-derives collect_set), the cap itself is two
+    // semi-joins — and nothing degenerates to a cross product
+    for (q <- Seq("q_triangle_capped", "q_clustering_capped")) {
+      val plan = executedPlan(q).toString
+      assert(!plan.contains("collect_set"),
+        s"$q re-derives the backbone inside the final plan:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a cross product:\n$plan")
+    }
+  }
+
+  test("k-center assignment is one corpus scan: no join, no window, centers as literals") {
+    // kCenterAssignWith is the serving path for batch AND streaming: the k
+    // centers ride as array literals into a codegen'd argmin projection —
+    // a join/window/key-shuffle here means vectors started moving. The one
+    // permitted exchange is `prepared`'s ROUND-ROBIN fan-out (the
+    // small-file-trap mitigation, a no-op at production scale): key-based
+    // repartitionings stay forbidden.
+    val emb = t.embeddings
+    val panel = graft.operators.SimilarityOps.kCenterFit(emb, k = 4)
+    val plan = graft.operators.SimilarityOps.kCenterAssignWith(emb, panel)
+      .queryExecution.executedPlan.toString
+    for (bad <- Seq("Join", "Window", "hashpartitioning", "rangepartitioning"))
+      assert(!plan.contains(bad), s"kCenterAssignWith plan contains $bad:\n$plan")
+    assert(panel.forall(_._2.nonEmpty) && plan.contains("vec_dot"),
+      s"centers must ride as literals into the codegen'd distance:\n${plan.take(400)}")
+  }
+
   test("clustering coefficient builds the co-occurrence backbone exactly once") {
     // The quadratic collect_set + pair-explode upstream must run ONCE into
     // the shared checkpointed backbone; the final plan then derives BOTH
