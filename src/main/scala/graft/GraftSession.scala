@@ -69,8 +69,20 @@ object GraftSession {
     * way: materialized by the very next probe job, one job per round. */
   def checkpointed[T](ds: Dataset[T], eager: Boolean = true): Dataset[T] = {
     quietTruncatedUnpersistWarning
-    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) ds.checkpoint(eager)
-    else ds.localCheckpoint(eager)
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // Reliable checkpoints write their files in a SECOND job that
+      // re-computes the RDD (Spark's documented checkpoint caveat), so
+      // cache first: the write job then reads blocks instead of re-running
+      // the operator's upstream. Eager: the cache can drop immediately —
+      // the checkpoint files are the source of truth the moment
+      // checkpoint() returns. Lazy: materialization happens at the
+      // caller's next probe job, so the cache must outlive this call;
+      // releaseMaterialized reclaims it between queries.
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = ds.checkpoint(eager)
+      if (eager) ds.unpersist(blocking = false)
+      out
+    } else ds.localCheckpoint(eager)
   }
 
   /** Iterative operators (kCenterGreedy per-round release,
