@@ -170,8 +170,7 @@ object GraphOps {
   def triangleCountGlobalSampled(edges: DataFrame, shift: Int = 1): DataFrame = {
     require(shift >= 1 && shift <= 10, s"shift must be in [1, 10], got $shift")
     val und = canonicalUndirected(edges)
-    val u = conv(substring(md5(concat_ws(":", col("a"), col("b"))), 1, 8), 16, 10)
-      .cast("long")
+    val u = call_function("md5_u32", concat_ws(":", col("a"), col("b")))
     val sampled = und.where(u < lit(1L << (32 - shift)))
     // sum of per-node credits = 3 · sampled triangles (each triangle
     // credits its three members once)

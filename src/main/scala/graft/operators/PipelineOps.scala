@@ -701,7 +701,7 @@ object PipelineOps {
     import spark.implicits._
     // first 8 md5 hex chars as a uniform in [0,1): cross-engine exact
     // (conv/cast on the same 32-bit integer), granularity 2^-32
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+    val u = call_function("md5_u32", col(idCol).cast("string"))
       .cast("double") / lit(4294967296.0)
     val key = pow(u, lit(1.0) / col(weightCol))
     df.where(col(weightCol) > 0)
@@ -836,7 +836,7 @@ object PipelineOps {
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val scale = 1000000L
     def bucketOf(w: Column): Column =
-      (conv(substring(md5(w), 1, 8), 16, 10).cast("long") % nBuckets).cast("int")
+      (call_function("md5_u32", w) % nBuckets).cast("int")
     val tok = docs.select(col(idCol).as("doc_id"), isTarget.as("is_tgt"),
         explode(split(col(textCol), " ")).as("w"))
       .select(col("doc_id"), col("is_tgt"), bucketOf(col("w")).as("b"))
@@ -864,7 +864,7 @@ object PipelineOps {
         sum(col("n") * col("lr_l")).as("logw_l"))
     // standard Gumbel from a hash-derived uniform in (0,1): the +0.5 offset
     // keeps u strictly inside the open interval
-    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+    val u = (call_function("md5_u32", col("doc_id").cast("string"))
       .cast("double") + lit(0.5d)) / lit(4294967296.0d)
     scored
       .withColumn("key_l", col("logw_l") + round(-log(-log(u)) * scale).cast("long"))

@@ -525,8 +525,7 @@ object StatsOps {
       .select(keyCol.as("k"), cents.as("cv"), idCol.cast("string").as("rid")))
     val rep = base.select(col("k"), col("cv"), col("rid"),
       explode(sequence(lit(0), lit(b - 1))).as("rep"))
-    val u = conv(substring(md5(concat(col("rid"), lit(":"), col("rep"))), 1, 8), 16, 10)
-      .cast("long")
+    val u = call_function("md5_u32", concat(col("rid"), lit(":"), col("rep")))
     // first threshold the uniform falls under = the Poisson(1) draw
     val w = PoissonThresholds.zipWithIndex.foldRight(lit(9): Column) {
       case ((t, k), rest) => when(u < t, lit(k)).otherwise(rest)
@@ -571,8 +570,7 @@ object StatsOps {
     val base = ScaleOps.fanOut(df.where(valCol.isNotNull)
       .select(keyCol.as("k"), cents.as("cv"), idCol.cast("string").as("rid")))
     def weight(rep: Int): Column = {
-      val u = conv(substring(md5(concat(col("rid"), lit(":"), lit(rep))), 1, 8), 16, 10)
-        .cast("long")
+      val u = call_function("md5_u32", concat(col("rid"), lit(":"), lit(rep)))
       PoissonThresholds.zipWithIndex.foldRight(lit(9): Column) {
         case ((t, j), rest) => when(u < t, lit(j)).otherwise(rest)
       }.cast("long")

@@ -567,7 +567,7 @@ object TextOps {
     val weights = array(classifierWeights(nFeatures, seed).map(lit): _*)
     val toks = split(col(textCol), " ")
     def featOf(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      (conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % nFeatures).cast("int")
+      (call_function("md5_u32", tok) % nFeatures).cast("int")
     docs
       .withColumn("__toks", toks)
       .select(

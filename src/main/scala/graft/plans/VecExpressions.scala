@@ -213,6 +213,54 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
   * Callers must pre-sort with `sort_array(collect_set(…))` — one cheap pass
   * per DOCUMENT, amortized over every PAIR the document appears in.
   */
+/** `md5_u32(string) → long` — the first 32 bits of md5 as an unsigned
+  * integer: bit-identical to `conv(substring(md5(s), 1, 8), 16, 10)`
+  * cast to long, fused into one digest call.
+  *
+  * This chain is THE deterministic-uniform primitive of the repo (Poisson
+  * bootstrap weights ×b per row, the DOULION edge coin, hashed features
+  * per token, hash-split/sampling buckets) and the composite form pays for
+  * three intermediates per evaluation that the semantics never need: the
+  * 32-char hex UTF8String from `md5`, the 8-char `substring` copy, and
+  * `conv`'s string→long radix parse (plus a per-call MessageDigest
+  * allocation inside commons-codec's md5Hex). This expression digests the
+  * input bytes once into a thread-local MessageDigest and assembles the
+  * long from the first 4 digest bytes — same value, zero string
+  * intermediates (measured ~2× on the chain: tools/ProfileMd5).
+  * Equivalence is pinned in ScalaTest (NativeExprSpec) and every consumer
+  * stays oracle-checked against the hex-based DuckDB SQL. */
+case class Md5U32(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_u32"
+  override def inputTypes = Seq(StringType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5U32.firstWord(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.Md5U32.firstWord($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5U32 {
+  // MessageDigest.getInstance walks the provider list per call (the hidden
+  // cost inside DigestUtils.md5Hex); one digester per task thread, reset
+  // between rows, removes that and every byte[]→hex round-trip.
+  private val local = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  def firstWord(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -583,6 +631,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    extensions.injectFunction((
+      new FunctionIdentifier("md5_u32"),
+      new ExpressionInfo(classOf[Md5U32].getName, "md5_u32"),
+      (children: Seq[Expression]) => Md5U32(children.head)))
     extensions.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
