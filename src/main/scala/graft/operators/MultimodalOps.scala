@@ -198,7 +198,55 @@ object MultimodalOps {
     * classifies as None. At 100 TB the compressed formats route to a
     * dedicated decode service by [[sniffContainer]] format; WAV/PCM is
     * the interchange format a pipeline normalizes into. */
-  def decodeWav(bytes: Array[Byte]): Option[DecodedAudio] =
+  def decodeWav(bytes: Array[Byte]): Option[DecodedAudio] = {
+    // Fast path: the canonical 44-byte RIFF/WAVE header [[encodePcmWav]]
+    // writes (PCM, 16-bit, little-endian). javax.sound's provider lookup
+    // takes process-global locks on EVERY getAudioInputStream call, so a
+    // 32-thread decode stage spends more time contending than decoding
+    // (measured: fanOut made the audio tier 2× SLOWER until this path) —
+    // parse the canonical layout lock-free and fall back to the JDK
+    // reader for anything else, which keeps the acceptance envelope
+    // (non-audio bytes, other encodings, big-endian PCM) bit-identical.
+    val fast = decodeCanonicalWav(bytes)
+    if (fast.isDefined) fast else decodeWavJdk(bytes)
+  }
+
+  private def le16(b: Array[Byte], o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+  /** Strict parser for exactly the header layout the JDK writer (and the
+    * fast [[encodePcmWav]]) emits: 44-byte header, fmt chunk of 16,
+    * PCM (1), 16-bit, data chunk last and sized to the payload. Anything
+    * else → None (the caller then defers to the JDK reader, so this is a
+    * pure fast path, never a semantic fork). */
+  private def decodeCanonicalWav(bytes: Array[Byte]): Option[DecodedAudio] = {
+    if (bytes.length < 44) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E' &&
+        bytes(12) == 'f' && bytes(13) == 'm' && bytes(14) == 't' && bytes(15) == ' '))
+      return None
+    if (le32(bytes, 16) != 16) return None        // fmt chunk size
+    if (le16(bytes, 20) != 1) return None         // PCM
+    val channels = le16(bytes, 22)
+    val rate = le32(bytes, 24)
+    if (le16(bytes, 34) != 16) return None        // bits per sample
+    if (!(bytes(36) == 'd' && bytes(37) == 'a' && bytes(38) == 't' && bytes(39) == 'a'))
+      return None
+    val dataLen = le32(bytes, 40)
+    if (dataLen < 0 || 44 + dataLen > bytes.length || dataLen % 2 != 0) return None
+    if (channels <= 0 || rate <= 0) return None
+    val n = dataLen / 2
+    val samples = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((bytes(44 + 2 * i) & 0xFF) | ((bytes(45 + 2 * i) & 0xFF) << 8)).toShort.toInt
+      i += 1
+    }
+    Some(DecodedAudio(rate, channels, samples))
+  }
+
+  private def decodeWavJdk(bytes: Array[Byte]): Option[DecodedAudio] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -228,6 +276,49 @@ object MultimodalOps {
     * helper paired with [[decodeWav]] (PCM is lossless, so decode∘encode
     * recovers samples exactly). */
   def encodePcmWav(sampleRate: Int, channels: Int, samples: Array[Int]): Array[Byte] = {
+    require(samples.length % channels == 0, "samples must be whole frames")
+    // Canonical 44-byte RIFF/WAVE header + LE PCM, written directly —
+    // byte-identical to the JDK writer's output (pinned against
+    // [[encodePcmWavJdk]] in ScalaTest) without AudioSystem.write's
+    // provider lookup + stream copy, whose process-global locks serialize
+    // concurrent encode stages (see [[decodeWav]]).
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def w32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte; out(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    w32(4, 36 + dataLen)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    w32(16, 16)                    // fmt chunk size
+    w16(20, 1)                     // PCM
+    w16(22, channels)
+    w32(24, sampleRate)
+    w32(28, sampleRate * channels * 2) // byte rate
+    w16(32, channels * 2)          // block align
+    w16(34, 16)                    // bits per sample
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    w32(40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      out(44 + 2 * i) = (samples(i) & 0xFF).toByte
+      out(45 + 2 * i) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** The JDK-writer form [[encodePcmWav]] replaced — kept as the
+    * byte-identity reference for the ScalaTest pin (FormatRoundTripSpec):
+    * the fast writer must produce EXACTLY these bytes or content-hash
+    * queries over encoded fixtures would silently change. */
+  private[operators] def encodePcmWavJdk(sampleRate: Int, channels: Int,
+                                         samples: Array[Int]): Array[Byte] = {
     require(samples.length % channels == 0, "samples must be whole frames")
     val pcm = new Array[Byte](samples.length * 2)
     var i = 0

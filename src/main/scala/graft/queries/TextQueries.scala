@@ -820,7 +820,13 @@ object TextQueries {
     "q_gif_frames" -> { t =>
       val s = t.spark
       import s.implicits._
-      val gifs = t.documents.select(col("doc_id")).as[Long]
+      // GIF encode via ImageIO is ~1 ms/row and thread-safe (unlike
+      // javax.sound) — fan the id scan out BEFORE payload generation so
+      // the encode+decode stage uses every core; ids are the only thing
+      // exchanged (payloads never shuffle), and fanOut is a provable
+      // no-op once the corpus scan has native parallelism.
+      val gifs = graft.operators.ScaleOps.fanOut(
+          t.documents.select(col("doc_id"))).as[Long]
         .mapPartitions { ids =>
           javax.imageio.ImageIO.setUseCache(false)
           ids.map { id =>

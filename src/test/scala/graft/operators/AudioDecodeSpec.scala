@@ -78,4 +78,27 @@ class AudioDecodeSpec extends SparkSpec {
     assert(summary.getLong(4) == (for (y <- 0 until 5; x <- 0 until 7)
       yield (x * 20 + y * 10) % 256).sum.toLong)
   }
+
+  test("fast WAV writer is byte-identical to the JDK writer; fast reader matches JDK decode") {
+    val cases = Seq(
+      (8000, 1, Array.tabulate(64)(i => (i * 31 % 2003) - 1001)),
+      (8000, 1, Array[Int]()),
+      (44100, 2, Array.tabulate(30)(i => if (i % 2 == 0) 32767 else -32768)),
+      (2000, 1, Array.tabulate(95)(i => ((i * 7 + 3) % 65536) - 32768)),
+      (16000, 3, Array.tabulate(9)(i => i - 4)))
+    cases.foreach { case (rate, ch, samples) =>
+      val fast = encodePcmWav(rate, ch, samples)
+      val jdk = encodePcmWavJdk(rate, ch, samples)
+      assert(java.util.Arrays.equals(fast, jdk),
+        s"writer bytes diverge at rate=$rate ch=$ch n=${samples.length}")
+      // fast-path reader decodes its own bytes and the JDK's identically
+      val d = decodeWav(fast).get
+      assert(d.sampleRate == rate && d.channels == ch && d.samples.toSeq == samples.toSeq)
+    }
+    // the fast reader must REJECT non-canonical layouts and defer (None
+    // here means the JDK fallback also rejected: acceptance envelope kept)
+    assert(decodeWav("RIFFgarbage".getBytes("UTF-8")).isEmpty)
+    assert(decodeWav(Array[Byte]()).isEmpty)
+    assert(decodeWav(encodeGrayPng(4, 4, (_, _) => 7)).isEmpty)
+  }
 }
