@@ -477,6 +477,11 @@ object StatsOps {
   val PoissonThresholds: Seq[Long] = Seq(
     1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L,
     4292415291L, 4294609777L, 4294923276L, 4294962463L)
+  // the fused poisson_w expression carries its own copy of these literals
+  // (plans may not depend on operators) — drift would silently change
+  // every bootstrap weight, so equality is a load-time invariant
+  require(PoissonThresholds == graft.plans.PoissonW.Thresholds.toSeq,
+    "StatsOps.PoissonThresholds diverged from plans.PoissonW.Thresholds")
 
   /** Poisson-bootstrap confidence interval for the per-group mean — THE
     * distributed bootstrap (Chamandy et al., "Estimating Uncertainty for
@@ -525,11 +530,12 @@ object StatsOps {
       .select(keyCol.as("k"), cents.as("cv"), idCol.cast("string").as("rid")))
     val rep = base.select(col("k"), col("cv"), col("rid"),
       explode(sequence(lit(0), lit(b - 1))).as("rep"))
-    val u = call_function("md5_u32", concat(col("rid"), lit(":"), col("rep")))
-    // first threshold the uniform falls under = the Poisson(1) draw
-    val w = PoissonThresholds.zipWithIndex.foldRight(lit(9): Column) {
-      case ((t, k), rest) => when(u < t, lit(k)).otherwise(rest)
-    }.cast("long")
+    // first threshold the md5 uniform falls under = the Poisson(1) draw —
+    // one fused expression node instead of a 9-branch when-cascade whose
+    // inlined codegen dominated this query's first evaluation (the
+    // cascade≡poisson_w equality is pinned in NativeExprSpec; thresholds
+    // asserted equal below at class load)
+    val w = call_function("poisson_w", concat(col("rid"), lit(":"), col("rep")))
     val perRep = rep.withColumn("w", w)
       .groupBy(col("k"), col("rep"))
       .agg(sum(col("w") * col("cv")).as("sv"), sum(col("w")).as("sw"))
@@ -569,12 +575,8 @@ object StatsOps {
     val cents = round(valCol * 100).cast("long")
     val base = ScaleOps.fanOut(df.where(valCol.isNotNull)
       .select(keyCol.as("k"), cents.as("cv"), idCol.cast("string").as("rid")))
-    def weight(rep: Int): Column = {
-      val u = call_function("md5_u32", concat(col("rid"), lit(":"), lit(rep)))
-      PoissonThresholds.zipWithIndex.foldRight(lit(9): Column) {
-        case ((t, j), rest) => when(u < t, lit(j)).otherwise(rest)
-      }.cast("long")
-    }
+    def weight(rep: Int): Column =
+      call_function("poisson_w", concat(col("rid"), lit(":"), lit(rep)))
     val aggCols = (0 until b).flatMap { r =>
       val w = weight(r)
       Seq(sum(w * col("cv")).as(s"sv$r"), sum(w).as(s"sw$r"))

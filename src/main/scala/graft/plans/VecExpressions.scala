@@ -261,6 +261,49 @@ object Md5U32 {
   }
 }
 
+/** `poisson_w(string) → long` — the frozen-threshold Poisson(1) draw from
+  * the md5 uniform: the first k with md5_u32(s) < T(k), else 9, over
+  * [[graft.operators.StatsOps.PoissonThresholds]]'s integer literals.
+  *
+  * Functionally identical to the 9-branch `when` cascade over
+  * `md5_u32(s)` (pinned in NativeExprSpec), but ONE expression node: the
+  * cascade inlines its 9 CASE branches (each naming the digest
+  * subexpression) into whole-stage codegen ×b replicas — the generated
+  * method is what dominates q_bootstrap_ci's first evaluation
+  * (codegen+JIT), the suite's documented worst first-run cost. Here the
+  * digest and the threshold walk are one static call. */
+case class PoissonW(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poisson_w"
+  override def inputTypes = Seq(StringType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    PoissonW.weight(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.PoissonW.weight($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PoissonW {
+  // Poisson(1) inverse-CDF thresholds at 2^32 scale — MUST stay equal to
+  // StatsOps.PoissonThresholds (asserted there at class-load).
+  val Thresholds: Array[Long] = Array(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L,
+    4292415291L, 4294609777L, 4294923276L, 4294962463L)
+
+  def weight(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val u = Md5U32.firstWord(s)
+    var k = 0
+    while (k < 9 && u >= Thresholds(k)) k += 1
+    k.toLong
+  }
+}
+
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -631,6 +674,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    extensions.injectFunction((
+      new FunctionIdentifier("poisson_w"),
+      new ExpressionInfo(classOf[PoissonW].getName, "poisson_w"),
+      (children: Seq[Expression]) => PoissonW(children.head)))
     extensions.injectFunction((
       new FunctionIdentifier("md5_u32"),
       new ExpressionInfo(classOf[Md5U32].getName, "md5_u32"),
