@@ -207,7 +207,9 @@ object MultimodalOps {
     // parse the canonical layout lock-free and fall back to the JDK
     // reader for anything else, which keeps the acceptance envelope
     // (non-audio bytes, other encodings, big-endian PCM) bit-identical.
-    val fast = decodeCanonicalWav(bytes)
+    // Catch-all like the JDK path: decodeWav is documented total (None for
+    // malformed bytes); an adversarial header must never fail the task.
+    val fast = try decodeCanonicalWav(bytes) catch { case _: Throwable => None }
     if (fast.isDefined) fast else decodeWavJdk(bytes)
   }
 
@@ -234,8 +236,15 @@ object MultimodalOps {
     if (!(bytes(36) == 'd' && bytes(37) == 'a' && bytes(38) == 't' && bytes(39) == 'a'))
       return None
     val dataLen = le32(bytes, 40)
-    if (dataLen < 0 || 44 + dataLen > bytes.length || dataLen % 2 != 0) return None
+    // overflow-safe bound: `44 + dataLen > bytes.length` wraps negative for
+    // dataLen ≥ Int.MaxValue − 43, letting a crafted header through to a
+    // ~4 GB allocation; bytes.length ≥ 44 is guaranteed above
+    if (dataLen < 0 || dataLen > bytes.length - 44 || dataLen % 2 != 0) return None
     if (channels <= 0 || rate <= 0) return None
+    // strictly canonical: the writer derives byteRate/blockAlign from
+    // (rate, channels) with the same int arithmetic — inconsistent headers
+    // defer to the JDK reader instead of being accepted on the fast path
+    if (le32(bytes, 28) != rate * channels * 2 || le16(bytes, 32) != channels * 2) return None
     val n = dataLen / 2
     val samples = new Array[Int](n)
     var i = 0
@@ -246,7 +255,7 @@ object MultimodalOps {
     Some(DecodedAudio(rate, channels, samples))
   }
 
-  private def decodeWavJdk(bytes: Array[Byte]): Option[DecodedAudio] =
+  private[operators] def decodeWavJdk(bytes: Array[Byte]): Option[DecodedAudio] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))

@@ -43,16 +43,13 @@ object ProfileBootstrap {
     def evalAll(df: org.apache.spark.sql.DataFrame): Long = {
       df.write.format("noop").mode("overwrite").save(); 0L
     }
-    def evalNoop(df: org.apache.spark.sql.DataFrame): Long = {
-      df.write.format("noop").mode("overwrite").save(); 0L
-    }
     val u32 = call_function("md5_u32", concat(col("rid"), lit(":"), col("rep")))
-    time("u32 single (noop)")(evalNoop(rep.select(col("k"), col("cv"), u32.as("u"))))
+    time("u32 single (noop)")(evalAll(rep.select(col("k"), col("cv"), u32.as("u"))))
     val wCascade = graft.operators.StatsOps.PoissonThresholds.zipWithIndex
       .foldRight(lit(9): org.apache.spark.sql.Column) {
         case ((t, kk), rest) => when(u32 < t, lit(kk)).otherwise(rest)
       }.cast("long")
-    time("w 9-branch cascade (noop)")(evalNoop(rep.select(col("k"), col("cv"), wCascade.as("w"))))
+    time("w 9-branch cascade (noop)")(evalAll(rep.select(col("k"), col("cv"), wCascade.as("w"))))
     time("full explode form") {
       evalAll(graft.operators.StatsOps.bootstrapCi(
         events, col("event_type"), col("value"), col("event_id"), b = 64))

@@ -101,4 +101,41 @@ class AudioDecodeSpec extends SparkSpec {
     assert(decodeWav(Array[Byte]()).isEmpty)
     assert(decodeWav(encodeGrayPng(4, 4, (_, _) => 7)).isEmpty)
   }
+
+  test("adversarial headers never crash and never allocate from a forged dataLen") {
+    def le32At(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte
+      b(o + 2) = ((v >> 16) & 0xFF).toByte; b(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16At(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val base = encodePcmWav(8000, 1, Array.tabulate(16)(identity))
+    // forged dataLen near Int.MaxValue: `44 + dataLen` wraps negative, so a
+    // non-overflow-safe fast-path bound check would pass and allocate a
+    // ~4 GB array (or crash the task). The fast path must DEFER instead;
+    // whatever the JDK reader does with the forged header is the preserved
+    // acceptance envelope (it tolerates a truncated data chunk).
+    for (forged <- Seq(Int.MaxValue - 40, Int.MaxValue - 43, Int.MaxValue, 2147483604)) {
+      val evil = base.clone()
+      le32At(evil, 40, forged)
+      val viaFast = decodeWav(evil) // must not throw / not allocate from dataLen
+      val viaJdk = decodeWavJdk(evil)
+      assert(viaFast.map(d => (d.sampleRate, d.channels, d.samples.toSeq)) ==
+        viaJdk.map(d => (d.sampleRate, d.channels, d.samples.toSeq)),
+        s"forged dataLen=$forged: fast path must defer to the JDK envelope")
+    }
+    // inconsistent byteRate / blockAlign: not the canonical writer's layout,
+    // so the fast path must defer (JDK also rejects these mangled headers
+    // here — either way, never a fast-path accept of a non-canonical header)
+    val badRate = base.clone(); le32At(badRate, 28, 1234)
+    val badAlign = base.clone(); le16At(badAlign, 32, 7)
+    for (evil <- Seq(badRate, badAlign)) {
+      val viaFast = decodeWav(evil)
+      val viaJdk = decodeWavJdk(evil)
+      assert(viaFast.map(d => (d.sampleRate, d.channels, d.samples.toSeq)) ==
+        viaJdk.map(d => (d.sampleRate, d.channels, d.samples.toSeq)),
+        "fast path must agree with the JDK on inconsistent headers")
+    }
+  }
 }

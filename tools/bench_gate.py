@@ -21,6 +21,7 @@ Exit 1 on regression; prints each offender as
   REGRESSION q_name: 4.10s vs 0.61s reference (6.7x > 2.0x)
 """
 import json
+import re
 import statistics
 import sys
 from pathlib import Path
@@ -93,13 +94,18 @@ def main(argv):
                 "is the MEDIAN of >=3 clean runs (one run's timings are "
                 "scheduler luck, see module docstring)")
         runs = []
+        cpus_seen = set()
         for p in run_paths:
             loaded, partial = load_queries(p)
             if partial:
                 raise SystemExit(f"refusing --update: {p} is a partial "
                                  "(slowest-50) artifact; use the full "
                                  "all_queries line")
-            runs.append({q: s for q, s in loaded.items() if s >= 0})
+            runs.append({q: s for q, s in loaded.items()
+                         if q.startswith("q_") and s >= 0})
+            m = re.search(r'"cpus"\s*:\s*(\d+)', Path(p).read_text())
+            if m:
+                cpus_seen.add(int(m.group(1)))
         common = set(runs[0])
         for r in runs[1:]:
             common &= set(r)
@@ -110,6 +116,15 @@ def main(argv):
                 f"run: {', '.join(uneven)} — the median needs all runs")
         queries = {q: round(statistics.median(r[q] for r in runs), 3)
                    for q in sorted(common)}
+        if len(cpus_seen) > 1:
+            raise SystemExit(f"refusing --update: runs at mixed core counts "
+                             f"{sorted(cpus_seen)} — a reference is one box "
+                             "at one core count")
+        if cpus_seen:
+            # Bench widens its burst-defense trigger by __cpus/currentCpus
+            # when a run (the driver's scaling control) uses fewer cores
+            # than the reference was measured at.
+            queries["__cpus"] = cpus_seen.pop()
         DEFAULT_REF.write_text(json.dumps(queries, indent=1, sort_keys=True) + "\n")
         print(f"reference updated: {len(queries)} queries (median of "
               f"{len(runs)} runs) -> {DEFAULT_REF}")
@@ -118,9 +133,10 @@ def main(argv):
     ref, _ = load_queries(argv[1] if len(argv) > 1 else DEFAULT_REF)
     # Bench marks queries that threw as -1; they must fail the gate, never
     # read as "fast", and must never enter the reference on --update.
-    errored = sorted(q for q, s in cand.items() if s < 0)
-    cand = {q: s for q, s in cand.items() if s >= 0}
-    ref = {q: s for q, s in ref.items() if s >= 0}
+    errored = sorted(q for q, s in cand.items() if q.startswith("q_") and s < 0)
+    cand = {q: s for q, s in cand.items() if q.startswith("q_") and s >= 0}
+    # drop non-query entries ("__cpus" metadata) from the reference side
+    ref = {q: s for q, s in ref.items() if q.startswith("q_") and s >= 0}
     regressions, missing = [], []
     for q, ref_s in sorted(ref.items()):
         if q not in cand:
