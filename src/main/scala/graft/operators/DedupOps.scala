@@ -45,7 +45,10 @@ object DedupOps {
   //    reference.
 
   /** Exploded hashed-shingle rows (id, s): one row per shingle *position*
-    * (duplicates retained — distinct where set semantics matter). */
+    * (duplicates retained — distinct where set semantics matter).
+    * NO fanOut here (measured r15): the hash kernel is cheap native work
+    * and every consumer shuffles immediately after — adding a fan-out
+    * exchange cost the minhash/index family +15-20% solo. */
   private def shingleHashed(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     docs
       // explicit not-null guard: null ids can never reach the output (every
@@ -516,17 +519,19 @@ object DedupOps {
     // `ngram_hashes` kernel — so the length gate below is exact): one extra
     // linear pass per document at signature time buys a length filter over
     // the quadratic pair stream.
-    val sigs = docs
+    // fanOut BEFORE the signature kernels run (r15: the simhash64 +
+    // ngram_hashes passes themselves were still single-task in the scan
+    // stage; fanning out the raw (id, text) parallelizes them too, and the
+    // probe explode + broadcast bucket join below inherit the parallelism
+    // exactly as before — measured 1.85 s single-task vs ~0.3 s spread at
+    // sf0.1 for the post-signature stages alone).
+    val sigsPar = ScaleOps.fanOut(docs
       .where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), tokens(col("__t")).as("toks"))
       .select(col("id"),
         call_function("simhash64", transform(col("toks"), t => xxhash64(t))).as("simhash"),
         size(call_function("ngram_hashes", col("toks"), lit(n))).cast("long").as("n_sh"))
-    // Signatures are ~24 B/doc — fan them out when the source is a small
-    // single-row-group file, or the probe explode + bucket join below (a
-    // broadcast join: NO shuffle restores parallelism) runs on one core
-    // (measured 1.85 s single-task vs ~0.3 s spread at sf0.1).
-    val sigsPar = ScaleOps.fanOut(sigs)
     // the full signature and shingle count ride along with every index row,
     // so the Hamming + length gates below need no join-back
     val chunked = sigsPar.select(col("id"), col("simhash"), col("n_sh"),
@@ -599,11 +604,13 @@ object DedupOps {
     * speed at sf0.1). Bit packing and tie-rounding are identical to the
     * aggregate formulation (pinned in ScalaTest). */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs
+    // fanOut before the kernel (the shingleHashed small-file-trap fix)
+    ScaleOps.fanOut(docs
       .where(col(textCol).isNotNull) // explode() dropped null-text rows; keep that contract
-      .select(col(idCol).as("id"),
+      .select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
         call_function("simhash64",
-          transform(tokens(col(textCol)), t => xxhash64(t))).as("simhash"))
+          transform(tokens(col("__t")), t => xxhash64(t))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
     * prefiltered by exact match on one of four 16-bit chunks (pigeonhole: any
@@ -640,9 +647,13 @@ object DedupOps {
         explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
       .select(col("id"),
         xxhash64(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n)))).as("g"))
+      // partitioned by gram hash once, shared by the count aggregation and
+      // the join probe — one tokenize+hash derivation and one exchange
+      // instead of two of each (the PipelineOps.stripBoilerplate shape)
+      .repartition(col("g"))
     val counts = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
     pos
-      .join(counts, Seq("g"))
+      .join(counts.hint("shuffle_hash"), Seq("g"))
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_positions"),

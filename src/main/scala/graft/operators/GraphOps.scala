@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.GraftSession.Ckpt
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -87,7 +87,7 @@ object GraphOps {
     val counted = sets
       .select(explode(concat(col("items"), marker)).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-      .ckpt(true)
+      .ckpt(false) // lazy: first broadcast build materializes it, rest reuse
     val itemCnt = counted.where(col("item").isNotNull)
     val nGroups = counted.where(col("item").isNull).select(col("cnt").as("n_groups"))
     val edges = sets
@@ -195,6 +195,10 @@ object GraphOps {
       .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
       .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
       .select(col("a"), col("b"))
+      // EAGER on purpose (measured r15): downstream AQE stages that read
+      // this relation run concurrently, and a lazy checkpoint lets them
+      // race to compute the whole semi-join chain in parallel — duplicated
+      // work that cost q_clustering_capped +22% when this was ckpt(false)
       .ckpt(true)
   }
 
@@ -212,7 +216,13 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-      .ckpt(true)
+      // LAZY checkpoint (was eager): same lineage truncation and same
+      // compute-once blocks (the RDD is persisted on first materialization,
+      // within whichever downstream job touches it first), but the barrier
+      // no longer costs its own job — the triangle/clustering queries run
+      // 2-3 eager-checkpoint jobs fewer per call, which at bench scale is
+      // pure scheduling latency removed (r15 JobCount audit).
+      .ckpt(false)
 
   /** Triangle counting over an ALREADY-canonical, already-materialized
     * undirected edge set — the shared entry for [[triangleCounts]] and
@@ -233,7 +243,7 @@ object GraphOps {
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"))
-      .ckpt(true)
+      .ckpt(false) // lazy: all three consumers live in the final job
     // edge-iterator closure: the triangle u≺v≺w is edge u→v with
     // w ∈ N⁺(u) ∩ N⁺(v), so attach both endpoints' out-neighbour sets to
     // every oriented edge and intersect in codegen — the O(m^1.5)
@@ -327,7 +337,8 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-      .ckpt(true) // feeds adjacency, degrees, and the anti-join
+      // lazy: feeds adjacency and the anti-join, both inside the final job
+      .ckpt(false)
     val adj = und.select(col("a").as("n"), col("b").as("nb"))
       .unionAll(und.select(col("b").as("n"), col("a").as("nb")))
       .groupBy("n").agg(sort_array(collect_set(col("nb"))).as("ns"))
@@ -466,18 +477,39 @@ object GraphOps {
   private def finishRank(ranks: DataFrame, n: Long): DataFrame =
     ranks.select(col("node"), round(col("rank") * n, 6).as("rank_ratio"))
 
+  /** rank_k(v) from the iteration-k contribution column: every rank update
+    * is (1-d)/N + d·Σcontrib, with Σcontrib = 0 (NULL) for zero-in-degree
+    * nodes — shared by both iteration strategies so the rank arithmetic is
+    * bitwise one expression. */
+  private def rankOf(c: Column, n: Long, damping: Double): Column =
+    lit((1 - damping) / n) + lit(damping) * coalesce(c, lit(0.0))
+
   /** Small-|V| iteration: the rank vector broadcasts, the edge relation
-    * never moves after setup — zero per-iteration exchanges of |E| rows. */
+    * never moves after setup — zero per-iteration exchanges of |E| rows.
+    * The rank vector is carried IMPLICITLY as the previous iteration's
+    * contribution table: rank_k(src) = (1-d)/N + d·coalesce(c_k(src), 0),
+    * computed inline on the contribution side of the next scoring join —
+    * algebraically (and bitwise: same doubles, same op order, left join
+    * emits e's rows in e's order exactly like the former inner join on the
+    * all-srcs ranks frame) the former explicit ranks frame, minus the
+    * per-iteration nodes-join and its broadcast build: ONE broadcast per
+    * iteration instead of two, iteration 1 inlines rank₀ = 1/N as a
+    * literal (no broadcast at all), and `nodes` is joined exactly once at
+    * the end to emit zero-in-degree nodes. */
   private def broadcastIterate(e: DataFrame, nodes: DataFrame, n: Long,
                                iterations: Int, damping: Double): DataFrame = {
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
-      val contrib = e.join(broadcast(ranks), col("src") === col("node"))
-        .groupBy(col("dst")).agg(sum(col("frac") * col("rank")).as("c"))
-      ranks = nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit((1 - damping) / n) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+    if (iterations < 1)
+      return finishRank(nodes.withColumn("rank", lit(1.0 / n)), n)
+    var contrib = e.groupBy(col("dst"))
+      .agg(sum(col("frac") * lit(1.0 / n)).as("c"))
+    for (_ <- 2 to iterations) {
+      contrib = e.join(broadcast(contrib.select(col("dst").as("__cs"), col("c"))),
+          col("src") === col("__cs"), "left")
+        .groupBy(col("dst"))
+        .agg(sum(col("frac") * rankOf(col("c"), n, damping)).as("c"))
     }
+    val ranks = nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
+      .select(col("node"), rankOf(col("c"), n, damping).as("rank"))
     finishRank(ranks, n)
   }
 
@@ -494,16 +526,25 @@ object GraphOps {
     * doesn't fit. */
   private def partitionedIterate(e: DataFrame, nodes: DataFrame, n: Long,
                                  iterations: Int, damping: Double): DataFrame = {
+    if (iterations < 1)
+      return finishRank(nodes.withColumn("rank", lit(1.0 / n)), n)
     val eSrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
-      val contrib = eSrc
-        .join(ranks.select(col("node").as("src"), col("rank")).hint("shuffle_hash"), Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("frac") * col("rank")).as("c"))
-      ranks = nodes.join(contrib.hint("shuffle_hash"), col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit((1 - damping) / n) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+    // same implicit-rank carry as [[broadcastIterate]] (see there for the
+    // bitwise-identity argument): per iteration only the |V|-row
+    // contribution vector shuffles to the edges' src partitioning — the
+    // former per-iteration nodes-join (a second |V| exchange + join) is
+    // folded into the rank expression, and `nodes` joins once at the end.
+    var contrib = eSrc.groupBy(col("dst"))
+      .agg(sum(col("frac") * lit(1.0 / n)).as("c"))
+    for (_ <- 2 to iterations) {
+      contrib = eSrc
+        .join(contrib.select(col("dst").as("__cs"), col("c")).hint("shuffle_hash"),
+          col("src") === col("__cs"), "left")
+        .groupBy(col("dst"))
+        .agg(sum(col("frac") * rankOf(col("c"), n, damping)).as("c"))
     }
+    val ranks = nodes.join(contrib.hint("shuffle_hash"), col("node") === col("dst"), "left")
+      .select(col("node"), rankOf(col("c"), n, damping).as("rank"))
     finishRank(ranks, n)
   }
 

@@ -735,17 +735,33 @@ object PipelineOps {
     */
   def stripBoilerplate(docs: DataFrame, n: Int = 8, minDf: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toked = docs.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+    // fanOut the raw (id, text) before tokenizing: the per-position
+    // slice+concat+hash pass below would otherwise run single-task in the
+    // scan stage of a small parquet source (no-op at scale); the rebuild
+    // join's re-tokenize reuses the same fanned-out exchange subtree
+    val base = ScaleOps.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+    val toked = base.select(col("id"), split(col("__t"), " ").as("toks"))
+    // Positional grams partitioned by gram hash ONCE, shared by the df
+    // aggregation AND the join probe (same exchange subtree → ReuseExchange
+    // computes the tokenize+slice+hash derivation a single time). The old
+    // shape derived the gram stream twice — once partial-aggregated into
+    // the frequency exchange, once as the unshuffled join side — paying the
+    // dominant per-position hash work double at every scale. shuffle_hash
+    // on the frequent-gram side: it is aggregation output already
+    // colocated with the probe partitions, so the join needs neither an
+    // exchange nor a sort of the gram stream (and at minDf = 2 it is never
+    // a broadcast — the frequent set scales with the duplicated text).
     val grams = toked
       .where(size(col("toks")) >= n)
       .select(col("id"), col("toks"), explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
       .select(col("id"), col("i"),
         xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("g"))
+      .repartition(col("g"))
     val freq = grams
       .groupBy("g").agg(count_distinct(col("id")).as("df"))
       .where(col("df") >= minDf)
       .select("g")
-    val covered = grams.join(freq, Seq("g"))
+    val covered = grams.join(freq.hint("shuffle_hash"), Seq("g"))
       .select(col("id"), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
       .groupBy("id")
       .agg(sort_array(collect_set(col("p"))).as("cov"))
@@ -791,16 +807,22 @@ object PipelineOps {
     * semantics for spans ≥ n tokens, at n-gram (not suffix) index cost. */
   def dedupSpansKeepFirst(docs: DataFrame, n: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toked = docs.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+    // fanOut before tokenizing — see [[stripBoilerplate]]
+    val base = ScaleOps.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+    val toked = base.select(col("id"), split(col("__t"), " ").as("toks"))
+    // gram stream partitioned by hash once and shared by the first-
+    // occurrence aggregation and the join probe — see [[stripBoilerplate]]
+    // (one derivation + one exchange instead of two of each)
     val grams = toked
       .where(size(col("toks")) >= n)
       .select(col("id"), col("toks"), explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
       .select(col("id"), col("i"),
         xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("g"))
+      .repartition(col("g"))
     val first = grams.groupBy("g")
       .agg(min(struct(col("id"), col("i"))).as("f"))
       .select(col("g"), col("f.id").as("fid"), col("f.i").as("fi"))
-    val covered = grams.join(first, Seq("g"))
+    val covered = grams.join(first.hint("shuffle_hash"), Seq("g"))
       .where(!(col("id") === col("fid") && col("i") === col("fi")))
       .select(col("id"), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
       .groupBy("id")

@@ -642,8 +642,10 @@ object TextOps {
   def ngramNovelty(docs: DataFrame, n: Int = 3,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    val grams = docs
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    // fanOut before tokenizing (the shingleHashed small-file-trap fix)
+    val grams = graft.operators.ScaleOps.fanOut(
+        docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), tokens(col("__t")).as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("id"), explode(sequence(lit(0), size(col("toks")) - n)).as("i"),
         col("toks"))
@@ -728,7 +730,12 @@ object TextOps {
     * the NULL class can't become one skewed window partition). */
   def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("__grp"))
-    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon_url"))
+    // fanOut the raw (id, url) first: canonicalization is 4 URI parses +
+    // 3 regex passes per row, and without it the whole pass runs in the
+    // single-task scan stage of a small parquet source (the shingleHashed
+    // small-file trap; provable no-op at production scale)
+    ScaleOps.fanOut(df.select(col(idCol), col(urlCol)))
+      .select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon_url"))
       .withColumn("__grp", coalesce(col("canon_url"),
         concat(lit("\u0000id:"), col(idCol).cast("string"))))
       .withColumn("keeper_id", min(col(idCol)).over(w))
